@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float policy (see snomed_ct_entity_linking_ray/pipelines/common.py): every
+value that crosses the oracle boundary is an integer (exact cents), a
+timestamp, or a string — except single-expression doubles (bit-exact) —
+so value hashes are deterministic across engines.
+
+No ray.init/ray.shutdown anywhere in this module or the library.
 """
 
 from __future__ import annotations
@@ -20,25 +20,175 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: entity linking over the interleaved-span fixture
+    docs at sf0.001 scale (read → sectionize/flatten → automaton blocking →
+    pair scoring → clustering → overlap resolution)."""
+    from snomed_ct_entity_linking_ray.pipelines.entity_link import run_entity_link
+
+    return run_entity_link("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from snomed_ct_entity_linking_ray.pipelines import (
+        dedup,
+        entity_link,
+        relational,
+        text,
+        vectors,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator family (SURVEY.md §2 S/J/G/T classes)
+        "filter_revenue": relational.q_filter_revenue,
+        "pricing_summary": relational.q_pricing_summary,
+        "orders_by_segment": relational.q_orders_by_segment,
+        "customers_per_region": relational.q_customers_per_region,
+        "top_orders": relational.q_top_orders,
+        "latest_order_before_event": relational.q_latest_order_before_event,
+        "hourly_user_activity": relational.q_hourly_user_activity,
+        "sessionize": relational.q_sessionize,
+        # text analysis family
+        "unigrams": text.q_unigrams,
+        "doc_stats": text.q_doc_stats,
+        "token_count": text.q_token_count,
+        "fingerprint": text.q_fingerprint,
+        "term_match_first": text.q_term_match_first,
+        "langid": text.q_langid,
+        # dedup family
+        "dedup_exact": dedup.q_dedup_exact,
+        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "simhash_buckets": dedup.q_simhash_buckets,
+        "embedding_neardup_pairs": dedup.q_embedding_neardup_pairs,
+        # similarity search family
+        "cosine_topk": vectors.q_cosine_topk,
+        "cosine_topk_ivf": vectors.q_cosine_topk_ivf,
+        # flagship record-linkage pipeline (fixture-backed; rows-only check,
+        # full oracle comparison lives in tests/test_entity_link.py)
+        "entity_link": entity_link.q_entity_link,
+        "entity_link_mentions": entity_link.q_mentions,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_revenue": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1.0 - l_discount) AS revenue
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(round(l_quantity*100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   CAST(SUM(CAST(round(l_discount*100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_total_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "customers_per_region": """
+            SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+        "top_orders": """
+            SELECT o_orderkey, CAST(round(o_totalprice*100, 0) AS BIGINT) AS total_cents
+            FROM orders ORDER BY total_cents DESC, o_orderkey DESC LIMIT 10
+        """,
+        "latest_order_before_event": """
+            SELECT e.event_id, MAX(o.o_orderdate) AS last_order_ts
+            FROM events e
+            JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            GROUP BY e.event_id
+        """,
+        "hourly_user_activity": """
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch(ts - prev_ts) > 1800
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                        AS BIGINT) AS session_id
+            FROM (SELECT event_id, user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                  FROM events)
+        """,
+        "unigrams": """
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY 1
+        """,
+        "doc_stats": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_word_chars,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            w -> list_contains(['the','a','fast','slow'], w))) AS BIGINT)
+                       AS n_stopwords
+            FROM documents
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(lower(text)) AS fp FROM documents
+        """,
+        "term_match_first": """
+            SELECT d.doc_id, t.term, CAST(strpos(d.text, t.term) - 1 AS BIGINT) AS start
+            FROM documents d
+            CROSS JOIN (VALUES ('spark'),('join'),('window'),('merge'),('stream'),('vector'))
+                 AS t(term)
+            WHERE strpos(d.text, t.term) > 0
+        """,
+        "dedup_exact": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "ngram_jaccard_pairs": """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM documents a
+            JOIN documents b
+              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+            WHERE jaccard(a.text, b.text) >= 0.9
+        """,
+        "embedding_neardup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+        "cosine_topk": """
+            SELECT query_id, match_id, rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                       CAST(row_number() OVER (
+                            PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                     c.vec_id) AS BIGINT) AS rank
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 16 AND c.vec_id >= 16
+            ) WHERE rank <= 5
+        """,
+        # minhash_lsh_pairs / simhash_buckets / langid / cosine_topk_ivf /
+        # entity_link*: not SQL-expressible (sketches, heuristics, approximate
+        # search, fixture-backed linkage) → driver records rows-only checks;
+        # exact semantics are pytest-verified against in-repo oracles.
+    }

@@ -105,6 +105,9 @@ def _typo(rng: np.random.Generator, name: str) -> str:
     return out if out != name and out.strip() else name + "x"
 
 
+FIXTURE_VERSION = 2  # bump when generation logic changes (invalidates cache)
+
+
 @dataclass(frozen=True)
 class FixtureSpec:
     seed: int = 42
@@ -113,7 +116,7 @@ class FixtureSpec:
 
     @property
     def key(self) -> str:
-        return f"seed{self.seed}_d{self.n_docs}_c{self.n_concepts}"
+        return f"v{FIXTURE_VERSION}_seed{self.seed}_d{self.n_docs}_c{self.n_concepts}"
 
 
 def spec_for_sf_dir(sf_dir: str) -> FixtureSpec:
@@ -134,24 +137,46 @@ def build_concepts(spec: FixtureSpec) -> pa.Table:
     rng = np.random.default_rng(spec.seed + 1)
     words = _concept_words(rng, max(60, spec.n_concepts // 3))
     rows: list[tuple[int, str, str, str]] = []
+    # Global surface uniqueness: accidental shared surfaces would merge
+    # unrelated concepts' clusters (transitive closure is working as
+    # designed); the ONE deliberate collision below stays the only one.
+    used: set[str] = set()
 
     rows.append((HOT_CONCEPT_ID, HOT_SURFACE, "FSN", "finding"))
+    used.add(HOT_SURFACE)
 
     for i in range(spec.n_concepts):
         cid = 100_000_000 + i * 9 + (i % 7)  # SCTID-like, deterministic, unique
-        nw = int(rng.integers(1, 4))
-        parts = [words[int(rng.integers(0, len(words)))] for _ in range(nw)]
-        name = " ".join(parts)
+        name = None
+        for _attempt in range(20):
+            nw = int(rng.integers(1, 4))
+            parts = [words[int(rng.integers(0, len(words)))] for _ in range(nw)]
+            cand = " ".join(parts)
+            if cand not in used:
+                name = cand
+                break
+        if name is None:
+            continue
+        used.add(name)
         hier = _HIERARCHIES[int(rng.integers(0, 3))]
         rows.append((cid, name, "FSN", hier))
         # synonyms: permutation ("X of Y" -> "Y X") and replacement variants
         if nw >= 2 and rng.random() < 0.5:
-            rows.append((cid, " ".join(reversed(parts)), "SYN", hier))
+            syn = " ".join(reversed(parts))
+            if syn not in used:
+                used.add(syn)
+                rows.append((cid, syn, "SYN", hier))
         if rng.random() < 0.3:
-            rows.append((cid, name + " disorder", "SYN", hier))
+            syn = name + " disorder"
+            if syn not in used:
+                used.add(syn)
+                rows.append((cid, syn, "SYN", hier))
         # decoy concept with a 1-edit name (near-miss negative)
         if rng.random() < 0.15:
-            rows.append((cid + 500_000_000, _typo(rng, name), "FSN", hier))
+            dec = _typo(rng, name)
+            if dec not in used:
+                used.add(dec)
+                rows.append((cid + 500_000_000, dec, "FSN", hier))
 
     # deliberate collision: same surface mapped to 2 concepts (exercises the
     # majority vote, 2nd Place/src/static_dict.py:116-122) — keep rare and

@@ -1,0 +1,95 @@
+"""Shared pipeline helpers: pruned reads, exact-integer money columns,
+partial-then-final aggregation, broadcast lookups.
+
+Scale conventions (SURVEY.md §4):
+- every read passes ``columns=[...]`` (prune at the read);
+- every grouped sum pre-aggregates inside ``map_batches`` (one row per key
+  per batch) before the small final ``groupby`` — the all-to-all shuffle
+  moves partials, not rows;
+- small sides are broadcast via ``ray.put`` once, never re-shipped per batch.
+
+Float policy: any value that crosses the DuckDB-oracle boundary is either an
+integer (cents via ``round(x*100)``), a timestamp, or a string — double
+sums are order-dependent across distributed partials and can't be compared
+bit-exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+
+def read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def read_arrow(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
+    """Driver-side load of a SMALL table (dimension side of a broadcast join)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def cents(x: np.ndarray | pd.Series) -> np.ndarray:
+    """Exact integer cents: round-half-even of x*100 (matches DuckDB
+    ``CAST(round(x*100, 0) AS BIGINT)`` for values not exactly at .5, which
+    random doubles never are)."""
+    arr = np.asarray(x, dtype=np.float64)
+    return np.rint(arr * 100.0).astype(np.int64)
+
+
+def grouped_sums(
+    ds: rd.Dataset,
+    keys: list[str],
+    sums: dict[str, str],
+    count_as: str | None = None,
+) -> rd.Dataset:
+    """Partial-per-batch pandas groupby, then a final groupby over partials.
+
+    ``sums`` maps output column -> input column (summed). ``count_as`` adds a
+    row count. All summed inputs should be exact types (ints/cents).
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        agg = {out: (src, "sum") for out, src in sums.items()}
+        if count_as:
+            any_col = keys[0]
+            agg[count_as] = (any_col, "size")
+        return df.groupby(keys, as_index=False, sort=False).agg(**agg)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    aggs = [Sum(out, alias_name=out) for out in sums]
+    if count_as:
+        aggs.append(Sum(count_as, alias_name=count_as))
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def broadcast(obj) -> "ray.ObjectRef":
+    return ray.put(obj)
+
+
+class BroadcastJoin:
+    """Actor-pool stage: inner hash join of each batch against a broadcast
+    small-side pandas DataFrame (SURVEY.md §2.4 J1/J5 pattern — small side
+    ships once per actor via the ray.put handle, never per batch)."""
+
+    def __init__(self, ref, left_on: str, right_on: str, how: str = "inner"):
+        self.small: pd.DataFrame = ray.get(ref)
+        self.left_on = left_on
+        self.right_on = right_on
+        self.how = how
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df.merge(
+            self.small, how=self.how, left_on=self.left_on, right_on=self.right_on
+        )
+        if self.right_on != self.left_on and self.right_on in out.columns:
+            out = out.drop(columns=[self.right_on])
+        return out

@@ -1,0 +1,593 @@
+"""Flagship pipeline: blocking + pairwise scoring + transitive clustering
+(BASELINE.json north_rule; SURVEY.md §7.1 architecture).
+
+Re-expresses the reference winners' shared skeleton — generate mentions →
+attach candidate concepts → score → resolve — as record linkage over Arrow:
+
+    docs ──mb──▶ flatten + sectionize (M2/M3, §2.2)
+         ──mb-actor──▶ mention extraction: Aho-Corasick over normalized text
+                       with raw-offset remapping + trailing-plural tolerance
+                       (M1/M4/M18 semantics, 1st Place/src/mimic_common.py:
+                       50-71,127-161; 2nd Place/submission/static_dict.py:36-53)
+    mentions ──flat──▶ (block_key, row): dictionary key + char-3gram prefix
+                       key; HOT KEYS SALTED from a measured frequency table
+                       (G1; the reference's "pain" blacklists,
+                       1st Place/src/mimic_train.py:30,36-42)
+         ──groupby(block_key)──▶ pair generation within block (capped,
+                       drops logged — no silent truncation)
+    pairs ──mb-actor──▶ hybrid scoring: Jaro-Winkler (DuckDB C++ kernel)
+                       + char-3gram hash-embedding cosine (A3 stand-in)
+         ──filter(score ≥ θ)──▶ edges
+    edges ──▶ distributed union-find (stages/components.py)
+         ──▶ per-cluster majority concept vote (G2/G6,
+              2nd Place/src/static_dict.py:116-122)
+         ──▶ per-doc overlap resolution (D2, mimic_common.py:170-209)
+    ──▶ linked mentions (doc_id, start, end, concept_id)
+
+Input docs are the interleaved-span fixture tables (input_hint shape); the
+spans column is projected away immediately after flattening and never
+mutated — span-sequence equality vs input is checked in tests.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from .. import fixtures
+from ..functions.docs import flatten_batch
+from ..functions.overlaps import remove_overlaps
+from ..functions.sections import SectionIndex, find_sections
+from ..functions.similarity import DuckSimilarity, hash_embed
+from ..functions.text import normalize_text
+from ..functions.hashing import stable_u64
+from ..state.automaton import AhoCorasick
+
+logger = logging.getLogger(__name__)
+
+THETA = 0.995         # pair-score threshold (T6-class gate): dictionary-exact
+                      # matches score exactly 1.0; 1-edit near-misses top out
+                      # ≈0.99·½ + 0.97·½ < 0.995 (measured in tests)
+BLOCK_CAP = 20_000    # max pairs generated per block before salting kicks in
+HOT_KEY_MENTIONS = 2_000   # mention count above which a block key is salted
+N_SALT = 8
+
+MENTION_NODE_FLAG = np.int64(1) << np.int64(62)
+
+
+def mention_node(mention_id: str) -> np.int64:
+    return MENTION_NODE_FLAG | np.int64(stable_u64(mention_id) >> 3)
+
+
+# --------------------------------------------------------------------------
+# dictionary / state build (driver-side; small. At 10^12-doc scale this runs
+# in one Ray task and only the ObjectRef moves.)
+# --------------------------------------------------------------------------
+
+def build_link_state(fixture_path: str):
+    import pyarrow.parquet as pq
+
+    concepts = pq.read_table(
+        f"{fixture_path}/concepts.parquet", columns=["concept_id", "name", "kind"]
+    )
+    surface_to_cids: dict[str, list[int]] = {}
+    for name, cid in zip(concepts["name"].to_pylist(), concepts["concept_id"].to_pylist()):
+        norm = normalize_text(name)
+        if not norm:
+            continue
+        surface_to_cids.setdefault(norm, [])
+        if cid not in surface_to_cids[norm]:
+            surface_to_cids[norm].append(cid)
+    surfaces = sorted(surface_to_cids)
+    automaton = AhoCorasick({s: i for i, s in enumerate(surfaces)})
+    emb = hash_embed(surfaces)
+    return {
+        "automaton": automaton,
+        "surfaces": surfaces,
+        "surface_to_cids": {s: sorted(v) for s, v in surface_to_cids.items()},
+        "surface_emb": emb,
+    }
+
+
+# --------------------------------------------------------------------------
+# mention extraction (stateful actor pool — A1 analogue)
+# --------------------------------------------------------------------------
+
+def _norm_with_map(raw: str):
+    """Length-tracked normalization: returns (norm_text, norm2raw) where
+    norm2raw[i] is the raw offset of norm char i (spaces map to the gap
+    position). Tokens are [a-z0-9]+ runs of the lowered raw text, joined by
+    single spaces — same token stream as normalize_text (M17) but with an
+    exact offset map back into the raw string."""
+    import re
+
+    low = raw.lower()
+    parts: list[str] = []
+    idx_parts: list[np.ndarray] = []
+    for m in re.finditer(r"[a-z0-9]+", low):
+        parts.append(m.group(0))
+        idx_parts.append(np.arange(m.start(), m.end(), dtype=np.int64))
+    if not parts:
+        return "", np.zeros(0, dtype=np.int64)
+    norm = " ".join(parts)
+    gaps = []
+    out = []
+    for i, arr in enumerate(idx_parts):
+        out.append(arr)
+        if i + 1 < len(idx_parts):
+            out.append(np.array([arr[-1] + 1], dtype=np.int64))  # the join space
+    norm2raw = np.concatenate(out)
+    assert len(norm2raw) == len(norm)
+    _ = gaps
+    return norm, norm2raw
+
+
+class MentionExtractor:
+    """Automaton matcher with per-actor state: the broadcast automaton +
+    dictionary ship once per actor (__init__), not per batch."""
+
+    def __init__(self, state_ref):
+        state = ray.get(state_ref)
+        self.ac: AhoCorasick = state["automaton"]
+        self.surfaces: list[str] = state["surfaces"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {
+            "mention_id": [],
+            "doc_id": [],
+            "start": [],
+            "end": [],
+            "surface": [],
+            "section": [],
+        }
+        for doc_id, raw in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            norm, norm2raw = _norm_with_map(raw)
+            if not norm:
+                continue
+            sections = SectionIndex(find_sections(raw))
+            n = len(norm)
+            seen: set[tuple[int, int, int]] = set()
+            for s, e, pid in self.ac.find_all(norm):
+                # word boundaries in norm space, with trailing-plural
+                # tolerance (M1 trailing s*): allow one extra 's' before the
+                # boundary and absorb it into the span.
+                if s > 0 and norm[s - 1] != " ":
+                    continue
+                if e < n and norm[e] != " ":
+                    if norm[e] == "s" and (e + 1 == n or norm[e + 1] == " "):
+                        e = e + 1
+                    else:
+                        continue
+                raw_s = int(norm2raw[s])
+                raw_e = int(norm2raw[e - 1]) + 1
+                key = (raw_s, raw_e, pid)
+                if key in seen:
+                    continue
+                seen.add(key)
+                # node identity includes end so nested matches at the same
+                # start are distinct graph nodes (they'd otherwise bridge
+                # unrelated concepts through one shared node)
+                out["mention_id"].append(f"{doc_id}:{raw_s}:{raw_e}")
+                out["doc_id"].append(doc_id)
+                out["start"].append(raw_s)
+                out["end"].append(raw_e)
+                out["surface"].append(self.surfaces[pid])
+                out["section"].append(sections.header_at(raw_s))
+        return pa.table(
+            {
+                "mention_id": pa.array(out["mention_id"], pa.string()),
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "start": pa.array(out["start"], pa.int32()),
+                "end": pa.array(out["end"], pa.int32()),
+                "surface": pa.array(out["surface"], pa.string()),
+                "section": pa.array(out["section"], pa.string()),
+            }
+        )
+
+
+def extract_mentions(sf_dir: str, exclude_sections: frozenset[str] | None = None):
+    """docs → mentions Dataset. ``exclude_sections`` applies the M16
+    medication-section filter when given (off by default: the fixture gold
+    plants mentions in all sections)."""
+    fdir = fixtures.fixture_dir(fixtures.spec_for_sf_dir(sf_dir))
+    state_ref = ray.put(build_link_state(fdir))
+    docs = rd.read_parquet(f"{fdir}/docs.parquet")
+    flat = docs.map_batches(flatten_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "text"]
+    )
+    mentions = flat.map_batches(
+        MentionExtractor,
+        fn_constructor_args=(state_ref,),
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+        batch_size=256,
+    )
+    if exclude_sections:
+        excl = list(exclude_sections)
+        mentions = mentions.map_batches(
+            lambda t: t.filter(
+                pa.compute.invert(pa.compute.is_in(t["section"], value_set=pa.array(excl)))
+            ),
+            batch_format="pyarrow",
+        )
+    return mentions, state_ref, fdir
+
+
+def q_mentions(sf_dir: str):
+    m, _, _ = extract_mentions(sf_dir)
+    return m
+
+
+# --------------------------------------------------------------------------
+# blocking + salting + pair generation
+# --------------------------------------------------------------------------
+
+def _block_keys_for_surface(surface: str) -> list[str]:
+    keys = [f"d:{surface}"]
+    pref = surface[:3]
+    if pref:
+        keys.append(f"g:{pref}")
+    return keys
+
+
+def blocked_sides(mentions: rd.Dataset, state_ref) -> tuple[rd.Dataset, rd.Dataset, set]:
+    """Emit (block_key, ...) rows for both sides; measure mention-side key
+    frequencies (G1) and salt hot keys: mention rows get key#h(mention)%k,
+    concept rows replicate into every salt bucket."""
+
+    def explode_mentions(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"block_key": [], "mention_id": [], "surface": []}
+        for mid, surf in zip(df["mention_id"], df["surface"]):
+            for k in _block_keys_for_surface(surf):
+                rows["block_key"].append(k)
+                rows["mention_id"].append(mid)
+                rows["surface"].append(surf)
+        return pd.DataFrame(rows)
+
+    m_keys = mentions.map_batches(explode_mentions, batch_format="pandas")
+
+    # frequency table (partial count per batch, then tiny final groupby)
+    def key_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["block_key"].value_counts()
+        return pd.DataFrame({"block_key": vc.index, "n": vc.to_numpy().astype(np.int64)})
+
+    freq = (
+        m_keys.map_batches(key_counts, batch_format="pandas")
+        .groupby("block_key")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    hot = {
+        r["block_key"]
+        for r in freq.filter(lambda row: row["n"] > HOT_KEY_MENTIONS).take_all()
+    }
+    if hot:
+        logger.info("salting %d hot block keys: %s", len(hot), sorted(hot)[:5])
+
+    hot_ref = ray.put(hot)
+
+    class SaltMentions:
+        def __init__(self):
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not self.hot:
+                return df
+            keys = df["block_key"].to_numpy().copy()
+            for i, (k, mid) in enumerate(zip(keys, df["mention_id"])):
+                if k in self.hot:
+                    keys[i] = f"{k}#{stable_u64(mid) % N_SALT}"
+            df = df.copy()
+            df["block_key"] = keys
+            return df
+
+    m_salted = m_keys.map_batches(SaltMentions, batch_format="pandas", concurrency=4)
+
+    # concept side: built driver-side from the dictionary (small), replicated
+    # into salt buckets for hot keys
+    state = ray.get(state_ref)
+    c_rows = {"block_key": [], "concept_id": [], "c_surface": []}
+    for surf, cids in state["surface_to_cids"].items():
+        for key in _block_keys_for_surface(surf):
+            targets = (
+                [f"{key}#{i}" for i in range(N_SALT)] if key in hot else [key]
+            )
+            for t in targets:
+                for cid in cids:
+                    c_rows["block_key"].append(t)
+                    c_rows["concept_id"].append(cid)
+                    c_rows["c_surface"].append(surf)
+    c_keys = rd.from_arrow(
+        pa.table(
+            {
+                "block_key": pa.array(c_rows["block_key"], pa.string()),
+                "concept_id": pa.array(c_rows["concept_id"], pa.int64()),
+                "c_surface": pa.array(c_rows["c_surface"], pa.string()),
+            }
+        )
+    )
+    return m_salted, c_keys, hot
+
+
+def candidate_pairs(m_salted: rd.Dataset, c_keys: rd.Dataset) -> rd.Dataset:
+    """groupby(block_key) — THE wide shuffle — then within-block mention ×
+    concept cross pairs, capped with logged drops."""
+    m_tagged = m_salted.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "block_key": df["block_key"],
+                "mention_id": df["mention_id"],
+                "surface": df["surface"],
+                "side": "m",
+                "concept_id": np.int64(-1),
+            }
+        ),
+        batch_format="pandas",
+    )
+    c_tagged = c_keys.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "block_key": df["block_key"],
+                "mention_id": "",
+                "surface": df["c_surface"],
+                "side": "c",
+                "concept_id": df["concept_id"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    both = m_tagged.union(c_tagged)
+
+    def pairgen(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[g["side"] == "m"]
+        c = g[g["side"] == "c"]
+        if len(m) == 0 or len(c) == 0:
+            return pd.DataFrame(
+                {
+                    "mention_id": pd.Series([], dtype=str),
+                    "m_surface": pd.Series([], dtype=str),
+                    "concept_id": pd.Series([], dtype=np.int64),
+                    "c_surface": pd.Series([], dtype=str),
+                }
+            )
+        n_pairs = len(m) * len(c)
+        if n_pairs > BLOCK_CAP:
+            # bounded block: keep all dictionary-exact pairs, cap the rest
+            logger.warning(
+                "block %s: %d pairs exceeds cap %d; truncating (logged, not silent)",
+                g["block_key"].iloc[0],
+                n_pairs,
+                BLOCK_CAP,
+            )
+            m = m.head(max(1, BLOCK_CAP // max(1, len(c))))
+        mi = np.repeat(np.arange(len(m)), len(c))
+        ci = np.tile(np.arange(len(c)), len(m))
+        return pd.DataFrame(
+            {
+                "mention_id": m["mention_id"].to_numpy()[mi],
+                "m_surface": m["surface"].to_numpy()[mi],
+                "concept_id": c["concept_id"].to_numpy()[ci],
+                "c_surface": c["surface"].to_numpy()[ci],
+            }
+        )
+
+    return both.groupby("block_key").map_groups(pairgen, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# pair scoring (stateful actor pool — A3 analogue)
+# --------------------------------------------------------------------------
+
+class PairScorer:
+    """Hybrid score = 0.5·JaroWinkler + 0.5·hash-embedding cosine, computed
+    per batch with C++-vectorized string kernels and one numpy matmul.
+    Exact-equal surfaces score exactly 1.0."""
+
+    def __init__(self, state_ref):
+        state = ray.get(state_ref)
+        self.surface_idx = {s: i for i, s in enumerate(state["surfaces"])}
+        self.surface_emb = state["surface_emb"]
+        self.duck = DuckSimilarity(threads=1)
+        self._emb_cache: dict[str, np.ndarray] = {}
+
+    def _embed(self, surfaces: np.ndarray) -> np.ndarray:
+        out = np.empty((len(surfaces), self.surface_emb.shape[1]))
+        missing: dict[str, list[int]] = {}
+        for i, s in enumerate(surfaces):
+            j = self.surface_idx.get(s)
+            if j is not None:
+                out[i] = self.surface_emb[j]
+            elif s in self._emb_cache:
+                out[i] = self._emb_cache[s]
+            else:
+                missing.setdefault(s, []).append(i)
+        if missing:
+            vecs = hash_embed(list(missing))
+            for (s, idxs), v in zip(missing.items(), vecs):
+                self._emb_cache[s] = v
+                for i in idxs:
+                    out[i] = v
+        return out
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            df = df.copy()
+            df["score"] = pd.Series([], dtype=np.float64)
+            return df
+        left = df["m_surface"].to_numpy()
+        right = df["c_surface"].to_numpy()
+        sims = self.duck.scores(pa.array(left), pa.array(right))
+        el = self._embed(left)
+        er = self._embed(right)
+        cos = np.einsum("ij,ij->i", el, er)
+        score = 0.5 * sims["jw"] + 0.5 * cos
+        score[left == right] = 1.0
+        df = df.copy()
+        df["score"] = score
+        return df
+
+
+def score_pairs(pairs: rd.Dataset, state_ref) -> rd.Dataset:
+    scored = pairs.map_batches(
+        PairScorer,
+        fn_constructor_args=(state_ref,),
+        batch_format="pandas",
+        concurrency=(2, 8),
+        batch_size=8192,
+        num_cpus=1,
+    )
+    return scored.map_batches(
+        lambda df: df[df["score"] >= THETA], batch_format="pandas"
+    )
+
+
+# --------------------------------------------------------------------------
+# clustering + concept assignment + resolution
+# --------------------------------------------------------------------------
+
+def run_entity_link(sf_dir: str, exclude_sections: frozenset[str] | None = None):
+    from ..stages.components import connected_components
+
+    mentions, state_ref, fdir = extract_mentions(sf_dir, exclude_sections)
+    mentions = mentions.materialize()  # reused below (small relative to docs)
+
+    m_salted, c_keys, _hot = blocked_sides(mentions, state_ref)
+    pairs = candidate_pairs(m_salted, c_keys)
+    edges_scored = score_pairs(pairs, state_ref).materialize()
+
+    # edge list for union-find: mention node ↔ concept node (int64)
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                                 "v": pd.Series([], dtype=np.int64)})
+        u = np.array([mention_node(m) for m in df["mention_id"]], dtype=np.int64)
+        return pd.DataFrame({"u": u, "v": df["concept_id"].astype(np.int64)})
+
+    edges = edges_scored.map_batches(to_edges, batch_format="pandas")
+    labels = connected_components(edges)
+
+    # Labels are one row per graph node (mentions + matched concepts) — by
+    # construction the tree-reduce CC already centralizes this set in one
+    # task, so broadcasting it as a lookup is memory-equivalent; the
+    # hash-join attachment (Dataset.join on node) is the beyond-memory path.
+    labels_pd = labels.to_pandas()
+    label_map = dict(
+        zip(labels_pd["node"].to_numpy(), labels_pd["label"].to_numpy())
+    )
+    label_ref = ray.put(label_map)
+
+    # per-cluster modal concept (G2/G6 majority vote, min-cid tiebreak):
+    # partial (label, concept) counts per batch → small final groupby →
+    # driver-side argmax over the tiny cluster table → broadcast dict.
+    class LabelCounts:
+        def __init__(self):
+            self.labels = ray.get(label_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            lab = np.array(
+                [self.labels[mention_node(m)] for m in df["mention_id"]],
+                dtype=np.int64,
+            )
+            out = pd.DataFrame({"label": lab, "concept_id": df["concept_id"].astype(np.int64)})
+            return out.groupby(["label", "concept_id"], as_index=False).size().rename(
+                columns={"size": "n"}
+            )
+
+    counts = (
+        edges_scored.map_batches(LabelCounts, batch_format="pandas", concurrency=2)
+        .groupby(["label", "concept_id"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = counts.sort_values(
+        ["label", "n", "concept_id"], ascending=[True, False, True]
+    )
+    top = counts.drop_duplicates("label", keep="first")
+    concept_map = dict(zip(top["label"].to_numpy(), top["concept_id"].to_numpy()))
+    concept_ref = ray.put(concept_map)
+
+    class AttachConcept:
+        def __init__(self):
+            self.labels = ray.get(label_ref)
+            self.concepts = ray.get(concept_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            cids = np.empty(len(df), dtype=np.int64)
+            ok = np.zeros(len(df), dtype=bool)
+            for i, m in enumerate(df["mention_id"]):
+                lab = self.labels.get(mention_node(m))
+                if lab is None:
+                    continue
+                cid = self.concepts.get(lab)
+                if cid is None:
+                    continue
+                cids[i] = cid
+                ok[i] = True
+            out = pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"],
+                    "start": df["start"],
+                    "end": df["end"],
+                    "cluster_concept": cids,
+                }
+            )
+            return out[ok]
+
+    linked = mentions.map_batches(AttachConcept, batch_format="pandas", concurrency=2)
+
+    # per-doc overlap resolution (D2) — sort + sweep within doc group only
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        spans = [
+            {"start": int(s), "end": int(e), "concept_id": int(c)}
+            for s, e, c in zip(g["start"], g["end"], g["cluster_concept"])
+        ]
+        # same (start,end) may appear once per mention row; dedup first
+        uniq = {(sp["start"], sp["end"], sp["concept_id"]) for sp in spans}
+        spans = [dict(start=a, end=b, concept_id=c) for a, b, c in sorted(uniq)]
+        kept = remove_overlaps(spans)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].iloc[0],
+                "start": np.array([k["start"] for k in kept], dtype=np.int32),
+                "end": np.array([k["end"] for k in kept], dtype=np.int32),
+                "concept_id": np.array([k["concept_id"] for k in kept], dtype=np.int64),
+            }
+        )
+
+    return linked.groupby("doc_id").map_groups(resolve, batch_format="pandas")
+
+
+def q_entity_link(sf_dir: str):
+    return run_entity_link(sf_dir)
+
+
+def linked_pairs(sf_dir: str) -> rd.Dataset:
+    """(mention_id, concept_id) pairs the pipeline links (score ≥ θ) —
+    the table the pairwise-F1 gate evaluates against gold_pairs. The
+    emitted mention_id is ``doc:start`` (the gold_pairs id form); internal
+    ids also carry the span end."""
+    mentions, state_ref, _ = extract_mentions(sf_dir)
+    m_salted, c_keys, _hot = blocked_sides(mentions.materialize(), state_ref)
+    pairs = candidate_pairs(m_salted, c_keys)
+    scored = score_pairs(pairs, state_ref)
+
+    def strip_end(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["mention_id"] = [m.rsplit(":", 1)[0] for m in df["mention_id"]]
+        return out
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return (
+        scored.map_batches(strip_end, batch_format="pandas")
+        .groupby(["mention_id", "concept_id"])
+        .map_groups(first, batch_format="pandas")
+    )

@@ -1,0 +1,159 @@
+"""Text-analysis operator family over the ``documents`` table.
+
+Engine additions for large-scale training-data pipelines (per the build
+brief): corpus statistics (the reference's G1 word count,
+1st Place/src/mimic_train.py:477-479), quality scoring, token counting,
+content fingerprinting, language ID heuristic, and first-occurrence
+dictionary matching (M4-lite; the full word-bounded automaton path is the
+entity-linking pipeline's blocking stage).
+
+All hot paths are vectorized (pyarrow.compute / pandas str); DuckDB oracles
+in ``__ray_entry__.oracle_sql`` check everything except langid (heuristic
+argmax, still deterministic — rows-only check).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import md5_hex
+from ..functions.text import TOKEN_PATTERN
+from .common import grouped_sums, read
+
+# The corpus vocabulary is lowercase space-separated words; these literal
+# dictionaries are shared with the oracle SQL (inlined there as VALUES).
+MATCH_TERMS = ["spark", "join", "window", "merge", "stream", "vector"]
+STOPWORDS = ["the", "a", "fast", "slow"]
+LANG_MARKERS = {
+    "en": ["the", "fast"],
+    "fr": ["table", "part"],
+    "es": ["data", "row"],
+    "de": ["hash", "merge"],
+    "zh": ["spark", "batch"],
+}
+
+
+def q_unigrams(sf_dir: str):
+    """G1 corpus unigram count: flat_map words → partial count per batch →
+    final groupby-sum (the combine pattern; the shuffle moves one row per
+    distinct word per batch, not one per token)."""
+    ds = read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ").explode()
+        vc = words.value_counts()
+        return pd.DataFrame({"word": vc.index, "n": vc.to_numpy().astype(np.int64)})
+
+    p = ds.map_batches(partial, batch_format="pandas")
+    return grouped_sums(p, ["word"], sums={"n": "n"})
+
+
+def q_doc_stats(sf_dir: str):
+    """Per-doc quality stats — all exact integers."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ")
+        n_words = words.str.len().astype(np.int64)
+        total_word_chars = words.map(lambda ws: sum(len(w) for w in ws)).astype(np.int64)
+        stop = set(STOPWORDS)
+        n_stop = words.map(lambda ws: sum(w in stop for w in ws)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": df["text"].str.len().astype(np.int64),
+                "n_words": n_words,
+                "total_word_chars": total_word_chars,
+                "n_stopwords": n_stop,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_token_count(sf_dir: str):
+    """BPE-ish regex token count, vectorized via Arrow's RE2 kernel — the
+    same regex engine family DuckDB uses, so counts match exactly."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        n = pc.count_substring_regex(low, pattern=TOKEN_PATTERN)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str):
+    """Content fingerprint: md5 of the lowercased text (matches DuckDB md5).
+
+    The winnowing rolling-hash fingerprint (functions.hashing.
+    rolling_fingerprints) is exercised in pytest; md5 is the SQL-checkable
+    exact-content fingerprint used by exact dedup at scale."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "fp": [md5_hex(t.lower()) for t in df["text"]],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_term_match_first(sf_dir: str):
+    """M4-lite dictionary match: first occurrence (substring semantics, like
+    SQL strpos) of each MATCH_TERMS entry per doc; 0-based char offset."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for term in MATCH_TERMS:
+            pos = df["text"].str.find(term)
+            hit = pos >= 0
+            if hit.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": df["doc_id"][hit],
+                            "term": term,
+                            "start": pos[hit].astype(np.int64),
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=df["doc_id"].dtype),
+                                 "term": pd.Series([], dtype=str),
+                                 "start": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_langid(sf_dir: str):
+    """Language-ID heuristic: argmax of marker-word counts, deterministic
+    tiebreak by language code; 'und' when no marker hits. (Driver check is
+    rows-only; exactness is covered by test_text_pipelines.)"""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    langs = sorted(LANG_MARKERS)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        scores = np.zeros((len(df), len(langs)), dtype=np.int64)
+        words = df["text"].str.split(" ")
+        counts = words.map(lambda ws: {w: ws.count(w) for w in set(ws)})
+        for j, lang in enumerate(langs):
+            for marker in LANG_MARKERS[lang]:
+                scores[:, j] += np.array([c.get(marker, 0) for c in counts])
+        best = scores.argmax(axis=1)
+        pred = np.array(langs, dtype=object)[best]
+        pred[scores.max(axis=1) == 0] = "und"
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": pred})
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -1,0 +1,109 @@
+"""End-to-end flagship pipeline tests (FIXTURES.md test tiers):
+pairwise F1 ≥ 0.99 on gold_pairs, full gold recall, structural invariants
+(no per-doc overlaps, no duplicate (doc_id,start)), span-sequence equality.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from snomed_ct_entity_linking_ray import fixtures
+from snomed_ct_entity_linking_ray.functions.docs import span_signature
+from snomed_ct_entity_linking_ray.pipelines import entity_link as el
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def fdir():
+    return fixtures.fixture_dir(fixtures.spec_for_sf_dir(SF))
+
+
+@pytest.fixture(scope="module")
+def linked(fdir):
+    return el.run_entity_link(SF).to_pandas()
+
+
+def test_mentions_cover_gold(fdir):
+    gold = pq.read_table(f"{fdir}/gold_mentions.parquet").to_pandas()
+    m = el.q_mentions(SF).to_pandas()
+    found = set(zip(m.doc_id, m.start, m.end))
+    missing = [
+        r for r in gold.itertuples() if (r.doc_id, r.start, r.end) not in found
+    ]
+    assert not missing, missing[:5]
+
+
+def test_pairwise_f1_gate(fdir):
+    """The BASELINE.json metric: pairwise F1 ≥ 0.99 on labeled pairs."""
+    gold_pairs = pq.read_table(f"{fdir}/gold_pairs.parquet").to_pandas()
+    lp = el.linked_pairs(SF).to_pandas()
+    pred = set(zip(lp.mention_id, lp.concept_id))
+    tp = fp = fn = 0
+    for r in gold_pairs.itertuples():
+        cid = int(r.right_id.split(":")[1])
+        hit = (r.left_id, cid) in pred
+        if r.label and hit:
+            tp += 1
+        elif r.label:
+            fn += 1
+        elif hit:
+            fp += 1
+    prec = tp / max(1, tp + fp)
+    rec = tp / max(1, tp + fn)
+    f1 = 2 * prec * rec / max(1e-9, prec + rec)
+    assert f1 >= 0.99, (f1, prec, rec, tp, fp, fn)
+
+
+def test_no_overlaps_and_no_dups(linked):
+    """Reference invariants: no overlapping spans per note (1st Place/src/
+    mimic_dev_main.py:165-189), no duplicate (note_id, start)
+    (3rd Place/src/snomedctentitylinking.py:711-714)."""
+    assert not linked.duplicated(subset=["doc_id", "start"]).any()
+    for doc_id, g in linked.groupby("doc_id"):
+        g = g.sort_values("start")
+        prev_end = -1
+        for r in g.itertuples():
+            assert r.start >= prev_end, (doc_id, r)
+            prev_end = r.end
+
+
+def test_linked_concepts_match_gold(fdir, linked):
+    """Cluster majority vote assigns the planted concept for ≥99% of gold
+    spans (collision surfaces may legitimately flip to the modal concept)."""
+    gold = pq.read_table(f"{fdir}/gold_mentions.parquet").to_pandas()
+    pred = {(r.doc_id, r.start): r.concept_id for r in linked.itertuples()}
+    total = correct = spanned = 0
+    for r in gold.itertuples():
+        total += 1
+        got = pred.get((r.doc_id, r.start))
+        if got is not None:
+            spanned += 1
+            if got == r.concept_id:
+                correct += 1
+    assert spanned / total >= 0.95, (spanned, total)
+    assert correct / spanned >= 0.98, (correct, spanned)
+
+
+def test_span_sequence_equality(fdir):
+    """input_hint invariant: the docs' (kind, text, media_ref, order) span
+    sequences survive the pipeline's read+flatten path untouched."""
+    import ray.data as rd
+
+    from snomed_ct_entity_linking_ray.functions.docs import flatten_batch
+
+    docs_in = pq.read_table(f"{fdir}/docs.parquet")
+    out = (
+        rd.read_parquet(f"{fdir}/docs.parquet")
+        .map_batches(flatten_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    sig_in = {
+        d: span_signature(s)
+        for d, s in zip(docs_in["doc_id"].to_pylist(), docs_in["spans"].to_pylist())
+    }
+    assert len(out) == docs_in.num_rows
+    for r in out.itertuples():
+        spans = [dict(s) for s in r.spans]
+        assert span_signature(spans) == sig_in[r.doc_id]
