@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from snomed_ct_entity_linking_ray.pipelines import (
         dedup,
         entity_link,
+        multimodal,
         relational,
         text,
         vectors,
@@ -47,6 +48,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_order_before_event": relational.q_latest_order_before_event,
         "hourly_user_activity": relational.q_hourly_user_activity,
         "sessionize": relational.q_sessionize,
+        "customers_without_events": relational.q_customers_without_events,
+        "parts_with_orders": relational.q_parts_with_orders,
+        "first_event_per_user": relational.q_first_event_per_user,
+        "user_event_type_counts": relational.q_user_event_type_counts,
         # text analysis family
         "unigrams": text.q_unigrams,
         "doc_stats": text.q_doc_stats,
@@ -63,11 +68,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search family
         "cosine_topk": vectors.q_cosine_topk,
         "cosine_topk_ivf": vectors.q_cosine_topk_ivf,
+        # multimodal plumbing (stubbed decode, real Ray plumbing)
+        "media_inventory": multimodal.q_media_inventory,
+        "frame_samples": multimodal.q_frame_samples,
         # flagship record-linkage pipeline (fixture-backed; rows-only check,
         # full oracle comparison lives in tests/test_entity_link.py)
         "entity_link": entity_link.q_entity_link,
         "entity_link_mentions": entity_link.q_mentions,
+        "entity_link_eval_iou": _q_eval_iou,
     }
+
+
+def _q_eval_iou(sf_dir: str):
+    """Golden-metric evaluation (G9): per-concept char IoU of the flagship
+    pipeline's output vs the planted gold mentions (reference semantics:
+    1st Place/src/scoring.py:10-47). Macro-IoU is 1.0 on fixtures because
+    linkage is exact there."""
+    import ray.data as rd
+
+    from snomed_ct_entity_linking_ray import fixtures
+    from snomed_ct_entity_linking_ray.functions.metrics import iou_per_concept
+    from snomed_ct_entity_linking_ray.pipelines.entity_link import run_entity_link
+
+    fdir = fixtures.fixture_dir(fixtures.spec_for_sf_dir(sf_dir))
+    gold = rd.read_parquet(
+        f"{fdir}/gold_mentions.parquet",
+        columns=["doc_id", "start", "end", "concept_id"],
+    )
+    return iou_per_concept(run_entity_link(sf_dir), gold)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -126,6 +154,25 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, user_id, ts,
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
                   FROM events)
+        """,
+        "customers_without_events": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT user_id FROM events)
+        """,
+        "parts_with_orders": """
+            SELECT p_partkey, p_name FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+        """,
+        "first_event_per_user": """
+            SELECT user_id, CAST(event_id AS BIGINT) AS first_event_id, ts AS first_ts
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "user_event_type_counts": """
+            SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+            FROM events GROUP BY user_id
         """,
         "unigrams": """
             SELECT word, CAST(COUNT(*) AS BIGINT) AS n

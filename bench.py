@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: runs the headline pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input (the sandbox stand-in for
+N- vs 4N-node clusters) and prints both throughputs plus the scaling
+efficiency; results are recorded in BASELINE.md.
+
+This script OWNS its Ray session (init+shutdown); the library never does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_bench() -> dict:
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    # fixture generation + OS page-cache warmup happen OUTSIDE timed regions
+    from snomed_ct_entity_linking_ray import fixtures
+
+    fixtures.fixture_dir(fixtures.spec_for_sf_dir(sf_dir))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from snomed_ct_entity_linking_ray.pipelines import (
+        dedup,
+        entity_link,
+        relational,
+        text,
+        vectors,
+    )
+
+    # warm read (untimed): one pass over the biggest inputs
+    relational.read(sf_dir, "lineitem", ["l_orderkey"]).count()
+    relational.read(sf_dir, "documents", ["doc_id"]).count()
+
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        ds = fn(sf_dir)
+        n = ds.count()
+        queries[name] = round(time.time() - t0, 3)
+        return n
+
+    # headline: the flagship record-linkage pipeline end-to-end
+    n_docs = fixtures.spec_for_sf_dir(sf_dir).n_docs
+    t0 = time.time()
+    n_linked = entity_link.run_entity_link(sf_dir).count()
+    headline = round(time.time() - t0, 3)
+    queries["entity_link"] = headline
+
+    # candidate-pair scoring throughput (the BASELINE.json metric):
+    # mentions → blocking → pair-gen → scoring, pairs/sec over the
+    # generated candidate set
+    t0 = time.time()
+    mentions, state_ref, _ = entity_link.extract_mentions(sf_dir)
+    mentions = mentions.materialize()
+    m_salted, c_keys, _hot = entity_link.blocked_sides(mentions, state_ref)
+    pairs = entity_link.candidate_pairs(m_salted, c_keys).materialize()
+    n_pairs = pairs.count()
+    t_pairgen = time.time() - t0
+    t0 = time.time()
+    entity_link.score_pairs(pairs, state_ref).count()
+    t_score = time.time() - t0
+    queries["pair_scoring"] = round(t_score, 3)
+
+    # operator-family representatives
+    timed("pricing_summary", relational.q_pricing_summary)
+    timed("hourly_user_activity", relational.q_hourly_user_activity)
+    timed("sessionize", relational.q_sessionize)
+    timed("unigrams", text.q_unigrams)
+    timed("token_count", text.q_token_count)
+    timed("minhash_lsh_pairs", dedup.q_minhash_lsh_pairs)
+    timed("embedding_neardup_pairs", dedup.q_embedding_neardup_pairs)
+    timed("cosine_topk", vectors.q_cosine_topk)
+
+    result = {
+        "metric": "entity_link_e2e",
+        "value": headline,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_from_dir(sf_dir),
+        "num_cpus": ncpu,
+        "n_docs": n_docs,
+        "n_linked": n_linked,
+        "docs_per_sec": round(n_docs / headline, 1),
+        "n_candidate_pairs": n_pairs,
+        "pairs_per_sec": round(n_pairs / t_score, 1),
+        "pairgen_sec": round(t_pairgen, 3),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)  # 1.0 = linear scaling
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "docs_per_sec_lo": r_lo["docs_per_sec"],
+        "docs_per_sec_hi": r_hi["docs_per_sec"],
+        "pairs_per_sec_lo": r_lo["pairs_per_sec"],
+        "pairs_per_sec_hi": r_hi["pairs_per_sec"],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

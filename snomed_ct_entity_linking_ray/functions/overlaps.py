@@ -66,3 +66,29 @@ def remove_overlaps(spans: list[dict]) -> list[dict]:
             kept.append(s)
     kept.sort(key=lambda s: (s["start"], s["end"], s.get("concept_id", 0)))
     return kept
+
+
+def interval_anti_join(
+    keep_if_clear: list[tuple[int, int]], blockers: list[tuple[int, int]]
+) -> list[tuple[int, int]]:
+    """J7 (2nd Place/submission/static_dict.py:56-77): keep a candidate
+    interval only if it overlaps NO blocker interval — a per-doc sweep-line
+    over both lists sorted by start."""
+    from bisect import bisect_right
+
+    # coalesce blockers into disjoint sorted intervals
+    merged: list[list[int]] = []
+    for b_s, b_e in sorted(blockers):
+        if merged and b_s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], b_e)
+        else:
+            merged.append([b_s, b_e])
+    starts = [m[0] for m in merged]
+
+    out = []
+    for s, e in sorted(keep_if_clear):
+        i = bisect_right(starts, e - 1) - 1  # last blocker starting before e
+        if i >= 0 and merged[i][1] > s:
+            continue
+        out.append((s, e))
+    return out

@@ -88,7 +88,7 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64):
             ]
             return pd.DataFrame({"doc_id": df["doc_id"], "sig": sigs})
 
-    return ds.map_batches(Sig, batch_format="pandas", concurrency=4)
+    return ds.map_batches(Sig, batch_format="pandas", concurrency=(1, 4))
 
 
 def q_minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,

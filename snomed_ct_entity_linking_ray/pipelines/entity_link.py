@@ -38,8 +38,6 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
-
 from .. import fixtures
 from ..functions.docs import flatten_batch
 from ..functions.overlaps import remove_overlaps
@@ -63,6 +61,16 @@ MENTION_NODE_FLAG = np.int64(1) << np.int64(62)
 
 def mention_node(mention_id: str) -> np.int64:
     return MENTION_NODE_FLAG | np.int64(stable_u64(mention_id) >> 3)
+
+
+def mention_nodes(ids: pd.Series) -> np.ndarray:
+    """Vectorized mention-node ids. Uses pandas' deterministic-within-a-
+    pandas-version string hash (the ids are runtime-internal: every
+    consumer in one run derives them through this same function, and no
+    node id reaches persisted output — the final table carries concept
+    ids only)."""
+    h = pd.util.hash_pandas_object(ids, index=False).to_numpy()  # uint64
+    return (MENTION_NODE_FLAG | (h >> np.uint64(3)).astype(np.int64)).astype(np.int64)
 
 
 # --------------------------------------------------------------------------
@@ -199,7 +207,8 @@ def extract_mentions(sf_dir: str, exclude_sections: frozenset[str] | None = None
     plants mentions in all sections)."""
     fdir = fixtures.fixture_dir(fixtures.spec_for_sf_dir(sf_dir))
     state_ref = ray.put(build_link_state(fdir))
-    docs = rd.read_parquet(f"{fdir}/docs.parquet")
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    docs = rd.read_parquet(f"{fdir}/docs.parquet", override_num_blocks=n_cpus * 4)
     flat = docs.map_batches(flatten_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "text"]
     )
@@ -207,8 +216,10 @@ def extract_mentions(sf_dir: str, exclude_sections: frozenset[str] | None = None
         MentionExtractor,
         fn_constructor_args=(state_ref,),
         batch_format="pyarrow",
-        concurrency=(2, 8),
-        batch_size=256,
+        # pool sized to the session's CPUs (autoscaling up to all of them;
+        # Ray only schedules what the node actually has)
+        concurrency=(1, n_cpus),
+        batch_size=128,
     )
     if exclude_sections:
         excl = list(exclude_sections)
@@ -241,54 +252,82 @@ def _block_keys_for_surface(surface: str) -> list[str]:
 def blocked_sides(mentions: rd.Dataset, state_ref) -> tuple[rd.Dataset, rd.Dataset, set]:
     """Emit (block_key, ...) rows for both sides; measure mention-side key
     frequencies (G1) and salt hot keys: mention rows get key#h(mention)%k,
-    concept rows replicate into every salt bucket."""
+    concept rows replicate into every salt bucket.
 
-    def explode_mentions(df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"block_key": [], "mention_id": [], "surface": []}
-        for mid, surf in zip(df["mention_id"], df["surface"]):
-            for k in _block_keys_for_surface(surf):
-                rows["block_key"].append(k)
-                rows["mention_id"].append(mid)
-                rows["surface"].append(surf)
-        return pd.DataFrame(rows)
+    The frequency table is a tiny partial-count aggregate over SURFACES
+    (bounded by dictionary size, not corpus size); per-key frequencies are
+    derived from it driver-side since every block key is a function of the
+    surface. One vectorized pass then explodes + salts in the same stage.
+    """
 
-    m_keys = mentions.map_batches(explode_mentions, batch_format="pandas")
+    def surf_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["surface"].value_counts()
+        return pd.DataFrame(
+            {"surface": vc.index, "n": vc.to_numpy().astype(np.int64)}
+        )
 
-    # frequency table (partial count per batch, then tiny final groupby)
-    def key_counts(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["block_key"].value_counts()
-        return pd.DataFrame({"block_key": vc.index, "n": vc.to_numpy().astype(np.int64)})
-
+    # Distributed partial counts per batch; the final combine runs driver-
+    # side because its size is bounded by the DICTIONARY (≤ #surfaces per
+    # batch-partial), not the corpus — the guide's "small result" rule.
     freq = (
-        m_keys.map_batches(key_counts, batch_format="pandas")
-        .groupby("block_key")
-        .aggregate(Sum("n", alias_name="n"))
+        mentions.map_batches(surf_counts, batch_format="pandas")
+        .to_pandas()
+        .groupby("surface", as_index=False)["n"]
+        .sum()
     )
-    hot = {
-        r["block_key"]
-        for r in freq.filter(lambda row: row["n"] > HOT_KEY_MENTIONS).take_all()
-    }
+    key_n: dict[str, int] = {}
+    for s, n in zip(freq["surface"], freq["n"]):
+        for k in _block_keys_for_surface(s):
+            key_n[k] = key_n.get(k, 0) + int(n)
+    hot = {k for k, n in key_n.items() if n > HOT_KEY_MENTIONS}
     if hot:
         logger.info("salting %d hot block keys: %s", len(hot), sorted(hot)[:5])
 
     hot_ref = ray.put(hot)
 
-    class SaltMentions:
+    class ExplodeSalt:
+        """Vectorized: one output row per (mention, key); hot keys salted by
+        a stable per-mention hash."""
+
         def __init__(self):
             self.hot = ray.get(hot_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if not self.hot:
-                return df
-            keys = df["block_key"].to_numpy().copy()
-            for i, (k, mid) in enumerate(zip(keys, df["mention_id"])):
-                if k in self.hot:
-                    keys[i] = f"{k}#{stable_u64(mid) % N_SALT}"
-            df = df.copy()
-            df["block_key"] = keys
-            return df
+            surf = df["surface"].astype(str)
+            parts = [
+                pd.DataFrame(
+                    {
+                        "block_key": "d:" + surf,
+                        "mention_id": df["mention_id"],
+                        "surface": surf,
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "block_key": "g:" + surf.str[:3],
+                        "mention_id": df["mention_id"],
+                        "surface": surf,
+                    }
+                ),
+            ]
+            out = pd.concat(parts, ignore_index=True)
+            if self.hot:
+                mask = out["block_key"].isin(self.hot).to_numpy()
+                if mask.any():
+                    mids = out["mention_id"].to_numpy()[mask]
+                    salted = np.array(
+                        [
+                            f"{k}#{stable_u64(m) % N_SALT}"
+                            for k, m in zip(out["block_key"].to_numpy()[mask], mids)
+                        ],
+                        dtype=object,
+                    )
+                    keys = out["block_key"].to_numpy(dtype=object)
+                    keys[mask] = salted
+                    out["block_key"] = keys
+            return out
 
-    m_salted = m_keys.map_batches(SaltMentions, batch_format="pandas", concurrency=4)
+    m_salted = mentions.map_batches(ExplodeSalt, batch_format="pandas", concurrency=(1, 4))
 
     # concept side: built driver-side from the dictionary (small), replicated
     # into salt buckets for hot keys
@@ -435,11 +474,12 @@ class PairScorer:
 
 
 def score_pairs(pairs: rd.Dataset, state_ref) -> rd.Dataset:
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
     scored = pairs.map_batches(
         PairScorer,
         fn_constructor_args=(state_ref,),
         batch_format="pandas",
-        concurrency=(2, 8),
+        concurrency=(1, n_cpus),
         batch_size=8192,
         num_cpus=1,
     )
@@ -467,8 +507,9 @@ def run_entity_link(sf_dir: str, exclude_sections: frozenset[str] | None = None)
         if len(df) == 0:
             return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
                                  "v": pd.Series([], dtype=np.int64)})
-        u = np.array([mention_node(m) for m in df["mention_id"]], dtype=np.int64)
-        return pd.DataFrame({"u": u, "v": df["concept_id"].astype(np.int64)})
+        return pd.DataFrame(
+            {"u": mention_nodes(df["mention_id"]), "v": df["concept_id"].astype(np.int64)}
+        )
 
     edges = edges_scored.map_batches(to_edges, batch_format="pandas")
     labels = connected_components(edges)
@@ -491,20 +532,20 @@ def run_entity_link(sf_dir: str, exclude_sections: frozenset[str] | None = None)
             self.labels = ray.get(label_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            lab = np.array(
-                [self.labels[mention_node(m)] for m in df["mention_id"]],
-                dtype=np.int64,
-            )
+            nodes = mention_nodes(df["mention_id"])
+            lab = np.array([self.labels[n] for n in nodes], dtype=np.int64)
             out = pd.DataFrame({"label": lab, "concept_id": df["concept_id"].astype(np.int64)})
             return out.groupby(["label", "concept_id"], as_index=False).size().rename(
                 columns={"size": "n"}
             )
 
+    # final combine of the (label, concept) partials is bounded by
+    # #clusters × concepts-per-cluster (terminology-sized) → driver-side
     counts = (
-        edges_scored.map_batches(LabelCounts, batch_format="pandas", concurrency=2)
-        .groupby(["label", "concept_id"])
-        .aggregate(Sum("n", alias_name="n"))
+        edges_scored.map_batches(LabelCounts, batch_format="pandas", concurrency=(1, 8))
         .to_pandas()
+        .groupby(["label", "concept_id"], as_index=False)["n"]
+        .sum()
     )
     counts = counts.sort_values(
         ["label", "n", "concept_id"], ascending=[True, False, True]
@@ -519,17 +560,15 @@ def run_entity_link(sf_dir: str, exclude_sections: frozenset[str] | None = None)
             self.concepts = ray.get(concept_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            cids = np.empty(len(df), dtype=np.int64)
-            ok = np.zeros(len(df), dtype=bool)
-            for i, m in enumerate(df["mention_id"]):
-                lab = self.labels.get(mention_node(m))
-                if lab is None:
-                    continue
-                cid = self.concepts.get(lab)
-                if cid is None:
-                    continue
-                cids[i] = cid
-                ok[i] = True
+            nodes = mention_nodes(df["mention_id"])
+            labs = np.array(
+                [self.labels.get(n, -1) for n in nodes], dtype=np.int64
+            )
+            cids = np.array(
+                [self.concepts.get(l, -1) if l >= 0 else -1 for l in labs],
+                dtype=np.int64,
+            )
+            ok = cids >= 0
             out = pd.DataFrame(
                 {
                     "doc_id": df["doc_id"],
@@ -540,32 +579,109 @@ def run_entity_link(sf_dir: str, exclude_sections: frozenset[str] | None = None)
             )
             return out[ok]
 
-    linked = mentions.map_batches(AttachConcept, batch_format="pandas", concurrency=2)
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    linked = mentions.map_batches(
+        AttachConcept, batch_format="pandas", concurrency=(1, max(4, n_cpus // 2))
+    )
 
-    # per-doc overlap resolution (D2) — sort + sweep within doc group only
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        spans = [
-            {"start": int(s), "end": int(e), "concept_id": int(c)}
-            for s, e, c in zip(g["start"], g["end"], g["cluster_concept"])
+    # Per-doc overlap resolution (D2) WITHOUT a shuffle: mention extraction
+    # processes each doc wholly inside one batch task, and every stage from
+    # there to here is a block-preserving map_batches — so all rows of a doc
+    # are contiguous within one block, and per-block resolution is
+    # doc-complete. (If an upstream repartition ever broke that invariant,
+    # the grouped fallback would be groupby(hash(doc_id)%B).map_groups.)
+    def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["doc_id", "start", "end", "cluster_concept"])
+        g = g.sort_values(["doc_id", "start", "end", "cluster_concept"])
+        # overlap iff start < cummax(previous ends) within the doc
+        cummax_end = g.groupby("doc_id")["end"].cummax()
+        prev_cummax = cummax_end.groupby(g["doc_id"]).shift()
+        overlapped = g["start"] < prev_cummax.fillna(-1)
+        bad_docs = set(g.loc[overlapped, "doc_id"])
+        clean = g[~g["doc_id"].isin(bad_docs)]
+        rows = [
+            pd.DataFrame(
+                {
+                    "doc_id": clean["doc_id"],
+                    "start": clean["start"].astype(np.int32),
+                    "end": clean["end"].astype(np.int32),
+                    "concept_id": clean["cluster_concept"].astype(np.int64),
+                }
+            )
         ]
-        # same (start,end) may appear once per mention row; dedup first
-        uniq = {(sp["start"], sp["end"], sp["concept_id"]) for sp in spans}
-        spans = [dict(start=a, end=b, concept_id=c) for a, b, c in sorted(uniq)]
-        kept = remove_overlaps(spans)
-        return pd.DataFrame(
-            {
-                "doc_id": g["doc_id"].iloc[0],
-                "start": np.array([k["start"] for k in kept], dtype=np.int32),
-                "end": np.array([k["end"] for k in kept], dtype=np.int32),
-                "concept_id": np.array([k["concept_id"] for k in kept], dtype=np.int64),
-            }
-        )
+        for doc in sorted(bad_docs):
+            d = g[g["doc_id"] == doc]
+            spans = [
+                {"start": int(s), "end": int(e), "concept_id": int(c)}
+                for s, e, c in zip(d["start"], d["end"], d["cluster_concept"])
+            ]
+            kept = remove_overlaps(spans)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": doc,
+                        "start": np.array([k["start"] for k in kept], dtype=np.int32),
+                        "end": np.array([k["end"] for k in kept], dtype=np.int32),
+                        "concept_id": np.array(
+                            [k["concept_id"] for k in kept], dtype=np.int64
+                        ),
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
 
-    return linked.groupby("doc_id").map_groups(resolve, batch_format="pandas")
+    return linked.map_batches(resolve_bucket, batch_format="pandas").select_columns(
+        ["doc_id", "start", "end", "concept_id"]
+    )
 
 
 def q_entity_link(sf_dir: str):
     return run_entity_link(sf_dir)
+
+
+N_OUTPUT_PARTITIONS = 32
+
+
+def run_entity_link_checkpointed(
+    sf_dir: str, ckpt_root: str, exclude_sections: frozenset[str] | None = None
+):
+    """Flagship pipeline with resumable partitioned output (north_rule).
+
+    Output partition key = hash(doc_id) % N_OUTPUT_PARTITIONS — the same
+    doc-partitioning every per-doc stage relies on, so a resumed run can
+    skip finished partitions. Input fingerprint = fixture key + θ, so a
+    config change invalidates the checkpoint. Returns stage metrics.
+    """
+    from ..sources.checkpoint import checkpointed_write
+
+    fp = f"{fixtures.spec_for_sf_dir(sf_dir).key}:theta={THETA}"
+    linked = run_entity_link(sf_dir, exclude_sections)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = [
+            stable_u64(d) % N_OUTPUT_PARTITIONS for d in df["doc_id"]
+        ]
+        return df
+
+    bucketed = linked.map_batches(add_bucket, batch_format="pandas")
+    return checkpointed_write(
+        bucketed,
+        ckpt_root,
+        stage="linked_mentions",
+        partition_col="bucket",
+        input_fingerprint=fp,
+        lineage={
+            "input": sf_dir,
+            "fixture": fixtures.spec_for_sf_dir(sf_dir).key,
+            "theta": THETA,
+            "stages": [
+                "read_docs", "flatten", "sectionize", "extract_mentions",
+                "block+salt", "pairgen", "score", "union_find", "vote",
+                "resolve_overlaps",
+            ],
+        },
+    )
 
 
 def linked_pairs(sf_dir: str) -> rd.Dataset:

@@ -106,7 +106,7 @@ def q_orders_by_segment(sf_dir: str):
                 }
             )
 
-    joined = ds.map_batches(JoinSeg, batch_format="pandas", concurrency=4)
+    joined = ds.map_batches(JoinSeg, batch_format="pandas", concurrency=(1, 4))
     return grouped_sums(
         joined, ["c_mktsegment"], sums={"sum_total_cents": "total_c"}, count_as="n_orders"
     )
@@ -132,7 +132,7 @@ def q_customers_per_region(sf_dir: str):
             out["one"] = np.int64(1)
             return out[["r_name", "one"]]
 
-    joined = ds.map_batches(JoinDim, batch_format="pandas", concurrency=4)
+    joined = ds.map_batches(JoinDim, batch_format="pandas", concurrency=(1, 4))
     return grouped_sums(joined, ["r_name"], sums={"n_customers": "one"})
 
 
@@ -203,7 +203,7 @@ def q_latest_order_before_event(sf_dir: str):
             )
             return res[ok]
 
-    return ds.map_batches(AsOf, batch_format="pandas", concurrency=4)
+    return ds.map_batches(AsOf, batch_format="pandas", concurrency=(1, 4))
 
 
 # --- windows (tumbling + session) -----------------------------------------
@@ -224,6 +224,105 @@ def q_hourly_user_activity(sf_dir: str):
     p = ds.map_batches(prep, batch_format="pandas")
     return grouped_sums(
         p, ["user_id", "hour"], sums={"sum_value_cents": "value_c"}, count_as="n_events"
+    )
+
+
+# --- semi / anti joins (J2-class: broadcast key-set filters) ---------------
+
+def q_customers_without_events(sf_dir: str):
+    """Anti-join: customers with no event activity — the key set of the
+    probe side is broadcast as a set, no shuffle (guide §Joins)."""
+    keys = set(read_arrow(sf_dir, "events", ["user_id"])["user_id"].to_pylist())
+    ref = broadcast(keys)
+    ds = read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    class Anti:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df[~df["c_custkey"].isin(self.keys)]
+
+    return ds.map_batches(Anti, batch_format="pandas", concurrency=(1, 4))
+
+
+def q_parts_with_orders(sf_dir: str):
+    """Semi-join: parts referenced by at least one lineitem."""
+    keys = set(
+        read_arrow(sf_dir, "lineitem", ["l_partkey"])["l_partkey"].to_pylist()
+    )
+    ref = broadcast(keys)
+    ds = read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    class Semi:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["p_partkey"].isin(self.keys)]
+
+    return ds.map_batches(Semi, batch_format="pandas", concurrency=(1, 4))
+
+
+# --- priority / order-sensitive dedup (D6-class) ---------------------------
+
+def q_first_event_per_user(sf_dir: str):
+    """Order-sensitive dedup: keep each user's earliest event
+    (deterministic (ts, event_id) tiebreak) — the distributed form of
+    ``drop_duplicates(keep="first")`` with an explicit rank
+    (SURVEY.md D6: priority dedup must carry the order explicitly)."""
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    # map-side combine: per-batch first, then per-group first of partials
+    def batch_first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["ts", "event_id"]).groupby("user_id", as_index=False).head(1)
+
+    def group_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"]).head(1)
+
+    return (
+        ds.map_batches(batch_first, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(group_first, batch_format="pandas")
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "user_id": df["user_id"],
+                    "first_event_id": df["event_id"].astype(np.int64),
+                    "first_ts": df["ts"],
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
+# --- distinct-count aggregate (G5-class collect_set) -----------------------
+
+def q_user_event_type_counts(sf_dir: str):
+    """Distinct event types per user: per-batch distinct pairs (map-side
+    combine), exact distinct via groupby(pair).first, then a tiny count."""
+    ds = read(sf_dir, "events", ["user_id", "event_type"])
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    pairs = (
+        ds.map_batches(distinct_pairs, batch_format="pandas")
+        .groupby(["user_id", "event_type"])
+        .map_groups(first, batch_format="pandas")
+    )
+
+    def ones(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"], "one": np.int64(1)})
+
+    return grouped_sums(
+        pairs.map_batches(ones, batch_format="pandas"),
+        ["user_id"],
+        sums={"n_types": "one"},
     )
 
 

@@ -66,7 +66,7 @@ def q_cosine_topk(sf_dir: str, k: int = 5):
                 }
             )
 
-    partial = ds.map_batches(Score, batch_format="pandas", concurrency=4)
+    partial = ds.map_batches(Score, batch_format="pandas", concurrency=(1, 4))
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cos", "match_id"], ascending=[False, True]).head(k)
@@ -129,7 +129,7 @@ def q_cosine_topk_ivf(sf_dir: str, k: int = 5, nprobe: int = 3):
                 out["cos"].extend(sims[idx])
             return pd.DataFrame(out)
 
-    partial = ds.map_batches(Score, batch_format="pandas", concurrency=4)
+    partial = ds.map_batches(Score, batch_format="pandas", concurrency=(1, 4))
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cos", "match_id"], ascending=[False, True]).head(k)

@@ -1,0 +1,142 @@
+"""Resumable partitioned-parquet checkpointing with per-partition manifests
+(north_rule: "resumable from per-partition checkpoints with lineage +
+throughput metrics per stage").
+
+Layout per stage::
+
+    <root>/<stage>/part=<key>/...parquet     one directory per partition
+    <root>/<stage>/part=<key>/_MANIFEST.json {stage, partition, input
+                                              fingerprint, row count,
+                                              wall-time, written-at}
+    <root>/<stage>/_STAGE.json               stage-level lineage + metrics
+
+Resume = read the manifests, recompute only partitions whose manifest is
+missing or whose input fingerprint changed. Mirrors (and generalizes) the
+reference's mid-pipeline parquet snapshots + skip-if-exists guards
+(3rd Place/src/snomedctentitylinking.py:191,204,208,237,263;
+2nd Place/src/preprocess.py:88-90,114-117). Writes are atomic: temp dir →
+rename.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+
+def _manifest_path(root: str, stage: str, part: str) -> str:
+    return os.path.join(root, stage, f"part={part}", "_MANIFEST.json")
+
+
+def partition_done(root: str, stage: str, part: str, input_fingerprint: str) -> bool:
+    p = _manifest_path(root, stage, part)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            m = json.load(f)
+        return m.get("input_fingerprint") == input_fingerprint
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def write_partition(
+    root: str,
+    stage: str,
+    part: str,
+    table: pa.Table,
+    input_fingerprint: str,
+    wall_time_s: float,
+) -> None:
+    """Atomic partition write: parquet + manifest into a temp dir, rename."""
+    final = os.path.join(root, stage, f"part={part}")
+    tmp = final + f".tmp{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(table, os.path.join(tmp, "data.parquet"))
+    manifest = {
+        "stage": stage,
+        "partition": part,
+        "input_fingerprint": input_fingerprint,
+        "rows": table.num_rows,
+        "wall_time_s": round(wall_time_s, 4),
+        "written_at": time.time(),
+    }
+    with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    os.rename(tmp, final)
+
+
+def write_stage_summary(root: str, stage: str, lineage: dict, metrics: dict) -> None:
+    os.makedirs(os.path.join(root, stage), exist_ok=True)
+    with open(os.path.join(root, stage, "_STAGE.json"), "w") as f:
+        json.dump({"stage": stage, "lineage": lineage, "metrics": metrics}, f, indent=2)
+
+
+def checkpointed_write(
+    ds: rd.Dataset,
+    root: str,
+    stage: str,
+    partition_col: str,
+    input_fingerprint: str,
+    lineage: dict | None = None,
+) -> dict:
+    """Write ``ds`` partitioned by ``partition_col``, skipping partitions
+    whose manifest already matches ``input_fingerprint``.
+
+    The partition write runs inside ``map_groups`` (each group = one
+    partition) so partitions stream out in parallel; only a tiny per-
+    partition stats frame returns to the driver. Returns stage metrics.
+    """
+    import pandas as pd
+
+    t_start = time.time()
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        part = str(g[partition_col].iloc[0])
+        t0 = time.time()
+        if partition_done(root, stage, part, input_fingerprint):
+            return pd.DataFrame(
+                {"partition": [part], "rows": [len(g)], "skipped": [True],
+                 "wall_time_s": [0.0]}
+            )
+        tbl = pa.Table.from_pandas(g, preserve_index=False)
+        write_partition(root, stage, part, tbl, input_fingerprint, time.time() - t0)
+        return pd.DataFrame(
+            {"partition": [part], "rows": [len(g)], "skipped": [False],
+             "wall_time_s": [round(time.time() - t0, 4)]}
+        )
+
+    stats = ds.groupby(partition_col).map_groups(write_group, batch_format="pandas")
+    sdf = stats.to_pandas()
+    metrics = {
+        "partitions": int(len(sdf)),
+        "rows": int(sdf["rows"].sum()),
+        "skipped_partitions": int(sdf["skipped"].sum()),
+        "wall_time_s": round(time.time() - t_start, 3),
+        "rows_per_sec": round(float(sdf["rows"].sum()) / max(1e-9, time.time() - t_start), 1),
+    }
+    write_stage_summary(
+        root, stage, lineage or {"input_fingerprint": input_fingerprint}, metrics
+    )
+    return metrics
+
+
+def read_stage(root: str, stage: str) -> rd.Dataset:
+    """Read a completed checkpointed stage back as a Dataset."""
+    paths = []
+    stage_dir = os.path.join(root, stage)
+    for d in sorted(os.listdir(stage_dir)):
+        if d.startswith("part=") and os.path.exists(
+            os.path.join(stage_dir, d, "_MANIFEST.json")
+        ):
+            paths.append(os.path.join(stage_dir, d, "data.parquet"))
+    return rd.read_parquet(paths)

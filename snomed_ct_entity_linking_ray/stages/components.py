@@ -54,7 +54,7 @@ def _collapse(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"u": nodes.astype(np.int64), "v": roots})
 
 
-def connected_components(edges: rd.Dataset, fanin: int = 8) -> rd.Dataset:
+def connected_components(edges: rd.Dataset, fanin: int = 64) -> rd.Dataset:
     """edges(u:int64, v:int64) → labels(node:int64, label:int64)."""
     cur = edges.map_batches(_collapse, batch_format="pandas").materialize()
     while cur.num_blocks() > 1:
