@@ -31,6 +31,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from snomed_ct_entity_linking_ray.pipelines import (
         dedup,
+        dict_train,
         entity_link,
         multimodal,
         relational,
@@ -68,6 +69,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search family
         "cosine_topk": vectors.q_cosine_topk,
         "cosine_topk_ivf": vectors.q_cosine_topk_ivf,
+        # dictionary-training aggregates (G2/G5/G7; fixture-backed rows-only)
+        "dict_majority": dict_train.q_dict_majority,
+        "allowed_sections": dict_train.q_allowed_sections,
+        "dict_precision": dict_train.q_dict_precision,
         # multimodal plumbing (stubbed decode, real Ray plumbing)
         "media_inventory": multimodal.q_media_inventory,
         "frame_samples": multimodal.q_frame_samples,

@@ -133,7 +133,7 @@ def spec_for_sf_dir(sf_dir: str) -> FixtureSpec:
     name = os.path.basename(os.path.normpath(sf_dir))
     # bench tier (sf0.1) uses ≥100k docs per FIXTURES.md so compute, not
     # per-stage fixed overhead, dominates the scaling measurement
-    scale = {"sf0.001": (200, 300), "sf0.01": (2000, 1000), "sf0.1": (100000, 5000)}.get(
+    scale = {"sf0.001": (200, 300), "sf0.01": (2000, 1000), "sf0.1": (300000, 5000)}.get(
         name, (200, 300)
     )
     return FixtureSpec(seed=42, n_docs=scale[0], n_concepts=scale[1])

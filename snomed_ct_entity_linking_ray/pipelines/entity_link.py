@@ -208,7 +208,9 @@ def extract_mentions(sf_dir: str, exclude_sections: frozenset[str] | None = None
     fdir = fixtures.fixture_dir(fixtures.spec_for_sf_dir(sf_dir))
     state_ref = ray.put(build_link_state(fdir))
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    docs = rd.read_parquet(f"{fdir}/docs.parquet", override_num_blocks=n_cpus * 4)
+    # Block count is FIXED (not CPU-derived): downstream sort/shuffle cost
+    # depends on block count, so tying it to CPUs makes more CPUs slower.
+    docs = rd.read_parquet(f"{fdir}/docs.parquet", override_num_blocks=64)
     flat = docs.map_batches(flatten_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "text"]
     )
@@ -216,9 +218,9 @@ def extract_mentions(sf_dir: str, exclude_sections: frozenset[str] | None = None
         MentionExtractor,
         fn_constructor_args=(state_ref,),
         batch_format="pyarrow",
-        # pool sized to the session's CPUs (autoscaling up to all of them;
-        # Ray only schedules what the node actually has)
-        concurrency=(1, n_cpus),
+        # min pool = half the CPUs: autoscaling from 1 ramps too slowly and
+        # its latency dominates; leaving half the CPUs keeps read tasks fed
+        concurrency=(max(1, n_cpus // 2), n_cpus),
         batch_size=128,
     )
     if exclude_sections:
@@ -242,17 +244,58 @@ def q_mentions(sf_dir: str):
 # --------------------------------------------------------------------------
 
 def _block_keys_for_surface(surface: str) -> list[str]:
-    keys = [f"d:{surface}"]
+    """Fuzzy blocking keys (char-3gram prefix). The dictionary-EXACT path
+    does not go through blocking at all: the dictionary is already a
+    broadcast artifact, so exact mention↔concept pairs are generated by a
+    broadcast attach (``exact_edges``) with score 1.0 by construction —
+    the guide's broadcast-join rule. The shuffle below carries only the
+    fuzzy candidates that genuinely need cross-corpus co-location."""
     pref = surface[:3]
-    if pref:
-        keys.append(f"g:{pref}")
-    return keys
+    return [f"g:{pref}"] if pref else []
+
+
+def prefix_block_id(prefix: str) -> np.int64:
+    """Int64 block id for a char-3gram prefix (shuffle keys are ints:
+    sorting/partitioning int64 is several times cheaper than strings).
+    Low 4 bits reserved for the salt bucket (N_SALT ≤ 16)."""
+    v = 0
+    for ch in prefix[:3]:
+        v = v * 131 + ord(ch)
+    return np.int64(v << 4)
+
+
+def exact_edges(mentions: rd.Dataset, state_ref) -> rd.Dataset:
+    """Dictionary-exact mention↔concept pairs via broadcast attach (no
+    shuffle). Equal surfaces score exactly 1.0 ≥ θ, so these are edges by
+    construction; the fuzzy path excludes same-surface pairs to avoid
+    double-emission."""
+
+    class Attach:
+        def __init__(self):
+            self.s2c = ray.get(state_ref)["surface_to_cids"]
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            cid_lists = df["surface"].map(self.s2c)
+            out = pd.DataFrame(
+                {
+                    "mention_id": df["mention_id"],
+                    "m_surface": df["surface"],
+                    "concept_id": cid_lists,
+                }
+            ).explode("concept_id", ignore_index=True)
+            out = out[out["concept_id"].notna()]
+            out["concept_id"] = out["concept_id"].astype(np.int64)
+            out["c_surface"] = out["m_surface"]
+            out["score"] = 1.0
+            return out
+
+    return mentions.map_batches(Attach, batch_format="pandas", concurrency=(1, 8))
 
 
 def blocked_sides(mentions: rd.Dataset, state_ref) -> tuple[rd.Dataset, rd.Dataset, set]:
-    """Emit (block_key, ...) rows for both sides; measure mention-side key
-    frequencies (G1) and salt hot keys: mention rows get key#h(mention)%k,
-    concept rows replicate into every salt bucket.
+    """Emit (block_key, ...) rows for both sides of the FUZZY path; measure
+    mention-side key frequencies (G1) and salt hot keys: mention rows get
+    key#h(mention)%k, concept rows replicate into every salt bucket.
 
     The frequency table is a tiny partial-count aggregate over SURFACES
     (bounded by dictionary size, not corpus size); per-key frequencies are
@@ -275,13 +318,14 @@ def blocked_sides(mentions: rd.Dataset, state_ref) -> tuple[rd.Dataset, rd.Datas
         .groupby("surface", as_index=False)["n"]
         .sum()
     )
-    key_n: dict[str, int] = {}
+    key_n: dict[int, int] = {}
     for s, n in zip(freq["surface"], freq["n"]):
-        for k in _block_keys_for_surface(s):
+        if s[:3]:
+            k = int(prefix_block_id(s[:3]))
             key_n[k] = key_n.get(k, 0) + int(n)
     hot = {k for k, n in key_n.items() if n > HOT_KEY_MENTIONS}
     if hot:
-        logger.info("salting %d hot block keys: %s", len(hot), sorted(hot)[:5])
+        logger.info("salting %d hot block ids: %s", len(hot), sorted(hot)[:5])
 
     hot_ref = ray.put(hot)
 
@@ -294,38 +338,26 @@ def blocked_sides(mentions: rd.Dataset, state_ref) -> tuple[rd.Dataset, rd.Datas
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             surf = df["surface"].astype(str)
-            parts = [
-                pd.DataFrame(
-                    {
-                        "block_key": "d:" + surf,
-                        "mention_id": df["mention_id"],
-                        "surface": surf,
-                    }
-                ),
-                pd.DataFrame(
-                    {
-                        "block_key": "g:" + surf.str[:3],
-                        "mention_id": df["mention_id"],
-                        "surface": surf,
-                    }
-                ),
-            ]
-            out = pd.concat(parts, ignore_index=True)
+            pref = surf.str[:3]
+            codes, uniques = pd.factorize(pref)
+            ids = np.array([prefix_block_id(u) for u in uniques], dtype=np.int64)[codes]
             if self.hot:
-                mask = out["block_key"].isin(self.hot).to_numpy()
-                if mask.any():
-                    mids = out["mention_id"].to_numpy()[mask]
-                    salted = np.array(
-                        [
-                            f"{k}#{stable_u64(m) % N_SALT}"
-                            for k, m in zip(out["block_key"].to_numpy()[mask], mids)
-                        ],
-                        dtype=object,
-                    )
-                    keys = out["block_key"].to_numpy(dtype=object)
-                    keys[mask] = salted
-                    out["block_key"] = keys
-            return out
+                hot_mask = np.isin(ids, list(self.hot))
+                if hot_mask.any():
+                    salts = (
+                        pd.util.hash_pandas_object(
+                            df["mention_id"], index=False
+                        ).to_numpy()
+                        % N_SALT
+                    ).astype(np.int64)
+                    ids = ids + np.where(hot_mask, salts, 0)
+            return pd.DataFrame(
+                {
+                    "block_key": ids,
+                    "mention_id": df["mention_id"],
+                    "surface": surf,
+                }
+            )
 
     m_salted = mentions.map_batches(ExplodeSalt, batch_format="pandas", concurrency=(1, 4))
 
@@ -334,19 +366,19 @@ def blocked_sides(mentions: rd.Dataset, state_ref) -> tuple[rd.Dataset, rd.Datas
     state = ray.get(state_ref)
     c_rows = {"block_key": [], "concept_id": [], "c_surface": []}
     for surf, cids in state["surface_to_cids"].items():
-        for key in _block_keys_for_surface(surf):
-            targets = (
-                [f"{key}#{i}" for i in range(N_SALT)] if key in hot else [key]
-            )
-            for t in targets:
-                for cid in cids:
-                    c_rows["block_key"].append(t)
-                    c_rows["concept_id"].append(cid)
-                    c_rows["c_surface"].append(surf)
+        if not surf[:3]:
+            continue
+        base = int(prefix_block_id(surf[:3]))
+        targets = [base + i for i in range(N_SALT)] if base in hot else [base]
+        for t in targets:
+            for cid in cids:
+                c_rows["block_key"].append(t)
+                c_rows["concept_id"].append(cid)
+                c_rows["c_surface"].append(surf)
     c_keys = rd.from_arrow(
         pa.table(
             {
-                "block_key": pa.array(c_rows["block_key"], pa.string()),
+                "block_key": pa.array(c_rows["block_key"], pa.int64()),
                 "concept_id": pa.array(c_rows["concept_id"], pa.int64()),
                 "c_surface": pa.array(c_rows["c_surface"], pa.string()),
             }
@@ -358,30 +390,34 @@ def blocked_sides(mentions: rd.Dataset, state_ref) -> tuple[rd.Dataset, rd.Datas
 def candidate_pairs(m_salted: rd.Dataset, c_keys: rd.Dataset) -> rd.Dataset:
     """groupby(block_key) — THE wide shuffle — then within-block mention ×
     concept cross pairs, capped with logged drops."""
-    m_tagged = m_salted.map_batches(
-        lambda df: pd.DataFrame(
+    # Arrow blocks through the wide shuffle — the sort runs on Arrow string
+    # columns in C++, not pandas object arrays.
+    def m_tag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
             {
-                "block_key": df["block_key"],
-                "mention_id": df["mention_id"],
-                "surface": df["surface"],
-                "side": "m",
-                "concept_id": np.int64(-1),
+                "block_key": t["block_key"],
+                "mention_id": t["mention_id"],
+                "surface": t["surface"],
+                "side": pa.array(["m"] * n, pa.string()),
+                "concept_id": pa.array(np.full(n, -1, dtype=np.int64)),
             }
-        ),
-        batch_format="pandas",
-    )
-    c_tagged = c_keys.map_batches(
-        lambda df: pd.DataFrame(
+        )
+
+    def c_tag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
             {
-                "block_key": df["block_key"],
-                "mention_id": "",
-                "surface": df["c_surface"],
-                "side": "c",
-                "concept_id": df["concept_id"],
+                "block_key": t["block_key"],
+                "mention_id": pa.array([""] * n, pa.string()),
+                "surface": t["c_surface"],
+                "side": pa.array(["c"] * n, pa.string()),
+                "concept_id": t["concept_id"],
             }
-        ),
-        batch_format="pandas",
-    )
+        )
+
+    m_tagged = m_salted.map_batches(m_tag, batch_format="pyarrow")
+    c_tagged = c_keys.map_batches(c_tag, batch_format="pyarrow")
     both = m_tagged.union(c_tagged)
 
     def pairgen(g: pd.DataFrame) -> pd.DataFrame:
@@ -405,10 +441,12 @@ def candidate_pairs(m_salted: rd.Dataset, c_keys: rd.Dataset) -> rd.Dataset:
                 n_pairs,
                 BLOCK_CAP,
             )
-            m = m.head(max(1, BLOCK_CAP // max(1, len(c))))
+            # deterministic truncation: keep the lexicographically-first
+            # mention ids (group row order is not stable across runs)
+            m = m.sort_values("mention_id").head(max(1, BLOCK_CAP // max(1, len(c))))
         mi = np.repeat(np.arange(len(m)), len(c))
         ci = np.tile(np.arange(len(c)), len(m))
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "mention_id": m["mention_id"].to_numpy()[mi],
                 "m_surface": m["surface"].to_numpy()[mi],
@@ -416,6 +454,9 @@ def candidate_pairs(m_salted: rd.Dataset, c_keys: rd.Dataset) -> rd.Dataset:
                 "c_surface": c["surface"].to_numpy()[ci],
             }
         )
+        # same-surface pairs are the exact path's job (already emitted with
+        # score 1.0); the fuzzy path scores only genuine near-misses
+        return out[out["m_surface"].to_numpy() != out["c_surface"].to_numpy()]
 
     return both.groupby("block_key").map_groups(pairgen, batch_format="pandas")
 
@@ -473,16 +514,18 @@ class PairScorer:
         return df
 
 
-def score_pairs(pairs: rd.Dataset, state_ref) -> rd.Dataset:
+def score_pairs(pairs: rd.Dataset, state_ref, apply_threshold: bool = True) -> rd.Dataset:
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
     scored = pairs.map_batches(
         PairScorer,
         fn_constructor_args=(state_ref,),
         batch_format="pandas",
-        concurrency=(1, n_cpus),
+        concurrency=(max(1, n_cpus // 2), n_cpus),
         batch_size=8192,
         num_cpus=1,
     )
+    if not apply_threshold:
+        return scored
     return scored.map_batches(
         lambda df: df[df["score"] >= THETA], batch_format="pandas"
     )
@@ -492,15 +535,45 @@ def score_pairs(pairs: rd.Dataset, state_ref) -> rd.Dataset:
 # clustering + concept assignment + resolution
 # --------------------------------------------------------------------------
 
-def run_entity_link(sf_dir: str, exclude_sections: frozenset[str] | None = None):
+def run_entity_link(
+    sf_dir: str,
+    exclude_sections: frozenset[str] | None = None,
+    timings: dict | None = None,
+):
+    """Flagship pipeline. When ``timings`` is a dict it is filled with stage
+    wall-times and cardinalities (bench instrumentation; adds one count on
+    already-materialized data, no extra passes)."""
+    import time as _time
+
     from ..stages.components import connected_components
 
+    t0 = _time.time()
     mentions, state_ref, fdir = extract_mentions(sf_dir, exclude_sections)
     mentions = mentions.materialize()  # reused below (small relative to docs)
+    if timings is not None:
+        timings["t_extract"] = round(_time.time() - t0, 3)
+        timings["n_mentions"] = mentions.count()
 
+    t0 = _time.time()
     m_salted, c_keys, _hot = blocked_sides(mentions, state_ref)
     pairs = candidate_pairs(m_salted, c_keys)
-    edges_scored = score_pairs(pairs, state_ref).materialize()
+    # ONE materialization: exact edges (score 1.0 by construction) unioned
+    # with ALL scored fuzzy pairs; the θ-filter is a vectorized mask applied
+    # by every downstream consumer of this materialized table.
+    scored_all = (
+        exact_edges(mentions, state_ref)
+        .union(score_pairs(pairs, state_ref, apply_threshold=False))
+        .materialize()
+    )
+    edges_scored = scored_all.map_batches(
+        lambda df: df[df["score"] >= THETA][
+            ["mention_id", "m_surface", "concept_id", "c_surface", "score"]
+        ],
+        batch_format="pandas",
+    )
+    if timings is not None:
+        timings["t_block_score"] = round(_time.time() - t0, 3)
+        timings["n_candidate_pairs"] = scored_all.count()
 
     # edge list for union-find: mention node ↔ concept node (int64)
     def to_edges(df: pd.DataFrame) -> pd.DataFrame:
@@ -512,29 +585,41 @@ def run_entity_link(sf_dir: str, exclude_sections: frozenset[str] | None = None)
         )
 
     edges = edges_scored.map_batches(to_edges, batch_format="pandas")
-    labels = connected_components(edges)
+    labels = connected_components(edges, n_blocks_hint=scored_all.num_blocks())
 
     # Labels are one row per graph node (mentions + matched concepts) — by
     # construction the tree-reduce CC already centralizes this set in one
     # task, so broadcasting it as a lookup is memory-equivalent; the
     # hash-join attachment (Dataset.join on node) is the beyond-memory path.
+    # Broadcast form: a pair of SORTED numpy arrays + searchsorted lookup —
+    # ray.put of numpy is zero-copy plasma (a 2M-entry python dict costs
+    # seconds to pickle/unpickle per actor; arrays cost ~nothing).
     labels_pd = labels.to_pandas()
-    label_map = dict(
-        zip(labels_pd["node"].to_numpy(), labels_pd["label"].to_numpy())
-    )
-    label_ref = ray.put(label_map)
+    order = np.argsort(labels_pd["node"].to_numpy(), kind="stable")
+    label_nodes = labels_pd["node"].to_numpy()[order]
+    label_vals = labels_pd["label"].to_numpy()[order]
+    label_ref = ray.put((label_nodes, label_vals))
+
+    def _lookup(sorted_keys: np.ndarray, vals: np.ndarray, keys: np.ndarray):
+        """Vectorized sorted-array lookup; returns (values, found_mask)."""
+        idx = np.searchsorted(sorted_keys, keys)
+        idx_c = np.clip(idx, 0, len(sorted_keys) - 1)
+        found = (len(sorted_keys) > 0) & (sorted_keys[idx_c] == keys)
+        return vals[idx_c], found
 
     # per-cluster modal concept (G2/G6 majority vote, min-cid tiebreak):
     # partial (label, concept) counts per batch → small final groupby →
-    # driver-side argmax over the tiny cluster table → broadcast dict.
+    # driver-side argmax over the tiny cluster table → broadcast arrays.
     class LabelCounts:
         def __init__(self):
-            self.labels = ray.get(label_ref)
+            self.nodes, self.vals = ray.get(label_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             nodes = mention_nodes(df["mention_id"])
-            lab = np.array([self.labels[n] for n in nodes], dtype=np.int64)
-            out = pd.DataFrame({"label": lab, "concept_id": df["concept_id"].astype(np.int64)})
+            lab, found = _lookup(self.nodes, self.vals, nodes)
+            out = pd.DataFrame(
+                {"label": lab[found], "concept_id": df["concept_id"].to_numpy()[found]}
+            )
             return out.groupby(["label", "concept_id"], as_index=False).size().rename(
                 columns={"size": "n"}
             )
@@ -551,30 +636,27 @@ def run_entity_link(sf_dir: str, exclude_sections: frozenset[str] | None = None)
         ["label", "n", "concept_id"], ascending=[True, False, True]
     )
     top = counts.drop_duplicates("label", keep="first")
-    concept_map = dict(zip(top["label"].to_numpy(), top["concept_id"].to_numpy()))
-    concept_ref = ray.put(concept_map)
+    t_order = np.argsort(top["label"].to_numpy(), kind="stable")
+    concept_ref = ray.put(
+        (top["label"].to_numpy()[t_order], top["concept_id"].to_numpy()[t_order])
+    )
 
     class AttachConcept:
         def __init__(self):
-            self.labels = ray.get(label_ref)
-            self.concepts = ray.get(concept_ref)
+            self.lnodes, self.lvals = ray.get(label_ref)
+            self.cnodes, self.cvals = ray.get(concept_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             nodes = mention_nodes(df["mention_id"])
-            labs = np.array(
-                [self.labels.get(n, -1) for n in nodes], dtype=np.int64
-            )
-            cids = np.array(
-                [self.concepts.get(l, -1) if l >= 0 else -1 for l in labs],
-                dtype=np.int64,
-            )
-            ok = cids >= 0
+            labs, found = _lookup(self.lnodes, self.lvals, nodes)
+            cids, cfound = _lookup(self.cnodes, self.cvals, labs)
+            ok = found & cfound
             out = pd.DataFrame(
                 {
                     "doc_id": df["doc_id"],
                     "start": df["start"],
                     "end": df["end"],
-                    "cluster_concept": cids,
+                    "cluster_concept": cids.astype(np.int64),
                 }
             )
             return out[ok]
@@ -690,9 +772,17 @@ def linked_pairs(sf_dir: str) -> rd.Dataset:
     emitted mention_id is ``doc:start`` (the gold_pairs id form); internal
     ids also carry the span end."""
     mentions, state_ref, _ = extract_mentions(sf_dir)
-    m_salted, c_keys, _hot = blocked_sides(mentions.materialize(), state_ref)
+    mentions = mentions.materialize()
+    m_salted, c_keys, _hot = blocked_sides(mentions, state_ref)
     pairs = candidate_pairs(m_salted, c_keys)
-    scored = score_pairs(pairs, state_ref)
+    scored = exact_edges(mentions, state_ref).union(
+        score_pairs(pairs, state_ref).map_batches(
+            lambda df: df[
+                ["mention_id", "m_surface", "concept_id", "c_surface", "score"]
+            ],
+            batch_format="pandas",
+        )
+    )
 
     def strip_end(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()

@@ -31,39 +31,52 @@ from ray.data.aggregate import Min, Sum
 
 def _collapse(df: pd.DataFrame) -> pd.DataFrame:
     """Union-find within one batch of (u,v) pairs → (u=node, v=root) pairs,
-    root = min node id of the batch-local component."""
-    parent: dict[int, int] = {}
+    root = min node id of the batch-local component. Node ids are remapped
+    to dense indices (np.unique) so the union-find runs on flat int arrays
+    with path-halving — no per-edge dict lookups."""
+    uu = df["u"].to_numpy()
+    vv = df["v"].to_numpy()
+    nodes, inv = np.unique(np.concatenate([uu, vv]), return_inverse=True)
+    ui = inv[: len(uu)]
+    vi = inv[len(uu) :]
+    parent = np.arange(len(nodes), dtype=np.int64)
 
     def find(x: int) -> int:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
 
-    for u, v in zip(df["u"].to_numpy(), df["v"].to_numpy()):
-        ru, rv = find(int(u)), find(int(v))
-        if ru != rv:
-            if ru < rv:
-                parent[rv] = ru
+    for a, b in zip(ui, vi):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by smaller ORIGINAL id so the final label is the min
+            if nodes[ra] < nodes[rb]:
+                parent[rb] = ra
             else:
-                parent[ru] = rv
-    nodes = np.unique(np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()]))
-    roots = np.array([find(int(n)) for n in nodes], dtype=np.int64)
+                parent[ra] = rb
+    roots = np.array([nodes[find(i)] for i in range(len(nodes))], dtype=np.int64)
     return pd.DataFrame({"u": nodes.astype(np.int64), "v": roots})
 
 
-def connected_components(edges: rd.Dataset, fanin: int = 64) -> rd.Dataset:
-    """edges(u:int64, v:int64) → labels(node:int64, label:int64)."""
-    cur = edges.map_batches(_collapse, batch_format="pandas").materialize()
-    while cur.num_blocks() > 1:
-        n_next = max(1, cur.num_blocks() // fanin)
-        cur = (
-            cur.repartition(n_next)
-            .map_batches(_collapse, batch_format="pandas")
-            .materialize()
-        )
+def connected_components(
+    edges: rd.Dataset, fanin: int = 64, n_blocks_hint: int | None = None
+) -> rd.Dataset:
+    """edges(u:int64, v:int64) → labels(node:int64, label:int64).
+
+    The whole reduction tree is built as ONE lazy chain (collapse →
+    coalesce → collapse → … → single block) so it runs in a single
+    streaming execution — per-round materialization only pays executor
+    startup repeatedly. Round count comes from the input's block count
+    (pass ``n_blocks_hint`` when the input is lazy)."""
+    try:
+        n = n_blocks_hint if n_blocks_hint is not None else edges.num_blocks()
+    except Exception:
+        n = 64
+    cur = edges.map_batches(_collapse, batch_format="pandas")
+    while n > 1:
+        n = max(1, n // fanin)
+        cur = cur.repartition(n).map_batches(_collapse, batch_format="pandas")
     return cur.map_batches(
         lambda df: pd.DataFrame({"node": df["u"], "label": df["v"]}),
         batch_format="pandas",
