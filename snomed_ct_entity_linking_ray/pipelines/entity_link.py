@@ -272,20 +272,23 @@ def exact_edges(mentions: rd.Dataset, state_ref) -> rd.Dataset:
 
     class Attach:
         def __init__(self):
-            self.s2c = ray.get(state_ref)["surface_to_cids"]
+            state = ray.get(state_ref)
+            self.s2c = state["surface_to_cids"]
+            self.sid = {s: np.int32(i) for i, s in enumerate(state["surfaces"])}
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            cid_lists = df["surface"].map(self.s2c)
             out = pd.DataFrame(
                 {
-                    "mention_id": df["mention_id"],
-                    "m_surface": df["surface"],
-                    "concept_id": cid_lists,
+                    "node": mention_nodes(df["mention_id"]),
+                    "m_sid": np.array(
+                        [self.sid.get(s, -1) for s in df["surface"]], dtype=np.int32
+                    ),
+                    "concept_id": df["surface"].map(self.s2c),
                 }
             ).explode("concept_id", ignore_index=True)
             out = out[out["concept_id"].notna()]
             out["concept_id"] = out["concept_id"].astype(np.int64)
-            out["c_surface"] = out["m_surface"]
+            out["c_sid"] = out["m_sid"]
             out["score"] = 1.0
             return out
 
@@ -330,11 +333,17 @@ def blocked_sides(mentions: rd.Dataset, state_ref) -> tuple[rd.Dataset, rd.Datas
     hot_ref = ray.put(hot)
 
     class ExplodeSalt:
-        """Vectorized: one output row per (mention, key); hot keys salted by
-        a stable per-mention hash."""
+        """Vectorized: one int-only row per mention — (block_key, node,
+        sid). The shuffle carries NO strings: node = stable mention-node id,
+        sid = index into the broadcast surfaces list (strings are recovered
+        from broadcast state on the far side). Hot keys salted by a stable
+        per-mention hash."""
 
         def __init__(self):
             self.hot = ray.get(hot_ref)
+            self.sid = {
+                s: np.int32(i) for i, s in enumerate(ray.get(state_ref)["surfaces"])
+            }
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             surf = df["surface"].astype(str)
@@ -351,11 +360,17 @@ def blocked_sides(mentions: rd.Dataset, state_ref) -> tuple[rd.Dataset, rd.Datas
                         % N_SALT
                     ).astype(np.int64)
                     ids = ids + np.where(hot_mask, salts, 0)
-            return pd.DataFrame(
+            s_codes, s_uniq = pd.factorize(surf)
+            sid_map = np.array([self.sid.get(u, -1) for u in s_uniq], dtype=np.int32)
+            n = len(df)
+            return pa.table(
                 {
-                    "block_key": ids,
-                    "mention_id": df["mention_id"],
-                    "surface": surf,
+                    "block_key": pa.array(ids, pa.int64()),
+                    "node": pa.array(mention_nodes(df["mention_id"])),
+                    "sid": pa.array(sid_map[s_codes], pa.int32()),
+                    "concept_id": pa.array(
+                        np.full(n, -1, dtype=np.int64)
+                    ),  # marks the mention side
                 }
             )
 
@@ -364,7 +379,8 @@ def blocked_sides(mentions: rd.Dataset, state_ref) -> tuple[rd.Dataset, rd.Datas
     # concept side: built driver-side from the dictionary (small), replicated
     # into salt buckets for hot keys
     state = ray.get(state_ref)
-    c_rows = {"block_key": [], "concept_id": [], "c_surface": []}
+    sid_of = {s: i for i, s in enumerate(state["surfaces"])}
+    c_rows = {"block_key": [], "node": [], "sid": [], "concept_id": []}
     for surf, cids in state["surface_to_cids"].items():
         if not surf[:3]:
             continue
@@ -373,14 +389,16 @@ def blocked_sides(mentions: rd.Dataset, state_ref) -> tuple[rd.Dataset, rd.Datas
         for t in targets:
             for cid in cids:
                 c_rows["block_key"].append(t)
+                c_rows["node"].append(-1)
+                c_rows["sid"].append(sid_of[surf])
                 c_rows["concept_id"].append(cid)
-                c_rows["c_surface"].append(surf)
     c_keys = rd.from_arrow(
         pa.table(
             {
                 "block_key": pa.array(c_rows["block_key"], pa.int64()),
+                "node": pa.array(c_rows["node"], pa.int64()),
+                "sid": pa.array(c_rows["sid"], pa.int32()),
                 "concept_id": pa.array(c_rows["concept_id"], pa.int64()),
-                "c_surface": pa.array(c_rows["c_surface"], pa.string()),
             }
         )
     )
@@ -388,75 +406,51 @@ def blocked_sides(mentions: rd.Dataset, state_ref) -> tuple[rd.Dataset, rd.Datas
 
 
 def candidate_pairs(m_salted: rd.Dataset, c_keys: rd.Dataset) -> rd.Dataset:
-    """groupby(block_key) — THE wide shuffle — then within-block mention ×
-    concept cross pairs, capped with logged drops."""
-    # Arrow blocks through the wide shuffle — the sort runs on Arrow string
-    # columns in C++, not pandas object arrays.
-    def m_tag(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table(
-            {
-                "block_key": t["block_key"],
-                "mention_id": t["mention_id"],
-                "surface": t["surface"],
-                "side": pa.array(["m"] * n, pa.string()),
-                "concept_id": pa.array(np.full(n, -1, dtype=np.int64)),
-            }
-        )
-
-    def c_tag(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table(
-            {
-                "block_key": t["block_key"],
-                "mention_id": pa.array([""] * n, pa.string()),
-                "surface": t["c_surface"],
-                "side": pa.array(["c"] * n, pa.string()),
-                "concept_id": t["concept_id"],
-            }
-        )
-
-    m_tagged = m_salted.map_batches(m_tag, batch_format="pyarrow")
-    c_tagged = c_keys.map_batches(c_tag, batch_format="pyarrow")
-    both = m_tagged.union(c_tagged)
+    """groupby(block_key) — THE wide shuffle, all-int payload — then
+    within-block mention × concept cross pairs, capped with logged drops."""
+    both = m_salted.union(c_keys)
 
     def pairgen(g: pd.DataFrame) -> pd.DataFrame:
-        m = g[g["side"] == "m"]
-        c = g[g["side"] == "c"]
-        if len(m) == 0 or len(c) == 0:
+        is_m = g["concept_id"].to_numpy() == -1
+        m_node = g["node"].to_numpy()[is_m]
+        m_sid = g["sid"].to_numpy()[is_m]
+        c_cid = g["concept_id"].to_numpy()[~is_m]
+        c_sid = g["sid"].to_numpy()[~is_m]
+        if len(m_node) == 0 or len(c_cid) == 0:
             return pd.DataFrame(
                 {
-                    "mention_id": pd.Series([], dtype=str),
-                    "m_surface": pd.Series([], dtype=str),
+                    "node": pd.Series([], dtype=np.int64),
+                    "m_sid": pd.Series([], dtype=np.int32),
                     "concept_id": pd.Series([], dtype=np.int64),
-                    "c_surface": pd.Series([], dtype=str),
+                    "c_sid": pd.Series([], dtype=np.int32),
                 }
             )
-        n_pairs = len(m) * len(c)
+        n_pairs = len(m_node) * len(c_cid)
         if n_pairs > BLOCK_CAP:
-            # bounded block: keep all dictionary-exact pairs, cap the rest
             logger.warning(
                 "block %s: %d pairs exceeds cap %d; truncating (logged, not silent)",
                 g["block_key"].iloc[0],
                 n_pairs,
                 BLOCK_CAP,
             )
-            # deterministic truncation: keep the lexicographically-first
-            # mention ids (group row order is not stable across runs)
-            m = m.sort_values("mention_id").head(max(1, BLOCK_CAP // max(1, len(c))))
-        mi = np.repeat(np.arange(len(m)), len(c))
-        ci = np.tile(np.arange(len(c)), len(m))
+            # deterministic truncation: smallest node ids first
+            keep = np.argsort(m_node, kind="stable")[
+                : max(1, BLOCK_CAP // max(1, len(c_cid)))
+            ]
+            m_node, m_sid = m_node[keep], m_sid[keep]
+        mi = np.repeat(np.arange(len(m_node)), len(c_cid))
+        ci = np.tile(np.arange(len(c_cid)), len(m_node))
         out = pd.DataFrame(
             {
-                "mention_id": m["mention_id"].to_numpy()[mi],
-                "m_surface": m["surface"].to_numpy()[mi],
-                "concept_id": c["concept_id"].to_numpy()[ci],
-                "c_surface": c["surface"].to_numpy()[ci],
+                "node": m_node[mi],
+                "m_sid": m_sid[mi],
+                "concept_id": c_cid[ci],
+                "c_sid": c_sid[ci],
             }
         )
         # same-surface pairs are the exact path's job (already emitted with
         # score 1.0); the fuzzy path scores only genuine near-misses
-        return out[out["m_surface"].to_numpy() != out["c_surface"].to_numpy()]
+        return out[out["m_sid"].to_numpy() != out["c_sid"].to_numpy()]
 
     return both.groupby("block_key").map_groups(pairgen, batch_format="pandas")
 
@@ -467,48 +461,31 @@ def candidate_pairs(m_salted: rd.Dataset, c_keys: rd.Dataset) -> rd.Dataset:
 
 class PairScorer:
     """Hybrid score = 0.5·JaroWinkler + 0.5·hash-embedding cosine, computed
-    per batch with C++-vectorized string kernels and one numpy matmul.
-    Exact-equal surfaces score exactly 1.0."""
+    per batch with C++-vectorized string kernels and one numpy einsum.
+    Surfaces arrive as int sids; strings and embedding rows come straight
+    out of the broadcast state by index (no dict lookups, no cache)."""
 
     def __init__(self, state_ref):
         state = ray.get(state_ref)
-        self.surface_idx = {s: i for i, s in enumerate(state["surfaces"])}
+        self.surfaces = np.array(state["surfaces"], dtype=object)
         self.surface_emb = state["surface_emb"]
         self.duck = DuckSimilarity(threads=1)
-        self._emb_cache: dict[str, np.ndarray] = {}
-
-    def _embed(self, surfaces: np.ndarray) -> np.ndarray:
-        out = np.empty((len(surfaces), self.surface_emb.shape[1]))
-        missing: dict[str, list[int]] = {}
-        for i, s in enumerate(surfaces):
-            j = self.surface_idx.get(s)
-            if j is not None:
-                out[i] = self.surface_emb[j]
-            elif s in self._emb_cache:
-                out[i] = self._emb_cache[s]
-            else:
-                missing.setdefault(s, []).append(i)
-        if missing:
-            vecs = hash_embed(list(missing))
-            for (s, idxs), v in zip(missing.items(), vecs):
-                self._emb_cache[s] = v
-                for i in idxs:
-                    out[i] = v
-        return out
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             df = df.copy()
             df["score"] = pd.Series([], dtype=np.float64)
             return df
-        left = df["m_surface"].to_numpy()
-        right = df["c_surface"].to_numpy()
+        m_sid = df["m_sid"].to_numpy()
+        c_sid = df["c_sid"].to_numpy()
+        left = self.surfaces[m_sid]
+        right = self.surfaces[c_sid]
         sims = self.duck.scores(pa.array(left), pa.array(right))
-        el = self._embed(left)
-        er = self._embed(right)
-        cos = np.einsum("ij,ij->i", el, er)
+        cos = np.einsum(
+            "ij,ij->i", self.surface_emb[m_sid], self.surface_emb[c_sid]
+        )
         score = 0.5 * sims["jw"] + 0.5 * cos
-        score[left == right] = 1.0
+        score[m_sid == c_sid] = 1.0
         df = df.copy()
         df["score"] = score
         return df
@@ -566,9 +543,7 @@ def run_entity_link(
         .materialize()
     )
     edges_scored = scored_all.map_batches(
-        lambda df: df[df["score"] >= THETA][
-            ["mention_id", "m_surface", "concept_id", "c_surface", "score"]
-        ],
+        lambda df: df[df["score"] >= THETA][["node", "concept_id"]],
         batch_format="pandas",
     )
     if timings is not None:
@@ -581,7 +556,7 @@ def run_entity_link(
             return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
                                  "v": pd.Series([], dtype=np.int64)})
         return pd.DataFrame(
-            {"u": mention_nodes(df["mention_id"]), "v": df["concept_id"].astype(np.int64)}
+            {"u": df["node"].astype(np.int64), "v": df["concept_id"].astype(np.int64)}
         )
 
     edges = edges_scored.map_batches(to_edges, batch_format="pandas")
@@ -615,7 +590,7 @@ def run_entity_link(
             self.nodes, self.vals = ray.get(label_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            nodes = mention_nodes(df["mention_id"])
+            nodes = df["node"].to_numpy()
             lab, found = _lookup(self.nodes, self.vals, nodes)
             out = pd.DataFrame(
                 {"label": lab[found], "concept_id": df["concept_id"].to_numpy()[found]}
@@ -766,7 +741,7 @@ def run_entity_link_checkpointed(
     )
 
 
-def linked_pairs(sf_dir: str) -> rd.Dataset:
+def linked_pairs(sf_dir: str) -> pa.Table:
     """(mention_id, concept_id) pairs the pipeline links (score ≥ θ) —
     the table the pairwise-F1 gate evaluates against gold_pairs. The
     emitted mention_id is ``doc:start`` (the gold_pairs id form); internal
@@ -775,25 +750,27 @@ def linked_pairs(sf_dir: str) -> rd.Dataset:
     mentions = mentions.materialize()
     m_salted, c_keys, _hot = blocked_sides(mentions, state_ref)
     pairs = candidate_pairs(m_salted, c_keys)
-    scored = exact_edges(mentions, state_ref).union(
-        score_pairs(pairs, state_ref).map_batches(
-            lambda df: df[
-                ["mention_id", "m_surface", "concept_id", "c_surface", "score"]
-            ],
+    scored = (
+        exact_edges(mentions, state_ref)
+        .union(score_pairs(pairs, state_ref))
+        .map_batches(
+            lambda df: df[df["score"] >= THETA][["node", "concept_id"]],
             batch_format="pandas",
         )
+        .to_pandas()
+        .drop_duplicates()
     )
 
-    def strip_end(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        out["mention_id"] = [m.rsplit(":", 1)[0] for m in df["mention_id"]]
-        return out
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return (
-        scored.map_batches(strip_end, batch_format="pandas")
-        .groupby(["mention_id", "concept_id"])
-        .map_groups(first, batch_format="pandas")
+    # node → "doc:start" mention id (eval-scale driver-side map; the
+    # pipeline proper never needs the reverse mapping)
+    m_pd = mentions.to_pandas()
+    node_to_id = dict(
+        zip(
+            mention_nodes(m_pd["mention_id"]),
+            (m_pd["doc_id"] + ":" + m_pd["start"].astype(str)),
+        )
     )
+    scored["mention_id"] = [node_to_id.get(n, "") for n in scored["node"]]
+    out = scored[scored["mention_id"] != ""][["mention_id", "concept_id"]]
+    out = out.drop_duplicates()
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
