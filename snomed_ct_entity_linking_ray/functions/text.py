@@ -37,6 +37,16 @@ def normalize_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pc.utf8_trim_whitespace(sub)
 
 
+def locate_term(text: str, term: str) -> list[tuple[int, int]]:
+    """M24 (3rd Place/src/document.py:1119-1200): all full-word occurrences
+    of ``term`` using the whitespace/hyphen-tolerant pattern wrapped in
+    ``(?<![a-zA-Z0-9]) … (?![a-zA-Z0-9])`` boundaries."""
+    pat = re.compile(
+        r"(?<![a-zA-Z0-9])" + tolerant_pattern(term).pattern + r"(?![a-zA-Z0-9])"
+    )
+    return [(m.start(), m.end()) for m in pat.finditer(text)]
+
+
 def tolerant_pattern(mention: str) -> re.Pattern:
     """M1 (1st Place/src/mimic_common.py:50-71 semantics): a compiled regex
     tolerant of whitespace runs, hyphen/space and slash/space alternation,
@@ -50,6 +60,16 @@ def tolerant_pattern(mention: str) -> re.Pattern:
 
 def word_tokens(s: str) -> list[str]:
     return normalize_text(s).split()
+
+
+_KEEP_LEN = re.compile(r"[^a-zA-Z\s.,:]")
+
+
+def keep_length_clean(s: str) -> str:
+    """M13 (2nd Place/submission/infer.py:9-11): replace every char outside
+    ``[a-zA-Z\\s.,:]`` with a space — LENGTH-PRESERVING, so char offsets
+    into the cleaned text are valid in the original."""
+    return _KEEP_LEN.sub(" ", s)
 
 
 def char_ngrams(s: str, n: int = 3) -> list[str]:

@@ -1,0 +1,119 @@
+"""Tests for BIO decode (M15), graph ops (S5), keep-length clean (M13),
+term locator (M24), blacklist filter (M19), remove/add lists (M26),
+prediction merge (D1), artifact save/load (S8)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from snomed_ct_entity_linking_ray.functions.bio import decode_bio, fix_spans
+from snomed_ct_entity_linking_ray.functions.text import keep_length_clean, locate_term
+from snomed_ct_entity_linking_ray.stages import graph, postprocess
+from snomed_ct_entity_linking_ray.state.artifacts import load_state, save_state
+
+
+def test_decode_bio_m15():
+    # tokens: "severe chest pain today" — B-1 I-1 I-1 O
+    offsets = [(0, 6), (7, 12), (13, 17), (18, 23)]
+    spans = decode_bio(offsets, [1, 2, 2, 0])
+    assert spans == [(0, 17, 1)]
+    # gap > max_gap breaks the span
+    offsets2 = [(0, 6), (10, 14)]
+    assert decode_bio(offsets2, [1, 2], max_gap=2) == [(0, 6, 1), (10, 14, 1)]
+    # B after B starts a new entity
+    assert decode_bio(offsets, [1, 1, 0, 3]) == [(0, 6, 1), (7, 12, 1), (18, 23, 2)]
+
+
+def test_fix_spans_m15():
+    text = "  pain  "
+    assert fix_spans(text, [(0, 8, 1)]) == [(2, 6, 1)]
+    assert fix_spans("   ", [(0, 3, 1)]) == []
+
+
+def test_keep_length_clean_m13():
+    s = "A1-b c.d, e:f!"
+    out = keep_length_clean(s)
+    assert len(out) == len(s)
+    assert out == "A  b c.d, e:f "
+
+
+def test_locate_term_m24():
+    text = "chest pain and chest-pain but chestpainx"
+    hits = locate_term(text, "chest pain")
+    assert [(s, e) for s, e in hits] == [(0, 10), (15, 25)]
+
+
+def test_graph_descendants_s5():
+    rel = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "sourceId": [2, 3, 4, 5, 6],
+                "destinationId": [1, 1, 2, 4, 99],
+                "typeId": [graph.IS_A] * 4 + [123],
+                "active": [1, 1, 1, 1, 1],
+            }
+        )
+    )
+    edges = graph.edges_from_relationship_rows(rel)
+    csr = graph.build_csr(edges)
+    assert graph.descendants(csr, 1) == {2, 3, 4, 5}
+    assert graph.descendants(csr, 4) == {5}
+    ds = rd.from_pandas(pd.DataFrame({"concept_id": [2, 5, 6, 1]}))
+    tagged = graph.tag_descendants(ds, "concept_id", csr, 1).to_pandas()
+    got = dict(zip(tagged["concept_id"], tagged["is_descendant"]))
+    assert got == {2: True, 5: True, 6: False, 1: False}
+
+
+def test_filter_blacklist_m19():
+    m = rd.from_pandas(
+        pd.DataFrame(
+            {"surface": ["pain", "the", "ab", "cardoss"], "doc_id": ["d"] * 4}
+        )
+    )
+    out = postprocess.filter_blacklist(m).to_pandas()
+    assert sorted(out["surface"]) == ["cardoss", "pain"]
+
+
+def test_remove_add_lists_m26():
+    m = rd.from_pandas(
+        pd.DataFrame({"surface": ["pain", "cardoss"], "doc_id": ["d", "d"]})
+    )
+    out = postprocess.apply_remove_list(m, ["Pain!"]).to_pandas()
+    assert out["surface"].tolist() == ["cardoss"]
+
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": ["d1"], "text": ["noted chest pain here"]})
+    )
+    added = postprocess.apply_add_list(docs, [("chest pain", 77)]).to_pandas()
+    assert len(added) == 1
+    r = added.iloc[0]
+    assert (r["start"], r["end"], r["concept_id"]) == (6, 16, 77)
+
+
+def test_merge_predictions_d1():
+    a = rd.from_pandas(
+        pd.DataFrame({"doc_id": ["d"], "start": [0], "end": [10], "concept_id": [1]})
+    )
+    b = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": ["d", "d"], "start": [5, 20], "end": [8, 25],
+             "concept_id": [2, 3]}
+        )
+    )
+    out = postprocess.merge_predictions(a, b).to_pandas().sort_values("start")
+    # longer span (0,10) beats contained (5,8); (20,25) survives
+    assert [(r.start, r.end) for r in out.itertuples()] == [(0, 10), (20, 25)]
+
+
+def test_artifacts_s8(tmp_path):
+    import numpy as np
+
+    state = {"surfaces": ["a", "b"], "emb": np.eye(2)}
+    p = str(tmp_path / "link_state.pkl")
+    save_state(state, p)
+    back = load_state(p)
+    assert back["surfaces"] == ["a", "b"]
+    np.testing.assert_array_equal(back["emb"], state["emb"])
+    assert load_state(str(tmp_path / "missing.pkl")) is None
