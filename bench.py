@@ -123,9 +123,16 @@ def run_bench() -> dict:
     return result
 
 
+SCALING_DOCS = "1000000"  # compute-dominated input for the two-level run
+
+
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            SCEL_BENCH_DOCS=os.environ.get("SCEL_BENCH_DOCS", SCALING_DOCS),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

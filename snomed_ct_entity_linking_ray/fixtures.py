@@ -129,14 +129,22 @@ class FixtureSpec:
 
 
 def spec_for_sf_dir(sf_dir: str) -> FixtureSpec:
-    """Map a testdata sf dir to a fixture scale (deterministic)."""
+    """Map a testdata sf dir to a fixture scale (deterministic).
+
+    ``SCEL_BENCH_DOCS`` overrides the bench-tier doc count — used by
+    ``bench.py --scaling`` to run both parallelism levels on a larger,
+    compute-dominated input (same input at both levels, per the scaling
+    criterion)."""
     name = os.path.basename(os.path.normpath(sf_dir))
     # bench tier (sf0.1) uses ≥100k docs per FIXTURES.md so compute, not
     # per-stage fixed overhead, dominates the scaling measurement
     scale = {"sf0.001": (200, 300), "sf0.01": (2000, 1000), "sf0.1": (300000, 5000)}.get(
         name, (200, 300)
     )
-    return FixtureSpec(seed=42, n_docs=scale[0], n_concepts=scale[1])
+    n_docs = scale[0]
+    if name == "sf0.1" and os.environ.get("SCEL_BENCH_DOCS"):
+        n_docs = int(os.environ["SCEL_BENCH_DOCS"])
+    return FixtureSpec(seed=42, n_docs=n_docs, n_concepts=scale[1])
 
 
 def build_concepts(spec: FixtureSpec) -> pa.Table:

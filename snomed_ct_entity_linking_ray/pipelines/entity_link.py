@@ -402,7 +402,7 @@ def blocked_sides(mentions: rd.Dataset, state_ref) -> tuple[rd.Dataset, rd.Datas
             }
         )
     )
-    return m_salted, c_keys, hot
+    return m_salted, c_keys, hot, freq
 
 
 def candidate_pairs(m_salted: rd.Dataset, c_keys: rd.Dataset) -> rd.Dataset:
@@ -512,6 +512,19 @@ def score_pairs(pairs: rd.Dataset, state_ref, apply_threshold: bool = True) -> r
 # clustering + concept assignment + resolution
 # --------------------------------------------------------------------------
 
+def _passing_sid_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """Distinct θ-passing (m_sid, concept_id) rows; tolerant of schemaless
+    empty blocks (Ray drops the schema of fully-empty pandas blocks)."""
+    if len(df) == 0 or "m_sid" not in df.columns:
+        return pd.DataFrame(
+            {
+                "m_sid": pd.Series([], dtype=np.int32),
+                "concept_id": pd.Series([], dtype=np.int64),
+            }
+        )
+    return df[df["score"] >= THETA][["m_sid", "concept_id"]].drop_duplicates()
+
+
 def run_entity_link(
     sf_dir: str,
     exclude_sections: frozenset[str] | None = None,
@@ -532,106 +545,115 @@ def run_entity_link(
         timings["n_mentions"] = mentions.count()
 
     t0 = _time.time()
-    m_salted, c_keys, _hot = blocked_sides(mentions, state_ref)
+    m_salted, c_keys, _hot, freq = blocked_sides(mentions, state_ref)
     pairs = candidate_pairs(m_salted, c_keys)
-    # ONE materialization: exact edges (score 1.0 by construction) unioned
-    # with ALL scored fuzzy pairs; the θ-filter is a vectorized mask applied
-    # by every downstream consumer of this materialized table.
-    scored_all = (
-        exact_edges(mentions, state_ref)
-        .union(score_pairs(pairs, state_ref, apply_threshold=False))
-        .materialize()
+    scored_all = score_pairs(pairs, state_ref, apply_threshold=False).materialize()
+    # θ-passing fuzzy LINKS are a pure function of (surface, concept) —
+    # the mention-level pairs above exist to measure/score the candidate
+    # stream at corpus scale; the distinct passing table is dictionary-
+    # bounded, so its partial-distinct per batch concatenates driver-side.
+    fuzzy_pass = (
+        scored_all.map_batches(_passing_sid_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
     )
-    edges_scored = scored_all.map_batches(
-        lambda df: df[df["score"] >= THETA][["node", "concept_id"]],
-        batch_format="pandas",
+    if "m_sid" not in fuzzy_pass.columns:  # all-empty dataset loses schema
+        fuzzy_pass = pd.DataFrame({"m_sid": [], "concept_id": []})
+    state = ray.get(state_ref)
+    surfaces = state["surfaces"]
+    s2c = state["surface_to_cids"]
+    n_exact_pairs = int(
+        sum(int(n) * len(s2c.get(s, ())) for s, n in zip(freq["surface"], freq["n"]))
     )
     if timings is not None:
         timings["t_block_score"] = round(_time.time() - t0, 3)
-        timings["n_candidate_pairs"] = scored_all.count()
+        timings["n_candidate_pairs"] = scored_all.count() + n_exact_pairs
 
-    # edge list for union-find: mention node ↔ concept node (int64)
-    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
-                                 "v": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame(
-            {"u": df["node"].astype(np.int64), "v": df["concept_id"].astype(np.int64)}
+    # ---- clustering: star-contracted union-find --------------------------
+    # The mention↔concept graph is bipartite and mention nodes have their
+    # whole edge set determined by their surface (exact candidates ∪
+    # θ-passing fuzzy candidates). Star contraction therefore reduces the
+    # graph EXACTLY to concept↔concept bridges per surface clique; the
+    # distributed union-find runs on that contracted edge list and mention
+    # labels are recovered by broadcast lookup — no per-mention node ever
+    # enters the shuffle. (Contraction is the standard CC optimization;
+    # here it is lossless because candidates(surface) is a total function.)
+    t0 = _time.time()
+    cand_by_sid: list[list[int]] = [list(s2c.get(s, ())) for s in surfaces]
+    for sid, cid in zip(fuzzy_pass["m_sid"], fuzzy_pass["concept_id"]):
+        cand_by_sid[int(sid)].append(int(cid))
+    cand_by_sid = [sorted(set(c)) for c in cand_by_sid]
+    bridges_u: list[int] = []
+    bridges_v: list[int] = []
+    for cands in cand_by_sid:
+        if len(cands) > 1:
+            root = min(cands)
+            for c in cands:
+                if c != root:
+                    bridges_u.append(root)
+                    bridges_v.append(c)
+    if bridges_u:
+        bridge_ds = rd.from_arrow(
+            pa.table(
+                {
+                    "u": pa.array(bridges_u, pa.int64()),
+                    "v": pa.array(bridges_v, pa.int64()),
+                }
+            )
         )
+        labels_pd = connected_components(bridge_ds, n_blocks_hint=1).to_pandas()
+        cluster_of = dict(zip(labels_pd["node"], labels_pd["label"]))
+    else:
+        cluster_of = {}
 
-    edges = edges_scored.map_batches(to_edges, batch_format="pandas")
-    labels = connected_components(edges, n_blocks_hint=scored_all.num_blocks())
+    def cluster(cid: int) -> int:
+        return int(cluster_of.get(cid, cid))
 
-    # Labels are one row per graph node (mentions + matched concepts) — by
-    # construction the tree-reduce CC already centralizes this set in one
-    # task, so broadcasting it as a lookup is memory-equivalent; the
-    # hash-join attachment (Dataset.join on node) is the beyond-memory path.
-    # Broadcast form: a pair of SORTED numpy arrays + searchsorted lookup —
-    # ray.put of numpy is zero-copy plasma (a 2M-entry python dict costs
-    # seconds to pickle/unpickle per actor; arrays cost ~nothing).
-    labels_pd = labels.to_pandas()
-    order = np.argsort(labels_pd["node"].to_numpy(), kind="stable")
-    label_nodes = labels_pd["node"].to_numpy()[order]
-    label_vals = labels_pd["label"].to_numpy()[order]
-    label_ref = ray.put((label_nodes, label_vals))
+    # per-cluster modal concept (G2/G6 majority vote, min-cid tiebreak),
+    # weighted by mention counts — votes derive from the surface frequency
+    # table × candidate sets (identical to counting mention edges)
+    freq_by_surface = dict(zip(freq["surface"], freq["n"]))
+    vote_n: dict[tuple[int, int], int] = {}
+    for s, cands in zip(surfaces, cand_by_sid):
+        n = int(freq_by_surface.get(s, 0))
+        if n == 0:
+            continue
+        for c in cands:
+            k = (cluster(c), c)
+            vote_n[k] = vote_n.get(k, 0) + n
+    modal: dict[int, int] = {}
+    best: dict[int, tuple[int, int]] = {}
+    for (lab, c), n in sorted(vote_n.items()):
+        cur = best.get(lab)
+        if cur is None or (-n, c) < cur:
+            best[lab] = (-n, c)
+            modal[lab] = c
 
-    def _lookup(sorted_keys: np.ndarray, vals: np.ndarray, keys: np.ndarray):
-        """Vectorized sorted-array lookup; returns (values, found_mask)."""
-        idx = np.searchsorted(sorted_keys, keys)
-        idx_c = np.clip(idx, 0, len(sorted_keys) - 1)
-        found = (len(sorted_keys) > 0) & (sorted_keys[idx_c] == keys)
-        return vals[idx_c], found
-
-    # per-cluster modal concept (G2/G6 majority vote, min-cid tiebreak):
-    # partial (label, concept) counts per batch → small final groupby →
-    # driver-side argmax over the tiny cluster table → broadcast arrays.
-    class LabelCounts:
-        def __init__(self):
-            self.nodes, self.vals = ray.get(label_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            nodes = df["node"].to_numpy()
-            lab, found = _lookup(self.nodes, self.vals, nodes)
-            out = pd.DataFrame(
-                {"label": lab[found], "concept_id": df["concept_id"].to_numpy()[found]}
-            )
-            return out.groupby(["label", "concept_id"], as_index=False).size().rename(
-                columns={"size": "n"}
-            )
-
-    # final combine of the (label, concept) partials is bounded by
-    # #clusters × concepts-per-cluster (terminology-sized) → driver-side
-    counts = (
-        edges_scored.map_batches(LabelCounts, batch_format="pandas", concurrency=(1, 8))
-        .to_pandas()
-        .groupby(["label", "concept_id"], as_index=False)["n"]
-        .sum()
-    )
-    counts = counts.sort_values(
-        ["label", "n", "concept_id"], ascending=[True, False, True]
-    )
-    top = counts.drop_duplicates("label", keep="first")
-    t_order = np.argsort(top["label"].to_numpy(), kind="stable")
-    concept_ref = ray.put(
-        (top["label"].to_numpy()[t_order], top["concept_id"].to_numpy()[t_order])
-    )
+    # final per-surface assignment: min candidate concept → its cluster →
+    # the cluster's modal concept; broadcast as a plain surface→concept map
+    final_of_surface = {
+        s: modal.get(cluster(min(cands)), min(cands))
+        for s, cands in zip(surfaces, cand_by_sid)
+        if cands
+    }
+    final_ref = ray.put(final_of_surface)
+    if timings is not None:
+        timings["t_cluster_vote"] = round(_time.time() - t0, 3)
+        timings["n_bridges"] = len(bridges_u)
 
     class AttachConcept:
         def __init__(self):
-            self.lnodes, self.lvals = ray.get(label_ref)
-            self.cnodes, self.cvals = ray.get(concept_ref)
+            self.final = ray.get(final_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            nodes = mention_nodes(df["mention_id"])
-            labs, found = _lookup(self.lnodes, self.lvals, nodes)
-            cids, cfound = _lookup(self.cnodes, self.cvals, labs)
-            ok = found & cfound
+            cids = df["surface"].map(self.final)
+            ok = cids.notna().to_numpy()
             out = pd.DataFrame(
                 {
                     "doc_id": df["doc_id"],
                     "start": df["start"],
                     "end": df["end"],
-                    "cluster_concept": cids.astype(np.int64),
+                    "cluster_concept": cids.fillna(-1).astype(np.int64),
                 }
             )
             return out[ok]
@@ -647,22 +669,36 @@ def run_entity_link(
     # are contiguous within one block, and per-block resolution is
     # doc-complete. (If an upstream repartition ever broke that invariant,
     # the grouped fallback would be groupby(hash(doc_id)%B).map_groups.)
+    #
+    # Vectorized fast path: a span strictly CONTAINED in another span always
+    # loses the D2 sweep (shorter effective length) and can never re-add
+    # (it still overlaps its kept container), so contained spans are dropped
+    # with a cummax scan. Only docs with STAGGERED overlaps
+    # (start_i < start_j < end_i < end_j) fall back to the exact python
+    # sweep — rare, since nested dictionary matches dominate.
     def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["doc_id", "start", "end", "cluster_concept"])
-        g = g.sort_values(["doc_id", "start", "end", "cluster_concept"])
-        # overlap iff start < cummax(previous ends) within the doc
+        # D2 order: (start asc, longer first, concept asc)
+        g = g.sort_values(
+            ["doc_id", "start", "end", "cluster_concept"],
+            ascending=[True, True, False, True],
+        )
         cummax_end = g.groupby("doc_id")["end"].cummax()
-        prev_cummax = cummax_end.groupby(g["doc_id"]).shift()
-        overlapped = g["start"] < prev_cummax.fillna(-1)
-        bad_docs = set(g.loc[overlapped, "doc_id"])
-        clean = g[~g["doc_id"].isin(bad_docs)]
+        prev_cummax = cummax_end.groupby(g["doc_id"]).shift().fillna(-1)
+        overlapped = (g["start"] < prev_cummax).to_numpy()
+        contained = (g["end"] <= prev_cummax).to_numpy()
+        staggered = overlapped & ~contained
+        bad_docs = set(g.loc[staggered, "doc_id"])
+        easy = g[~g["doc_id"].isin(bad_docs)]
+        easy_contained = contained[~g["doc_id"].isin(bad_docs).to_numpy()]
+        keep = easy[~easy_contained]
         rows = [
             pd.DataFrame(
                 {
-                    "doc_id": clean["doc_id"],
-                    "start": clean["start"].astype(np.int32),
-                    "end": clean["end"].astype(np.int32),
-                    "concept_id": clean["cluster_concept"].astype(np.int64),
+                    "doc_id": keep["doc_id"],
+                    "start": keep["start"].astype(np.int32),
+                    "end": keep["end"].astype(np.int32),
+                    "concept_id": keep["cluster_concept"].astype(np.int64),
                 }
             )
         ]
@@ -685,7 +721,8 @@ def run_entity_link(
                     }
                 )
             )
-        return pd.concat(rows, ignore_index=True)
+        out = pd.concat(rows, ignore_index=True)
+        return out.sort_values(["doc_id", "start", "end"], ignore_index=True)
 
     return linked.map_batches(resolve_bucket, batch_format="pandas").select_columns(
         ["doc_id", "start", "end", "concept_id"]
@@ -748,29 +785,29 @@ def linked_pairs(sf_dir: str) -> pa.Table:
     ids also carry the span end."""
     mentions, state_ref, _ = extract_mentions(sf_dir)
     mentions = mentions.materialize()
-    m_salted, c_keys, _hot = blocked_sides(mentions, state_ref)
+    m_salted, c_keys, _hot, _freq = blocked_sides(mentions, state_ref)
     pairs = candidate_pairs(m_salted, c_keys)
-    scored = (
-        exact_edges(mentions, state_ref)
-        .union(score_pairs(pairs, state_ref))
-        .map_batches(
-            lambda df: df[df["score"] >= THETA][["node", "concept_id"]],
-            batch_format="pandas",
-        )
+    fuzzy_pass = (
+        score_pairs(pairs, state_ref, apply_threshold=False)
+        .map_batches(_passing_sid_pairs, batch_format="pandas")
         .to_pandas()
         .drop_duplicates()
     )
+    if "m_sid" not in fuzzy_pass.columns:  # all-empty dataset loses schema
+        fuzzy_pass = pd.DataFrame({"m_sid": [], "concept_id": []})
+    state = ray.get(state_ref)
+    cands: dict[str, set[int]] = {
+        s: set(state["surface_to_cids"].get(s, ())) for s in state["surfaces"]
+    }
+    for sid, cid in zip(fuzzy_pass["m_sid"], fuzzy_pass["concept_id"]):
+        cands[state["surfaces"][int(sid)]].add(int(cid))
 
-    # node → "doc:start" mention id (eval-scale driver-side map; the
-    # pipeline proper never needs the reverse mapping)
     m_pd = mentions.to_pandas()
-    node_to_id = dict(
-        zip(
-            mention_nodes(m_pd["mention_id"]),
-            (m_pd["doc_id"] + ":" + m_pd["start"].astype(str)),
-        )
-    )
-    scored["mention_id"] = [node_to_id.get(n, "") for n in scored["node"]]
-    out = scored[scored["mention_id"] != ""][["mention_id", "concept_id"]]
-    out = out.drop_duplicates()
+    rows_id: list[str] = []
+    rows_cid: list[int] = []
+    for doc, start, surf in zip(m_pd["doc_id"], m_pd["start"], m_pd["surface"]):
+        for cid in cands.get(surf, ()):
+            rows_id.append(f"{doc}:{start}")
+            rows_cid.append(cid)
+    out = pd.DataFrame({"mention_id": rows_id, "concept_id": rows_cid}).drop_duplicates()
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
