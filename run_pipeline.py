@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""CLI entry point for the flagship pipeline — the ``ray job submit``
+surface (north_star: "runs end-to-end via ray job submit ... resumable
+from per-partition checkpoints").
+
+    ray job submit -- python run_pipeline.py --sf-dir /root/testdata/sf0.1 \
+        --checkpoint-root /tmp/scel_ckpt
+    # or directly:
+    python run_pipeline.py --sf-dir /root/testdata/sf0.001
+
+Owns its Ray session (the library never calls ray.init); re-running with
+the same checkpoint root skips completed partitions via the manifests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--checkpoint-root", default="/tmp/scel_ckpt")
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="default: all visible CPUs")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from snomed_ct_entity_linking_ray.pipelines.entity_link import (
+        run_entity_link_checkpointed,
+    )
+
+    t0 = time.time()
+    metrics = run_entity_link_checkpointed(args.sf_dir, args.checkpoint_root)
+    metrics["total_wall_s"] = round(time.time() - t0, 3)
+    metrics["checkpoint_root"] = args.checkpoint_root
+    print(json.dumps(metrics))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

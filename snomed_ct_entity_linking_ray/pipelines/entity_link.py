@@ -17,11 +17,17 @@ attach candidate concepts → score → resolve — as record linkage over Arrow
                        drops logged — no silent truncation)
     pairs ──mb-actor──▶ hybrid scoring: Jaro-Winkler (DuckDB C++ kernel)
                        + char-3gram hash-embedding cosine (A3 stand-in)
-         ──filter(score ≥ θ)──▶ edges
-    edges ──▶ distributed union-find (stages/components.py)
-         ──▶ per-cluster majority concept vote (G2/G6,
-              2nd Place/src/static_dict.py:116-122)
-         ──▶ per-doc overlap resolution (D2, mimic_common.py:170-209)
+         ──filter(score ≥ θ)──▶ distinct passing (surface, concept) links
+    links ──star contraction──▶ concept↔concept cliques per surface →
+          distributed union-find (stages/components.py) over the
+          contracted graph — EXACT, because a mention's edge set is a
+          pure function of its surface, so degree-1 mention nodes
+          contract away losslessly
+         ──▶ per-cluster majority concept vote (G2/G6, weighted by the
+              surface frequency table; 2nd Place/src/static_dict.py:116-122)
+         ──▶ broadcast surface→concept attach + per-doc overlap
+              resolution (D2, mimic_common.py:170-209; vectorized
+              contained-span fast path, exact sweep for staggered docs)
     ──▶ linked mentions (doc_id, start, end, concept_id)
 
 Input docs are the interleaved-span fixture tables (input_hint shape); the

@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for the invariant-critical kernels:
+overlap resolution, similarity-vs-DuckDB exactness, automaton matching,
+offset remap round-trips."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from snomed_ct_entity_linking_ray.functions.overlaps import remove_overlaps
+from snomed_ct_entity_linking_ray.functions.similarity import jaro_winkler, levenshtein
+from snomed_ct_entity_linking_ray.functions.text import (
+    char_set_jaccard_batch,
+    normalize_text,
+)
+from snomed_ct_entity_linking_ray.state.automaton import AhoCorasick
+
+_spans = st.lists(
+    st.tuples(st.integers(0, 200), st.integers(1, 30), st.integers(1, 9)).map(
+        lambda t: {"start": t[0], "end": t[0] + t[1], "concept_id": t[2]}
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_spans)
+def test_remove_overlaps_invariants(spans):
+    kept = remove_overlaps(spans)
+    # pairwise non-overlapping
+    for i, a in enumerate(kept):
+        for b in kept[i + 1 :]:
+            assert not (a["start"] < b["end"] and b["start"] < a["end"])
+    # kept ⊆ input
+    key = {(s["start"], s["end"], s["concept_id"]) for s in spans}
+    assert all((k["start"], k["end"], k["concept_id"]) in key for k in kept)
+    # maximality: no dropped span could be re-added
+    for s in spans:
+        if (s["start"], s["end"], s["concept_id"]) not in {
+            (k["start"], k["end"], k["concept_id"]) for k in kept
+        }:
+            assert any(
+                s["start"] < k["end"] and k["start"] < s["end"] for k in kept
+            )
+    # determinism
+    assert remove_overlaps(list(reversed(spans))) == kept
+
+
+_word = st.text(alphabet="abcdef ", min_size=1, max_size=14).map(
+    lambda s: s.strip() or "x"
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_word, _word)
+def test_similarity_bit_exact_vs_duckdb(a, b):
+    con = duckdb.connect()
+    dj, dl, dw = con.execute(
+        "select jaccard(?,?), levenshtein(?,?), jaro_winkler_similarity(?,?)",
+        [a, b, a, b, a, b],
+    ).fetchone()
+    assert dl == levenshtein(a, b)
+    assert abs(dw - jaro_winkler(a, b)) < 1e-12
+    assert abs(dj - char_set_jaccard_batch(np.array([a], object), np.array([b], object))[0]) < 1e-12
+
+
+_vocab = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=5), min_size=1, max_size=8, unique=True
+)
+_text = st.text(alphabet="abc ", min_size=0, max_size=60)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_vocab, _text)
+def test_automaton_matches_bruteforce(vocab, text):
+    ac = AhoCorasick({w: i for i, w in enumerate(vocab)})
+    got = set(ac.find_all(text))
+    want = set()
+    for i, w in enumerate(vocab):
+        start = 0
+        while True:
+            j = text.find(w, start)
+            if j < 0:
+                break
+            want.add((j, j + len(w), i))
+            start = j + 1
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="aB -/.!3", min_size=0, max_size=40))
+def test_normalize_idempotent(s):
+    n = normalize_text(s)
+    assert normalize_text(n) == n
+    assert n == n.strip()
+    assert "  " not in n
