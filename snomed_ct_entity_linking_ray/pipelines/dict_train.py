@@ -113,6 +113,31 @@ def q_allowed_sections(sf_dir: str):
     return pairs.groupby("hierarchy").map_groups(collect, batch_format="pandas")
 
 
+def greedy_key_selection(
+    keys: list[tuple[str, int, int]], min_precision: float = 0.8
+) -> list[str]:
+    """G4 (1st Place/src/mimic_train.py:266-311): per-concept greedy key
+    pick — sort candidate keys by correct/incorrect ratio (then support),
+    add keys while the RUNNING precision of the accepted set stays ≥
+    ``min_precision``. Pure function: runs inside a per-concept
+    ``map_groups`` in the dictionary-build pipeline.
+
+    keys: [(key, n_correct, n_incorrect)] → accepted keys, in pick order.
+    """
+    order = sorted(
+        keys,
+        key=lambda k: (-(k[1] / max(1, k[1] + k[2])), -(k[1] + k[2]), k[0]),
+    )
+    picked: list[str] = []
+    tot_c = tot_i = 0
+    for key, c, i in order:
+        if (tot_c + c) / max(1, tot_c + c + tot_i + i) >= min_precision:
+            picked.append(key)
+            tot_c += c
+            tot_i += i
+    return picked
+
+
 def q_dict_precision(sf_dir: str, threshold: float = 0.9):
     """G3/G7: score every extracted mention against gold at (doc, start,
     end); per surface compute precision = tp / (tp + fp) and keep surfaces

@@ -51,3 +51,20 @@ def test_extend_laterality_m12():
     # no extension table entry -> unchanged
     out2 = extend_laterality(text, spans, {})
     assert out2[0]["concept_id"] == 100 and out2[0]["start"] == 11
+
+
+def test_greedy_key_selection_g4():
+    keys = [
+        ("good", 10, 0),      # precision 1.0
+        ("ok", 8, 2),         # 0.8
+        ("bad", 1, 9),        # 0.1 — would drag running precision under
+        ("mid", 5, 1),        # 0.83
+    ]
+    picked = dict_train.greedy_key_selection(keys, min_precision=0.8)
+    assert picked[0] == "good"
+    assert "bad" not in picked
+    assert set(picked) == {"good", "mid", "ok"}
+    # stricter threshold prunes more
+    strict = dict_train.greedy_key_selection(keys, min_precision=0.95)
+    assert strict == ["good"]
+    assert dict_train.greedy_key_selection([], 0.9) == []
