@@ -252,10 +252,12 @@ def q_mentions(sf_dir: str):
 def _block_keys_for_surface(surface: str) -> list[str]:
     """Fuzzy blocking keys (char-3gram prefix). The dictionary-EXACT path
     does not go through blocking at all: the dictionary is already a
-    broadcast artifact, so exact mention↔concept pairs are generated by a
-    broadcast attach (``exact_edges``) with score 1.0 by construction —
-    the guide's broadcast-join rule. The shuffle below carries only the
-    fuzzy candidates that genuinely need cross-corpus co-location."""
+    broadcast artifact, so exact mention↔concept links enter the candidate
+    sets directly (``cand_by_sid`` in ``run_entity_link``: surface →
+    dictionary concepts, score 1.0 by construction) and mentions attach via
+    the broadcast surface→concept map (``AttachConcept``) — the guide's
+    broadcast-join rule. The shuffle below carries only the fuzzy
+    candidates that genuinely need cross-corpus co-location."""
     pref = surface[:3]
     return [f"g:{pref}"] if pref else []
 
@@ -268,37 +270,6 @@ def prefix_block_id(prefix: str) -> np.int64:
     for ch in prefix[:3]:
         v = v * 131 + ord(ch)
     return np.int64(v << 4)
-
-
-def exact_edges(mentions: rd.Dataset, state_ref) -> rd.Dataset:
-    """Dictionary-exact mention↔concept pairs via broadcast attach (no
-    shuffle). Equal surfaces score exactly 1.0 ≥ θ, so these are edges by
-    construction; the fuzzy path excludes same-surface pairs to avoid
-    double-emission."""
-
-    class Attach:
-        def __init__(self):
-            state = ray.get(state_ref)
-            self.s2c = state["surface_to_cids"]
-            self.sid = {s: np.int32(i) for i, s in enumerate(state["surfaces"])}
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame(
-                {
-                    "node": mention_nodes(df["mention_id"]),
-                    "m_sid": np.array(
-                        [self.sid.get(s, -1) for s in df["surface"]], dtype=np.int32
-                    ),
-                    "concept_id": df["surface"].map(self.s2c),
-                }
-            ).explode("concept_id", ignore_index=True)
-            out = out[out["concept_id"].notna()]
-            out["concept_id"] = out["concept_id"].astype(np.int64)
-            out["c_sid"] = out["m_sid"]
-            out["score"] = 1.0
-            return out
-
-    return mentions.map_batches(Attach, batch_format="pandas", concurrency=(1, 8))
 
 
 def blocked_sides(mentions: rd.Dataset, state_ref) -> tuple[rd.Dataset, rd.Dataset, set]:
@@ -585,14 +556,21 @@ def run_entity_link(
     # enters the shuffle. (Contraction is the standard CC optimization;
     # here it is lossless because candidates(surface) is a total function.)
     t0 = _time.time()
+    freq_by_surface = dict(zip(freq["surface"], freq["n"]))
     cand_by_sid: list[list[int]] = [list(s2c.get(s, ())) for s in surfaces]
     for sid, cid in zip(fuzzy_pass["m_sid"], fuzzy_pass["concept_id"]):
         cand_by_sid[int(sid)].append(int(cid))
     cand_by_sid = [sorted(set(c)) for c in cand_by_sid]
+    # Bridges come ONLY from corpus-observed surfaces (freq > 0): star
+    # contraction contracts MENTION stars, and a surface with zero corpus
+    # mentions has no star — a never-mentioned multi-concept dictionary
+    # surface must not union its concepts (it would let the modal vote
+    # reassign mentions of unrelated surfaces). The fuzzy path is already
+    # corpus-conditional by construction.
     bridges_u: list[int] = []
     bridges_v: list[int] = []
-    for cands in cand_by_sid:
-        if len(cands) > 1:
+    for s, cands in zip(surfaces, cand_by_sid):
+        if len(cands) > 1 and int(freq_by_surface.get(s, 0)) > 0:
             root = min(cands)
             for c in cands:
                 if c != root:
@@ -618,7 +596,6 @@ def run_entity_link(
     # per-cluster modal concept (G2/G6 majority vote, min-cid tiebreak),
     # weighted by mention counts — votes derive from the surface frequency
     # table × candidate sets (identical to counting mention edges)
-    freq_by_surface = dict(zip(freq["surface"], freq["n"]))
     vote_n: dict[tuple[int, int], int] = {}
     for s, cands in zip(surfaces, cand_by_sid):
         n = int(freq_by_surface.get(s, 0))
@@ -636,11 +613,13 @@ def run_entity_link(
             modal[lab] = c
 
     # final per-surface assignment: min candidate concept → its cluster →
-    # the cluster's modal concept; broadcast as a plain surface→concept map
+    # the cluster's modal concept; broadcast as a plain surface→concept map.
+    # Only corpus-observed surfaces get entries (mentions carry observed
+    # surfaces only, and the map ships to every attach actor).
     final_of_surface = {
         s: modal.get(cluster(min(cands)), min(cands))
         for s, cands in zip(surfaces, cand_by_sid)
-        if cands
+        if cands and int(freq_by_surface.get(s, 0)) > 0
     }
     final_ref = ray.put(final_of_surface)
     if timings is not None:
@@ -742,6 +721,17 @@ def q_entity_link(sf_dir: str):
 N_OUTPUT_PARTITIONS = 32
 
 
+def _input_fingerprint(
+    sf_dir: str, exclude_sections: frozenset[str] | None
+) -> str:
+    """Checkpoint input fingerprint: EVERY config knob that changes pipeline
+    output must be folded in, or a re-run with different config would skip
+    'completed' partitions and keep stale output. Currently: fixture key,
+    θ, and the canonicalized section-exclusion set."""
+    excl = ",".join(sorted(exclude_sections)) if exclude_sections else ""
+    return f"{fixtures.spec_for_sf_dir(sf_dir).key}:theta={THETA}:excl={excl}"
+
+
 def run_entity_link_checkpointed(
     sf_dir: str, ckpt_root: str, exclude_sections: frozenset[str] | None = None
 ):
@@ -754,7 +744,7 @@ def run_entity_link_checkpointed(
     """
     from ..sources.checkpoint import checkpointed_write
 
-    fp = f"{fixtures.spec_for_sf_dir(sf_dir).key}:theta={THETA}"
+    fp = _input_fingerprint(sf_dir, exclude_sections)
     linked = run_entity_link(sf_dir, exclude_sections)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:

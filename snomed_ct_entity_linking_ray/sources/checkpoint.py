@@ -30,6 +30,28 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 
+def _require_shared_root(root: str) -> None:
+    """Partition writes + manifest checks run INSIDE Ray tasks; on a
+    multi-node cluster a plain local path would scatter partitions across
+    worker-local disks and resume would silently see a partial stage. Fail
+    fast: multi-node clusters must point ckpt_root at shared storage (an
+    fsspec-style URI or a mount declared shared via SCEL_SHARED_FS=1)."""
+    if "://" in root or os.environ.get("SCEL_SHARED_FS") == "1":
+        return
+    try:
+        import ray
+
+        alive = [n for n in ray.nodes() if n.get("Alive")] if ray.is_initialized() else []
+    except Exception:
+        alive = []
+    if len(alive) > 1:
+        raise ValueError(
+            f"ckpt_root {root!r} is a local path but the cluster has "
+            f"{len(alive)} nodes; use shared storage (URI) or set "
+            "SCEL_SHARED_FS=1 if the mount is cluster-shared"
+        )
+
+
 def _manifest_path(root: str, stage: str, part: str) -> str:
     return os.path.join(root, stage, f"part={part}", "_MANIFEST.json")
 
@@ -98,6 +120,7 @@ def checkpointed_write(
     """
     import pandas as pd
 
+    _require_shared_root(root)
     t_start = time.time()
 
     def write_group(g: pd.DataFrame) -> pd.DataFrame:

@@ -14,9 +14,11 @@ distinct-node set fits one worker (~10^8 nodes); beyond that use the
 propagation variant.
 
 ``connected_components_propagate`` — hash-to-min label propagation with
-hash-partitioned joins per round (O(diameter) rounds, nothing ever
-centralized). The fully-scalable path; higher fixed cost per round, so the
-tree-reduce variant is preferred below ~10^8 nodes. BTS-style balanced
+hash-partitioned joins per round plus label-of-label pointer jumping
+(O(log diameter) rounds, nothing ever centralized; raises if the round
+budget is exhausted before the fixpoint instead of returning silently
+wrong labels). The fully-scalable path; higher fixed cost per round, so
+the tree-reduce variant is preferred below ~10^8 nodes. BTS-style balanced
 trees (PAPERS.md, ICDE 2024) are the upgrade path for skewed high-degree
 components.
 """
@@ -101,6 +103,7 @@ def connected_components_propagate(
     ).materialize()
     prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
 
+    converged = False
     for _round in range(max_rounds):
         lu = edges.join(
             labels, join_type="inner", num_partitions=num_partitions,
@@ -116,13 +119,42 @@ def connected_components_propagate(
             lambda df: pd.DataFrame({"node": df["u"], "label": df["label"]}),
             batch_format="pandas",
         )
-        new_labels = (
+        stepped = (
             labels.union(lu).union(lv).groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        )
+        # pointer jumping (label-of-label): label values are themselves node
+        # ids (each component's min node labels itself), so one self-join
+        # halves the remaining path length — O(log diameter) total rounds
+        # instead of O(diameter).
+        jump = stepped.join(
+            stepped.map_batches(
+                lambda df: pd.DataFrame({"jnode": df["node"], "jlabel": df["label"]}),
+                batch_format="pandas",
+            ),
+            join_type="inner", num_partitions=num_partitions,
+            on=("label",), right_on=("jnode",),
+        ).map_batches(
+            lambda df: pd.DataFrame({"node": df["node"], "label": df["jlabel"]}),
+            batch_format="pandas",
+        )
+        new_labels = (
+            stepped.union(jump).groupby("node")
             .aggregate(Min("label", alias_name="label"))
         ).materialize()
         new_sum = new_labels.aggregate(Sum("label", alias_name="s"))["s"]
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # exiting the loop without a fixpoint means labels may be WRONG
+        # (components wider than the propagation horizon) — fail loudly
+        # rather than return silently incorrect components.
+        raise RuntimeError(
+            f"connected_components_propagate did not converge within "
+            f"{max_rounds} rounds; raise max_rounds (label sum still "
+            f"changing: {prev_sum} -> {new_sum})"
+        )
     return labels
