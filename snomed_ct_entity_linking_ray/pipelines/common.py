@@ -75,6 +75,28 @@ def broadcast(obj) -> "ray.ObjectRef":
     return ray.put(obj)
 
 
+def tree_to_pandas(
+    partials: rd.Dataset,
+    combine,
+    n_blocks_hint: int = 64,
+    fanin: int = 8,
+) -> pd.DataFrame:
+    """Tree-combine per-block partial frames so the DRIVER only ever sees
+    one bounded final frame (never the concatenation of all partials, whose
+    row count grows with the number of blocks ∝ corpus size).
+
+    ``combine`` must be associative-idempotent over concatenated partial
+    frames (e.g. groupby-sum, distinct). The whole tree is one lazy chain —
+    a single streaming execution; each round's repartition moves only the
+    already-combined partials (tiny)."""
+    cur = partials
+    n = n_blocks_hint
+    while n > 1:
+        n = max(1, n // fanin)
+        cur = cur.repartition(n).map_batches(combine, batch_format="pandas")
+    return cur.to_pandas()
+
+
 class BroadcastJoin:
     """Actor-pool stage: inner hash join of each batch against a broadcast
     small-side pandas DataFrame (SURVEY.md §2.4 J1/J5 pattern — small side

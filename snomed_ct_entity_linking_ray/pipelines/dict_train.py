@@ -153,11 +153,15 @@ def q_dict_precision(sf_dir: str, threshold: float = 0.9):
     )
     ref = broadcast(gold_set)
 
-    mentions, _, _ = extract_mentions(sf_dir)
+    mentions, state_ref, _ = extract_mentions(sf_dir)
+    surfaces_ref = broadcast(
+        np.array(ray.get(state_ref)["surfaces"], dtype=object)
+    )
 
     class Score:
         def __init__(self):
             self.gold = ray.get(ref)
+            self.surfaces = ray.get(surfaces_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             tp = np.array(
@@ -167,7 +171,13 @@ def q_dict_precision(sf_dir: str, threshold: float = 0.9):
                 ],
                 dtype=np.int64,
             )
-            out = pd.DataFrame({"surface": df["surface"], "tp": tp, "n": np.int64(1)})
+            out = pd.DataFrame(
+                {
+                    "surface": self.surfaces[df["sid"].to_numpy()],
+                    "tp": tp,
+                    "n": np.int64(1),
+                }
+            )
             return out.groupby("surface", as_index=False).sum()
 
     totals = (

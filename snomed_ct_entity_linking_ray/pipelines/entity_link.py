@@ -9,26 +9,43 @@ attach candidate concepts → score → resolve — as record linkage over Arrow
                        with raw-offset remapping + trailing-plural tolerance
                        (M1/M4/M18 semantics, 1st Place/src/mimic_common.py:
                        50-71,127-161; 2nd Place/submission/static_dict.py:36-53)
-    mentions ──flat──▶ (block_key, row): dictionary key + char-3gram prefix
-                       key; HOT KEYS SALTED from a measured frequency table
-                       (G1; the reference's "pain" blacklists,
+    mentions ──mb──▶ (block_key, row): char-3gram prefix key; HOT KEYS
+                       SALTED from a measured frequency table (G1; the
+                       reference's "pain" blacklists,
                        1st Place/src/mimic_train.py:30,36-42)
          ──groupby(block_key)──▶ pair generation within block (capped,
                        drops logged — no silent truncation)
     pairs ──mb-actor──▶ hybrid scoring: Jaro-Winkler (DuckDB C++ kernel)
                        + char-3gram hash-embedding cosine (A3 stand-in)
-         ──filter(score ≥ θ)──▶ distinct passing (surface, concept) links
-    links ──star contraction──▶ concept↔concept cliques per surface →
-          distributed union-find (stages/components.py) over the
-          contracted graph — EXACT, because a mention's edge set is a
-          pure function of its surface, so degree-1 mention nodes
-          contract away losslessly
+         ──filter(score ≥ θ) + per-batch distinct──▶ θ-passing
+                       (surface, concept) links, tree-combined so the
+                       driver sees a dictionary-bounded table
+    links ──star contraction──▶ concept↔concept cliques per CORPUS-OBSERVED
+          surface → union-find over the contracted graph (driver-side numpy
+          when the contracted edge list is dictionary-bounded; the
+          distributed stages/components.py path beyond that) — EXACT,
+          because a mention's edge set is a pure function of its surface,
+          so degree-1 mention nodes contract away losslessly
          ──▶ per-cluster majority concept vote (G2/G6, weighted by the
               surface frequency table; 2nd Place/src/static_dict.py:116-122)
-         ──▶ broadcast surface→concept attach + per-doc overlap
-              resolution (D2, mimic_common.py:170-209; vectorized
-              contained-span fast path, exact sweep for staggered docs)
+         ──▶ broadcast sid→concept attach + per-doc overlap resolution
+              (D2, mimic_common.py:170-209; vectorized contained-span fast
+              path, exact sweep for staggered docs)
     ──▶ linked mentions (doc_id, start, end, concept_id)
+
+Scale notes:
+- The EXACT dictionary path never enters the shuffle: surface → dictionary
+  concepts is a broadcast artifact, so exact links join the candidate sets
+  directly and mentions attach via the broadcast sid→concept array.
+- Mention rows carry ``sid`` (int32 index into the broadcast surface list)
+  instead of surface strings; the block-key shuffle payload is all-int.
+- Four streaming executions end-to-end: extract(materialize) →
+  frequency tree → block/score/distinct tree → attach+resolve (consumed).
+- Per-doc overlap resolution relies on doc-contiguity within blocks; the
+  extractor emits a per-doc row count (``doc_n``) and resolution VERIFIES
+  the invariant per batch, failing loudly instead of emitting overlaps.
+  ``resolution="grouped"`` is the shuffle-based fallback for layouts that
+  can't guarantee contiguity (blocks split at target_max_block_size).
 
 Input docs are the interleaved-span fixture tables (input_hint shape); the
 spans column is projected away immediately after flattening and never
@@ -44,6 +61,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
+
 from .. import fixtures
 from ..functions.docs import flatten_batch
 from ..functions.overlaps import remove_overlaps
@@ -52,6 +70,7 @@ from ..functions.similarity import DuckSimilarity, hash_embed
 from ..functions.text import normalize_text
 from ..functions.hashing import stable_u64
 from ..state.automaton import AhoCorasick
+from .common import tree_to_pandas
 
 logger = logging.getLogger(__name__)
 
@@ -61,22 +80,23 @@ THETA = 0.995         # pair-score threshold (T6-class gate): dictionary-exact
 BLOCK_CAP = 20_000    # max pairs generated per block before salting kicks in
 HOT_KEY_MENTIONS = 2_000   # mention count above which a block key is salted
 N_SALT = 8
+DRIVER_CC_MAX_EDGES = 2_000_000  # contracted-graph size above which the
+                                 # distributed union-find takes over
 
 MENTION_NODE_FLAG = np.int64(1) << np.int64(62)
 
 
-def mention_node(mention_id: str) -> np.int64:
-    return MENTION_NODE_FLAG | np.int64(stable_u64(mention_id) >> 3)
-
-
-def mention_nodes(ids: pd.Series) -> np.ndarray:
-    """Vectorized mention-node ids. Uses pandas' deterministic-within-a-
-    pandas-version string hash (the ids are runtime-internal: every
-    consumer in one run derives them through this same function, and no
-    node id reaches persisted output — the final table carries concept
-    ids only)."""
-    h = pd.util.hash_pandas_object(ids, index=False).to_numpy()  # uint64
-    return (MENTION_NODE_FLAG | (h >> np.uint64(3)).astype(np.int64)).astype(np.int64)
+def mention_node_array(df: pd.DataFrame) -> np.ndarray:
+    """Vectorized stable mention-node ids from (doc_id, start, end). The
+    ids are runtime-internal (pandas' deterministic-within-a-version string
+    hash): every consumer in one run derives them through this same
+    function, and no node id reaches persisted output — the final table
+    carries concept ids only."""
+    h = pd.util.hash_pandas_object(df["doc_id"], index=False).to_numpy()
+    s = df["start"].to_numpy().astype(np.uint64)
+    e = df["end"].to_numpy().astype(np.uint64)
+    mix = h ^ (s * np.uint64(0x9E3779B97F4A7C15)) ^ (e * np.uint64(0xC2B2AE3D27D4EB4F))
+    return (MENTION_NODE_FLAG | (mix >> np.uint64(3)).astype(np.int64)).astype(np.int64)
 
 
 # --------------------------------------------------------------------------
@@ -101,11 +121,16 @@ def build_link_state(fixture_path: str):
     surfaces = sorted(surface_to_cids)
     automaton = AhoCorasick({s: i for i, s in enumerate(surfaces)})
     emb = hash_embed(surfaces)
+    # unsalted fuzzy block id per sid (int64; low 4 bits reserved for salt)
+    block_of_sid = np.array(
+        [prefix_block_id(s[:3]) for s in surfaces], dtype=np.int64
+    )
     return {
         "automaton": automaton,
         "surfaces": surfaces,
         "surface_to_cids": {s: sorted(v) for s, v in surface_to_cids.items()},
         "surface_emb": emb,
+        "block_of_sid": block_of_sid,
     }
 
 
@@ -130,7 +155,6 @@ def _norm_with_map(raw: str):
     if not parts:
         return "", np.zeros(0, dtype=np.int64)
     norm = " ".join(parts)
-    gaps = []
     out = []
     for i, arr in enumerate(idx_parts):
         out.append(arr)
@@ -138,27 +162,33 @@ def _norm_with_map(raw: str):
             out.append(np.array([arr[-1] + 1], dtype=np.int64))  # the join space
     norm2raw = np.concatenate(out)
     assert len(norm2raw) == len(norm)
-    _ = gaps
     return norm, norm2raw
 
 
 class MentionExtractor:
     """Automaton matcher with per-actor state: the broadcast automaton +
-    dictionary ship once per actor (__init__), not per batch."""
+    dictionary ship once per actor (__init__), not per batch.
 
-    def __init__(self, state_ref):
+    Emits ``sid`` (int32 index into the broadcast surface list — strings
+    never enter the mentions table) and ``doc_n`` (number of mention rows
+    for the doc, emitted while the doc is provably whole inside this one
+    call — the downstream resolution invariant check). The M16
+    section-exclusion filter applies HERE, before doc_n is counted."""
+
+    def __init__(self, state_ref, exclude_sections: frozenset[str] | None = None):
         state = ray.get(state_ref)
         self.ac: AhoCorasick = state["automaton"]
-        self.surfaces: list[str] = state["surfaces"]
+        self.n_surfaces = len(state["surfaces"])
+        self.exclude = exclude_sections or frozenset()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {
-            "mention_id": [],
             "doc_id": [],
             "start": [],
             "end": [],
-            "surface": [],
+            "sid": [],
             "section": [],
+            "doc_n": [],
         }
         for doc_id, raw in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
@@ -169,6 +199,7 @@ class MentionExtractor:
             sections = SectionIndex(find_sections(raw))
             n = len(norm)
             seen: set[tuple[int, int, int]] = set()
+            n_doc = 0
             for s, e, pid in self.ac.find_all(norm):
                 # word boundaries in norm space, with trailing-plural
                 # tolerance (M1 trailing s*): allow one extra 's' before the
@@ -182,35 +213,39 @@ class MentionExtractor:
                         continue
                 raw_s = int(norm2raw[s])
                 raw_e = int(norm2raw[e - 1]) + 1
+                # span identity includes the surface id so nested matches at
+                # the same offsets stay distinct (they'd otherwise bridge
+                # unrelated concepts through one shared node)
                 key = (raw_s, raw_e, pid)
                 if key in seen:
                     continue
+                section = sections.header_at(raw_s)
+                if section in self.exclude:
+                    continue
                 seen.add(key)
-                # node identity includes end so nested matches at the same
-                # start are distinct graph nodes (they'd otherwise bridge
-                # unrelated concepts through one shared node)
-                out["mention_id"].append(f"{doc_id}:{raw_s}:{raw_e}")
                 out["doc_id"].append(doc_id)
                 out["start"].append(raw_s)
                 out["end"].append(raw_e)
-                out["surface"].append(self.surfaces[pid])
-                out["section"].append(sections.header_at(raw_s))
+                out["sid"].append(pid)
+                out["section"].append(section)
+                n_doc += 1
+            out["doc_n"].extend([n_doc] * n_doc)
         return pa.table(
             {
-                "mention_id": pa.array(out["mention_id"], pa.string()),
                 "doc_id": pa.array(out["doc_id"], pa.string()),
                 "start": pa.array(out["start"], pa.int32()),
                 "end": pa.array(out["end"], pa.int32()),
-                "surface": pa.array(out["surface"], pa.string()),
+                "sid": pa.array(out["sid"], pa.int32()),
                 "section": pa.array(out["section"], pa.string()),
+                "doc_n": pa.array(out["doc_n"], pa.int32()),
             }
         )
 
 
 def extract_mentions(sf_dir: str, exclude_sections: frozenset[str] | None = None):
     """docs → mentions Dataset. ``exclude_sections`` applies the M16
-    medication-section filter when given (off by default: the fixture gold
-    plants mentions in all sections)."""
+    medication-section filter inside the extractor (off by default: the
+    fixture gold plants mentions in all sections)."""
     fdir = fixtures.fixture_dir(fixtures.spec_for_sf_dir(sf_dir))
     state_ref = ray.put(build_link_state(fdir))
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -222,27 +257,75 @@ def extract_mentions(sf_dir: str, exclude_sections: frozenset[str] | None = None
     )
     mentions = flat.map_batches(
         MentionExtractor,
-        fn_constructor_args=(state_ref,),
+        fn_constructor_args=(state_ref, exclude_sections),
         batch_format="pyarrow",
         # min pool = half the CPUs: autoscaling from 1 ramps too slowly and
         # its latency dominates; leaving half the CPUs keeps read tasks fed
         concurrency=(max(1, n_cpus // 2), n_cpus),
         batch_size=128,
     )
-    if exclude_sections:
-        excl = list(exclude_sections)
-        mentions = mentions.map_batches(
-            lambda t: t.filter(
-                pa.compute.invert(pa.compute.is_in(t["section"], value_set=pa.array(excl)))
-            ),
-            batch_format="pyarrow",
-        )
     return mentions, state_ref, fdir
 
 
 def q_mentions(sf_dir: str):
-    m, _, _ = extract_mentions(sf_dir)
-    return m
+    """Extracted mentions with surfaces restored for presentation (the
+    pipeline-internal table carries sid ints only)."""
+    mentions, state_ref, _ = extract_mentions(sf_dir)
+    surfaces_ref = ray.put(
+        np.array(ray.get(state_ref)["surfaces"], dtype=object)
+    )
+
+    class Project:
+        def __init__(self):
+            self.surfaces = ray.get(surfaces_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"],
+                    "start": df["start"].astype(np.int32),
+                    "end": df["end"].astype(np.int32),
+                    "surface": self.surfaces[df["sid"].to_numpy()],
+                    "section": df["section"],
+                }
+            )
+
+    return mentions.map_batches(Project, batch_format="pandas", concurrency=(1, 4))
+
+
+# --------------------------------------------------------------------------
+# frequency table (G1) — dictionary-bounded, tree-combined
+# --------------------------------------------------------------------------
+
+def surface_freq(mentions: rd.Dataset, n_surfaces: int) -> np.ndarray:
+    """Per-sid corpus mention counts. Partial counts per batch (≤ one row
+    per distinct sid), tree-combined so the driver sees ≤ n_surfaces rows
+    regardless of corpus size."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["sid"].value_counts()
+        return pd.DataFrame(
+            {"sid": vc.index.to_numpy().astype(np.int32),
+             "n": vc.to_numpy().astype(np.int64)}
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("sid", as_index=False)["n"].sum()
+        g["sid"] = g["sid"].astype(np.int32)
+        return g
+
+    try:
+        hint = mentions.num_blocks() or 64
+    except Exception:
+        hint = 64
+    final = tree_to_pandas(
+        mentions.map_batches(partial, batch_format="pandas"), combine,
+        n_blocks_hint=hint,
+    )
+    freq = np.zeros(n_surfaces, dtype=np.int64)
+    if len(final) and "sid" in final.columns:
+        freq[final["sid"].to_numpy()] = final["n"].to_numpy()
+    return freq
 
 
 # --------------------------------------------------------------------------
@@ -255,7 +338,7 @@ def _block_keys_for_surface(surface: str) -> list[str]:
     broadcast artifact, so exact mention↔concept links enter the candidate
     sets directly (``cand_by_sid`` in ``run_entity_link``: surface →
     dictionary concepts, score 1.0 by construction) and mentions attach via
-    the broadcast surface→concept map (``AttachConcept``) — the guide's
+    the broadcast sid→concept array (``AttachConcept``) — the guide's
     broadcast-join rule. The shuffle below carries only the fuzzy
     candidates that genuinely need cross-corpus co-location."""
     pref = surface[:3]
@@ -272,81 +355,56 @@ def prefix_block_id(prefix: str) -> np.int64:
     return np.int64(v << 4)
 
 
-def blocked_sides(mentions: rd.Dataset, state_ref) -> tuple[rd.Dataset, rd.Dataset, set]:
-    """Emit (block_key, ...) rows for both sides of the FUZZY path; measure
-    mention-side key frequencies (G1) and salt hot keys: mention rows get
+def blocked_sides(
+    mentions: rd.Dataset, state_ref, freq_n: np.ndarray
+) -> tuple[rd.Dataset, rd.Dataset, set]:
+    """Emit (block_key, ...) rows for both sides of the FUZZY path; salt
+    hot keys measured from the frequency table: mention rows get
     key#h(mention)%k, concept rows replicate into every salt bucket.
+    The shuffle payload is ALL-INT: (block_key:int64, node:int64,
+    sid:int32, concept_id:int64)."""
+    state = ray.get(state_ref)
+    block_of_sid = state["block_of_sid"]
 
-    The frequency table is a tiny partial-count aggregate over SURFACES
-    (bounded by dictionary size, not corpus size); per-key frequencies are
-    derived from it driver-side since every block key is a function of the
-    surface. One vectorized pass then explodes + salts in the same stage.
-    """
-
-    def surf_counts(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["surface"].value_counts()
-        return pd.DataFrame(
-            {"surface": vc.index, "n": vc.to_numpy().astype(np.int64)}
-        )
-
-    # Distributed partial counts per batch; the final combine runs driver-
-    # side because its size is bounded by the DICTIONARY (≤ #surfaces per
-    # batch-partial), not the corpus — the guide's "small result" rule.
-    freq = (
-        mentions.map_batches(surf_counts, batch_format="pandas")
-        .to_pandas()
-        .groupby("surface", as_index=False)["n"]
-        .sum()
-    )
+    # per-block mention frequency, derived driver-side from the
+    # dictionary-bounded freq table (block id is a function of the surface)
     key_n: dict[int, int] = {}
-    for s, n in zip(freq["surface"], freq["n"]):
-        if s[:3]:
-            k = int(prefix_block_id(s[:3]))
-            key_n[k] = key_n.get(k, 0) + int(n)
+    for b, n in zip(block_of_sid, freq_n):
+        if n:
+            key_n[int(b)] = key_n.get(int(b), 0) + int(n)
     hot = {k for k, n in key_n.items() if n > HOT_KEY_MENTIONS}
     if hot:
         logger.info("salting %d hot block ids: %s", len(hot), sorted(hot)[:5])
 
-    hot_ref = ray.put(hot)
+    hot_arr_ref = ray.put(np.array(sorted(hot), dtype=np.int64))
 
     class ExplodeSalt:
-        """Vectorized: one int-only row per mention — (block_key, node,
-        sid). The shuffle carries NO strings: node = stable mention-node id,
-        sid = index into the broadcast surfaces list (strings are recovered
-        from broadcast state on the far side). Hot keys salted by a stable
-        per-mention hash."""
+        """Vectorized, string-free: one int-only row per mention. Strings
+        are recovered from broadcast state on the far side. Hot keys salted
+        by a stable per-mention hash."""
 
         def __init__(self):
-            self.hot = ray.get(hot_ref)
-            self.sid = {
-                s: np.int32(i) for i, s in enumerate(ray.get(state_ref)["surfaces"])
-            }
+            self.hot = ray.get(hot_arr_ref)
+            self.block_of_sid = ray.get(state_ref)["block_of_sid"]
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            surf = df["surface"].astype(str)
-            pref = surf.str[:3]
-            codes, uniques = pd.factorize(pref)
-            ids = np.array([prefix_block_id(u) for u in uniques], dtype=np.int64)[codes]
-            if self.hot:
-                hot_mask = np.isin(ids, list(self.hot))
+            sid = df["sid"].to_numpy().astype(np.int32)
+            ids = self.block_of_sid[sid]
+            node = mention_node_array(df)
+            if len(self.hot):
+                hot_mask = np.isin(ids, self.hot)
                 if hot_mask.any():
-                    salts = (
-                        pd.util.hash_pandas_object(
-                            df["mention_id"], index=False
-                        ).to_numpy()
-                        % N_SALT
-                    ).astype(np.int64)
+                    salts = (node.astype(np.uint64) % np.uint64(N_SALT)).astype(
+                        np.int64
+                    )
                     ids = ids + np.where(hot_mask, salts, 0)
-            s_codes, s_uniq = pd.factorize(surf)
-            sid_map = np.array([self.sid.get(u, -1) for u in s_uniq], dtype=np.int32)
-            n = len(df)
             return pa.table(
                 {
                     "block_key": pa.array(ids, pa.int64()),
-                    "node": pa.array(mention_nodes(df["mention_id"])),
-                    "sid": pa.array(sid_map[s_codes], pa.int32()),
+                    "node": pa.array(node, pa.int64()),
+                    "sid": pa.array(sid, pa.int32()),
                     "concept_id": pa.array(
-                        np.full(n, -1, dtype=np.int64)
+                        np.full(len(df), -1, dtype=np.int64)
                     ),  # marks the mention side
                 }
             )
@@ -355,13 +413,12 @@ def blocked_sides(mentions: rd.Dataset, state_ref) -> tuple[rd.Dataset, rd.Datas
 
     # concept side: built driver-side from the dictionary (small), replicated
     # into salt buckets for hot keys
-    state = ray.get(state_ref)
     sid_of = {s: i for i, s in enumerate(state["surfaces"])}
     c_rows = {"block_key": [], "node": [], "sid": [], "concept_id": []}
     for surf, cids in state["surface_to_cids"].items():
         if not surf[:3]:
             continue
-        base = int(prefix_block_id(surf[:3]))
+        base = int(block_of_sid[sid_of[surf]])
         targets = [base + i for i in range(N_SALT)] if base in hot else [base]
         for t in targets:
             for cid in cids:
@@ -379,7 +436,7 @@ def blocked_sides(mentions: rd.Dataset, state_ref) -> tuple[rd.Dataset, rd.Datas
             }
         )
     )
-    return m_salted, c_keys, hot, freq
+    return m_salted, c_keys, hot
 
 
 def candidate_pairs(m_salted: rd.Dataset, c_keys: rd.Dataset) -> rd.Dataset:
@@ -425,8 +482,9 @@ def candidate_pairs(m_salted: rd.Dataset, c_keys: rd.Dataset) -> rd.Dataset:
                 "c_sid": c_sid[ci],
             }
         )
-        # same-surface pairs are the exact path's job (already emitted with
-        # score 1.0); the fuzzy path scores only genuine near-misses
+        # same-surface pairs are the exact path's job (already in the
+        # candidate sets with score 1.0); the fuzzy path scores only
+        # genuine near-misses
         return out[out["m_sid"].to_numpy() != out["c_sid"].to_numpy()]
 
     return both.groupby("block_key").map_groups(pairgen, batch_format="pandas")
@@ -485,31 +543,172 @@ def score_pairs(pairs: rd.Dataset, state_ref, apply_threshold: bool = True) -> r
     )
 
 
+def fuzzy_pass_links(scored: rd.Dataset) -> tuple[pd.DataFrame, int]:
+    """Distinct θ-passing (m_sid, concept_id) links + total scored-pair
+    count, in ONE streaming execution. Per-batch partials (distinct pass
+    rows + one count row) are tree-combined, so the driver-side result is
+    dictionary-bounded regardless of how many pair batches were scored."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "m_sid" not in df.columns:
+            # Ray drops the schema of fully-empty pandas blocks — emit the
+            # count row so the schema survives
+            return pd.DataFrame(
+                {"m_sid": np.array([-1], dtype=np.int64),
+                 "concept_id": np.array([-1], dtype=np.int64),
+                 "n": np.array([0], dtype=np.int64)}
+            )
+        passing = df[df["score"] >= THETA][["m_sid", "concept_id"]].drop_duplicates()
+        out = pd.DataFrame(
+            {
+                "m_sid": passing["m_sid"].to_numpy().astype(np.int64),
+                "concept_id": passing["concept_id"].to_numpy().astype(np.int64),
+                "n": np.zeros(len(passing), dtype=np.int64),
+            }
+        )
+        count_row = pd.DataFrame(
+            {"m_sid": np.array([-1], dtype=np.int64),
+             "concept_id": np.array([-1], dtype=np.int64),
+             "n": np.array([len(df)], dtype=np.int64)}
+        )
+        return pd.concat([out, count_row], ignore_index=True)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        is_count = df["m_sid"].to_numpy() < 0
+        total = int(df.loc[is_count, "n"].sum())
+        links = df[~is_count].drop_duplicates(["m_sid", "concept_id"])
+        count_row = pd.DataFrame(
+            {"m_sid": np.array([-1], dtype=np.int64),
+             "concept_id": np.array([-1], dtype=np.int64),
+             "n": np.array([total], dtype=np.int64)}
+        )
+        return pd.concat([links, count_row], ignore_index=True)
+
+    final = tree_to_pandas(
+        scored.map_batches(partial, batch_format="pandas"), combine,
+        n_blocks_hint=64,
+    )
+    final = combine(final)
+    is_count = final["m_sid"].to_numpy() < 0
+    n_scored = int(final.loc[is_count, "n"].sum())
+    return final[~is_count][["m_sid", "concept_id"]], n_scored
+
+
 # --------------------------------------------------------------------------
 # clustering + concept assignment + resolution
 # --------------------------------------------------------------------------
 
-def _passing_sid_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    """Distinct θ-passing (m_sid, concept_id) rows; tolerant of schemaless
-    empty blocks (Ray drops the schema of fully-empty pandas blocks)."""
-    if len(df) == 0 or "m_sid" not in df.columns:
+def _driver_components(u: list[int], v: list[int]) -> dict[int, int]:
+    """Union-find over the CONTRACTED concept graph (dictionary-bounded by
+    star contraction, so driver-side numpy is legitimate). Above
+    DRIVER_CC_MAX_EDGES the caller switches to the distributed path."""
+    from ..stages.components import _collapse
+
+    lab = _collapse(
+        pd.DataFrame(
+            {"u": np.array(u, dtype=np.int64), "v": np.array(v, dtype=np.int64)}
+        )
+    )
+    return dict(zip(lab["u"], lab["v"]))
+
+
+def _resolve_frame(g: pd.DataFrame, check_invariant: bool = True) -> pd.DataFrame:
+    """Per-doc overlap resolution (D2) over one doc-complete frame.
+
+    Vectorized fast path: a span strictly CONTAINED in another span always
+    loses the D2 sweep (shorter effective length) and can never re-add
+    (it still overlaps its kept container), so contained spans are dropped
+    with a cummax scan. Only docs with STAGGERED overlaps
+    (start_i < start_j < end_i < end_j) fall back to the exact python
+    sweep — rare, since nested dictionary matches dominate.
+
+    ``check_invariant``: verify each doc is COMPLETE in this frame by
+    comparing row counts against ``doc_n`` (stamped at extraction while the
+    doc was provably whole). A violation means an upstream block split a
+    doc across batches — fail loudly instead of emitting overlaps; the
+    ``resolution="grouped"`` path is the fallback."""
+    if len(g) == 0:
         return pd.DataFrame(
             {
-                "m_sid": pd.Series([], dtype=np.int32),
+                "doc_id": pd.Series([], dtype=object),
+                "start": pd.Series([], dtype=np.int32),
+                "end": pd.Series([], dtype=np.int32),
                 "concept_id": pd.Series([], dtype=np.int64),
             }
         )
-    return df[df["score"] >= THETA][["m_sid", "concept_id"]].drop_duplicates()
+    if check_invariant and "doc_n" in g.columns:
+        counts = g.groupby("doc_id")["doc_n"].agg(["size", "first"])
+        bad = counts[counts["size"] != counts["first"]]
+        if len(bad):
+            raise RuntimeError(
+                "doc-contiguity invariant violated: docs "
+                f"{list(bad.index[:5])} are split across blocks "
+                f"(have {list(bad['size'][:5])} of {list(bad['first'][:5])} "
+                "rows in this batch). Use resolution='grouped' for this "
+                "layout (blocks split mid-doc at target_max_block_size)."
+            )
+    g = g.drop_duplicates(["doc_id", "start", "end", "cluster_concept"])
+    # D2 order: (start asc, longer first, concept asc)
+    g = g.sort_values(
+        ["doc_id", "start", "end", "cluster_concept"],
+        ascending=[True, True, False, True],
+    )
+    cummax_end = g.groupby("doc_id")["end"].cummax()
+    prev_cummax = cummax_end.groupby(g["doc_id"]).shift().fillna(-1)
+    overlapped = (g["start"] < prev_cummax).to_numpy()
+    contained = (g["end"] <= prev_cummax).to_numpy()
+    staggered = overlapped & ~contained
+    bad_docs = set(g.loc[staggered, "doc_id"])
+    easy = g[~g["doc_id"].isin(bad_docs)]
+    easy_contained = contained[~g["doc_id"].isin(bad_docs).to_numpy()]
+    keep = easy[~easy_contained]
+    rows = [
+        pd.DataFrame(
+            {
+                "doc_id": keep["doc_id"],
+                "start": keep["start"].astype(np.int32),
+                "end": keep["end"].astype(np.int32),
+                "concept_id": keep["cluster_concept"].astype(np.int64),
+            }
+        )
+    ]
+    for doc in sorted(bad_docs):
+        d = g[g["doc_id"] == doc]
+        spans = [
+            {"start": int(s), "end": int(e), "concept_id": int(c)}
+            for s, e, c in zip(d["start"], d["end"], d["cluster_concept"])
+        ]
+        kept = remove_overlaps(spans)
+        rows.append(
+            pd.DataFrame(
+                {
+                    "doc_id": doc,
+                    "start": np.array([k["start"] for k in kept], dtype=np.int32),
+                    "end": np.array([k["end"] for k in kept], dtype=np.int32),
+                    "concept_id": np.array(
+                        [k["concept_id"] for k in kept], dtype=np.int64
+                    ),
+                }
+            )
+        )
+    out = pd.concat(rows, ignore_index=True)
+    return out.sort_values(["doc_id", "start", "end"], ignore_index=True)
 
 
 def run_entity_link(
     sf_dir: str,
     exclude_sections: frozenset[str] | None = None,
     timings: dict | None = None,
+    resolution: str = "block",
 ):
     """Flagship pipeline. When ``timings`` is a dict it is filled with stage
     wall-times and cardinalities (bench instrumentation; adds one count on
-    already-materialized data, no extra passes)."""
+    already-materialized data, no extra passes).
+
+    ``resolution``: "block" resolves overlaps per block (no shuffle; the
+    doc-contiguity invariant is VERIFIED per batch via doc_n and violations
+    raise), "grouped" shuffles by hash(doc_id) buckets first — the fallback
+    for layouts where blocks may split mid-doc."""
     import time as _time
 
     from ..stages.components import connected_components
@@ -517,66 +716,64 @@ def run_entity_link(
     t0 = _time.time()
     mentions, state_ref, fdir = extract_mentions(sf_dir, exclude_sections)
     mentions = mentions.materialize()  # reused below (small relative to docs)
+    state = ray.get(state_ref)
+    surfaces = state["surfaces"]
+    s2c = state["surface_to_cids"]
     if timings is not None:
         timings["t_extract"] = round(_time.time() - t0, 3)
         timings["n_mentions"] = mentions.count()
 
     t0 = _time.time()
-    m_salted, c_keys, _hot, freq = blocked_sides(mentions, state_ref)
+    freq_n = surface_freq(mentions, len(surfaces))
+    m_salted, c_keys, _hot = blocked_sides(mentions, state_ref, freq_n)
     pairs = candidate_pairs(m_salted, c_keys)
-    scored_all = score_pairs(pairs, state_ref, apply_threshold=False).materialize()
+    scored = score_pairs(pairs, state_ref, apply_threshold=False)
     # θ-passing fuzzy LINKS are a pure function of (surface, concept) —
     # the mention-level pairs above exist to measure/score the candidate
     # stream at corpus scale; the distinct passing table is dictionary-
-    # bounded, so its partial-distinct per batch concatenates driver-side.
-    fuzzy_pass = (
-        scored_all.map_batches(_passing_sid_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
-    if "m_sid" not in fuzzy_pass.columns:  # all-empty dataset loses schema
-        fuzzy_pass = pd.DataFrame({"m_sid": [], "concept_id": []})
-    state = ray.get(state_ref)
-    surfaces = state["surfaces"]
-    s2c = state["surface_to_cids"]
+    # bounded and tree-combined (driver never sees per-batch partials).
+    fuzzy_pass, n_scored = fuzzy_pass_links(scored)
     n_exact_pairs = int(
-        sum(int(n) * len(s2c.get(s, ())) for s, n in zip(freq["surface"], freq["n"]))
+        sum(
+            int(freq_n[i]) * len(s2c.get(s, ()))
+            for i, s in enumerate(surfaces)
+            if freq_n[i]
+        )
     )
     if timings is not None:
         timings["t_block_score"] = round(_time.time() - t0, 3)
-        timings["n_candidate_pairs"] = scored_all.count() + n_exact_pairs
+        timings["n_candidate_pairs"] = n_scored + n_exact_pairs
 
     # ---- clustering: star-contracted union-find --------------------------
     # The mention↔concept graph is bipartite and mention nodes have their
     # whole edge set determined by their surface (exact candidates ∪
     # θ-passing fuzzy candidates). Star contraction therefore reduces the
-    # graph EXACTLY to concept↔concept bridges per surface clique; the
-    # distributed union-find runs on that contracted edge list and mention
+    # graph EXACTLY to concept↔concept bridges per CORPUS-OBSERVED surface
+    # clique (a never-mentioned surface has no mention star, hence no
+    # bridge); union-find runs on that contracted edge list and mention
     # labels are recovered by broadcast lookup — no per-mention node ever
     # enters the shuffle. (Contraction is the standard CC optimization;
     # here it is lossless because candidates(surface) is a total function.)
     t0 = _time.time()
-    freq_by_surface = dict(zip(freq["surface"], freq["n"]))
     cand_by_sid: list[list[int]] = [list(s2c.get(s, ())) for s in surfaces]
     for sid, cid in zip(fuzzy_pass["m_sid"], fuzzy_pass["concept_id"]):
         cand_by_sid[int(sid)].append(int(cid))
     cand_by_sid = [sorted(set(c)) for c in cand_by_sid]
-    # Bridges come ONLY from corpus-observed surfaces (freq > 0): star
-    # contraction contracts MENTION stars, and a surface with zero corpus
-    # mentions has no star — a never-mentioned multi-concept dictionary
-    # surface must not union its concepts (it would let the modal vote
-    # reassign mentions of unrelated surfaces). The fuzzy path is already
-    # corpus-conditional by construction.
     bridges_u: list[int] = []
     bridges_v: list[int] = []
-    for s, cands in zip(surfaces, cand_by_sid):
-        if len(cands) > 1 and int(freq_by_surface.get(s, 0)) > 0:
+    for i, cands in enumerate(cand_by_sid):
+        if len(cands) > 1 and freq_n[i] > 0:
             root = min(cands)
             for c in cands:
                 if c != root:
                     bridges_u.append(root)
                     bridges_v.append(c)
-    if bridges_u:
+    if not bridges_u:
+        cluster_of: dict[int, int] = {}
+    elif len(bridges_u) <= DRIVER_CC_MAX_EDGES:
+        # contracted graph is dictionary-bounded → driver numpy union-find
+        cluster_of = _driver_components(bridges_u, bridges_v)
+    else:  # pragma: no cover - exercised via stages/components tests
         bridge_ds = rd.from_arrow(
             pa.table(
                 {
@@ -587,8 +784,6 @@ def run_entity_link(
         )
         labels_pd = connected_components(bridge_ds, n_blocks_hint=1).to_pandas()
         cluster_of = dict(zip(labels_pd["node"], labels_pd["label"]))
-    else:
-        cluster_of = {}
 
     def cluster(cid: int) -> int:
         return int(cluster_of.get(cid, cid))
@@ -597,8 +792,8 @@ def run_entity_link(
     # weighted by mention counts — votes derive from the surface frequency
     # table × candidate sets (identical to counting mention edges)
     vote_n: dict[tuple[int, int], int] = {}
-    for s, cands in zip(surfaces, cand_by_sid):
-        n = int(freq_by_surface.get(s, 0))
+    for i, cands in enumerate(cand_by_sid):
+        n = int(freq_n[i])
         if n == 0:
             continue
         for c in cands:
@@ -612,16 +807,14 @@ def run_entity_link(
             best[lab] = (-n, c)
             modal[lab] = c
 
-    # final per-surface assignment: min candidate concept → its cluster →
-    # the cluster's modal concept; broadcast as a plain surface→concept map.
-    # Only corpus-observed surfaces get entries (mentions carry observed
-    # surfaces only, and the map ships to every attach actor).
-    final_of_surface = {
-        s: modal.get(cluster(min(cands)), min(cands))
-        for s, cands in zip(surfaces, cand_by_sid)
-        if cands and int(freq_by_surface.get(s, 0)) > 0
-    }
-    final_ref = ray.put(final_of_surface)
+    # final per-sid assignment: min candidate concept → its cluster → the
+    # cluster's modal concept; broadcast as a flat int64 array (zero-copy
+    # plasma, no pickled dict). Only corpus-observed sids get entries.
+    final_sid = np.full(len(surfaces), -1, dtype=np.int64)
+    for i, cands in enumerate(cand_by_sid):
+        if cands and freq_n[i] > 0:
+            final_sid[i] = modal.get(cluster(min(cands)), min(cands))
+    final_ref = ray.put(final_sid)
     if timings is not None:
         timings["t_cluster_vote"] = round(_time.time() - t0, 3)
         timings["n_bridges"] = len(bridges_u)
@@ -631,87 +824,56 @@ def run_entity_link(
             self.final = ray.get(final_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            cids = df["surface"].map(self.final)
-            ok = cids.notna().to_numpy()
-            out = pd.DataFrame(
+            cids = self.final[df["sid"].to_numpy()]
+            if (cids < 0).any():
+                # every extracted mention's surface is in the dictionary, so
+                # every observed sid must have an assignment; a miss would
+                # silently break the doc_n resolution invariant
+                raise RuntimeError("mention sid without concept assignment")
+            return pd.DataFrame(
                 {
                     "doc_id": df["doc_id"],
                     "start": df["start"],
                     "end": df["end"],
-                    "cluster_concept": cids.fillna(-1).astype(np.int64),
+                    "cluster_concept": cids,
+                    "doc_n": df["doc_n"],
                 }
             )
-            return out[ok]
 
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
     linked = mentions.map_batches(
         AttachConcept, batch_format="pandas", concurrency=(1, max(4, n_cpus // 2))
     )
 
-    # Per-doc overlap resolution (D2) WITHOUT a shuffle: mention extraction
-    # processes each doc wholly inside one batch task, and every stage from
-    # there to here is a block-preserving map_batches — so all rows of a doc
-    # are contiguous within one block, and per-block resolution is
-    # doc-complete. (If an upstream repartition ever broke that invariant,
-    # the grouped fallback would be groupby(hash(doc_id)%B).map_groups.)
-    #
-    # Vectorized fast path: a span strictly CONTAINED in another span always
-    # loses the D2 sweep (shorter effective length) and can never re-add
-    # (it still overlaps its kept container), so contained spans are dropped
-    # with a cummax scan. Only docs with STAGGERED overlaps
-    # (start_i < start_j < end_i < end_j) fall back to the exact python
-    # sweep — rare, since nested dictionary matches dominate.
-    def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["doc_id", "start", "end", "cluster_concept"])
-        # D2 order: (start asc, longer first, concept asc)
-        g = g.sort_values(
-            ["doc_id", "start", "end", "cluster_concept"],
-            ascending=[True, True, False, True],
-        )
-        cummax_end = g.groupby("doc_id")["end"].cummax()
-        prev_cummax = cummax_end.groupby(g["doc_id"]).shift().fillna(-1)
-        overlapped = (g["start"] < prev_cummax).to_numpy()
-        contained = (g["end"] <= prev_cummax).to_numpy()
-        staggered = overlapped & ~contained
-        bad_docs = set(g.loc[staggered, "doc_id"])
-        easy = g[~g["doc_id"].isin(bad_docs)]
-        easy_contained = contained[~g["doc_id"].isin(bad_docs).to_numpy()]
-        keep = easy[~easy_contained]
-        rows = [
-            pd.DataFrame(
-                {
-                    "doc_id": keep["doc_id"],
-                    "start": keep["start"].astype(np.int32),
-                    "end": keep["end"].astype(np.int32),
-                    "concept_id": keep["cluster_concept"].astype(np.int64),
-                }
-            )
-        ]
-        for doc in sorted(bad_docs):
-            d = g[g["doc_id"] == doc]
-            spans = [
-                {"start": int(s), "end": int(e), "concept_id": int(c)}
-                for s, e, c in zip(d["start"], d["end"], d["cluster_concept"])
-            ]
-            kept = remove_overlaps(spans)
-            rows.append(
-                pd.DataFrame(
-                    {
-                        "doc_id": doc,
-                        "start": np.array([k["start"] for k in kept], dtype=np.int32),
-                        "end": np.array([k["end"] for k in kept], dtype=np.int32),
-                        "concept_id": np.array(
-                            [k["concept_id"] for k in kept], dtype=np.int64
-                        ),
-                    }
-                )
-            )
-        out = pd.concat(rows, ignore_index=True)
-        return out.sort_values(["doc_id", "start", "end"], ignore_index=True)
+    if resolution == "grouped":
+        # shuffle-based fallback: co-locate each doc's rows by hashed doc
+        # bucket (vectorized resolution inside each of the ~256 groups)
+        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["rbucket"] = (
+                pd.util.hash_pandas_object(df["doc_id"], index=False).to_numpy()
+                % np.uint64(256)
+            ).astype(np.int64)
+            return df
 
-    return linked.map_batches(resolve_bucket, batch_format="pandas").select_columns(
-        ["doc_id", "start", "end", "concept_id"]
-    )
+        return (
+            linked.map_batches(add_bucket, batch_format="pandas")
+            .groupby("rbucket")
+            .map_groups(
+                lambda g: _resolve_frame(g, check_invariant=False),
+                batch_format="pandas",
+            )
+            .select_columns(["doc_id", "start", "end", "concept_id"])
+        )
+
+    # Per-doc overlap resolution (D2) WITHOUT a shuffle: mention extraction
+    # processes each doc wholly inside one batch task and every stage from
+    # there to here is a block-preserving map_batches, so all rows of a doc
+    # are contiguous within one block. That invariant is VERIFIED per batch
+    # (doc_n row counts) — a violation raises instead of emitting overlaps.
+    return linked.map_batches(
+        _resolve_frame, batch_format="pandas", batch_size=None
+    ).select_columns(["doc_id", "start", "end", "concept_id"])
 
 
 def q_entity_link(sf_dir: str):
@@ -739,8 +901,8 @@ def run_entity_link_checkpointed(
 
     Output partition key = hash(doc_id) % N_OUTPUT_PARTITIONS — the same
     doc-partitioning every per-doc stage relies on, so a resumed run can
-    skip finished partitions. Input fingerprint = fixture key + θ, so a
-    config change invalidates the checkpoint. Returns stage metrics.
+    skip finished partitions. Input fingerprint covers every output-
+    changing config knob. Returns stage metrics.
     """
     from ..sources.checkpoint import checkpointed_write
 
@@ -777,33 +939,61 @@ def run_entity_link_checkpointed(
 def linked_pairs(sf_dir: str) -> pa.Table:
     """(mention_id, concept_id) pairs the pipeline links (score ≥ θ) —
     the table the pairwise-F1 gate evaluates against gold_pairs. The
-    emitted mention_id is ``doc:start`` (the gold_pairs id form); internal
-    ids also carry the span end."""
+    emitted mention_id is ``doc:start`` (the gold_pairs id form).
+
+    Candidate sets are broadcast (flattened offsets+values int arrays) and
+    exploded per batch with vectorized repeats — no driver-side per-row
+    loop; only the final result table (gate-sized) is collected."""
     mentions, state_ref, _ = extract_mentions(sf_dir)
     mentions = mentions.materialize()
-    m_salted, c_keys, _hot, _freq = blocked_sides(mentions, state_ref)
+    state = ray.get(state_ref)
+    surfaces = state["surfaces"]
+    freq_n = surface_freq(mentions, len(surfaces))
+    m_salted, c_keys, _hot = blocked_sides(mentions, state_ref, freq_n)
     pairs = candidate_pairs(m_salted, c_keys)
-    fuzzy_pass = (
+    fuzzy_pass, _ = fuzzy_pass_links(
         score_pairs(pairs, state_ref, apply_threshold=False)
-        .map_batches(_passing_sid_pairs, batch_format="pandas")
+    )
+
+    cand_sets: list[set[int]] = [
+        set(state["surface_to_cids"].get(s, ())) for s in surfaces
+    ]
+    for sid, cid in zip(fuzzy_pass["m_sid"], fuzzy_pass["concept_id"]):
+        cand_sets[int(sid)].add(int(cid))
+    # flatten to (offsets, values) for vectorized per-batch explosion
+    counts = np.array([len(c) for c in cand_sets], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    values = np.array(
+        [c for cs in cand_sets for c in sorted(cs)], dtype=np.int64
+    )
+    cand_ref = ray.put((offsets, values, counts))
+
+    class Explode:
+        def __init__(self):
+            self.offsets, self.values, self.counts = ray.get(cand_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            sid = df["sid"].to_numpy()
+            reps = self.counts[sid]
+            row_idx = np.repeat(np.arange(len(df)), reps)
+            # index of each exploded element inside its candidate list
+            within = np.arange(reps.sum()) - np.repeat(
+                np.concatenate([[0], np.cumsum(reps)])[:-1], reps
+            )
+            cids = self.values[self.offsets[sid[row_idx]] + within]
+            ids = (
+                df["doc_id"].to_numpy()[row_idx].astype(object)
+                + ":"
+                + df["start"].to_numpy().astype(str)[row_idx].astype(object)
+            )
+            return pd.DataFrame(
+                {"mention_id": ids, "concept_id": cids}
+            ).drop_duplicates()
+
+    out = (
+        mentions.map_batches(Explode, batch_format="pandas", concurrency=(1, 4))
         .to_pandas()
         .drop_duplicates()
+        .reset_index(drop=True)
     )
-    if "m_sid" not in fuzzy_pass.columns:  # all-empty dataset loses schema
-        fuzzy_pass = pd.DataFrame({"m_sid": [], "concept_id": []})
-    state = ray.get(state_ref)
-    cands: dict[str, set[int]] = {
-        s: set(state["surface_to_cids"].get(s, ())) for s in state["surfaces"]
-    }
-    for sid, cid in zip(fuzzy_pass["m_sid"], fuzzy_pass["concept_id"]):
-        cands[state["surfaces"][int(sid)]].add(int(cid))
-
-    m_pd = mentions.to_pandas()
-    rows_id: list[str] = []
-    rows_cid: list[int] = []
-    for doc, start, surf in zip(m_pd["doc_id"], m_pd["start"], m_pd["surface"]):
-        for cid in cands.get(surf, ()):
-            rows_id.append(f"{doc}:{start}")
-            rows_cid.append(cid)
-    out = pd.DataFrame({"mention_id": rows_id, "concept_id": rows_cid}).drop_duplicates()
-    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -73,9 +73,12 @@ MENTIONS = pa.schema(
         pa.field("doc_id", pa.string()),
         pa.field("start", pa.int32()),
         pa.field("end", pa.int32()),
-        pa.field("surface", pa.string()),
+        # index into the broadcast surface list — mention rows are string-
+        # free past extraction; surfaces are restored by broadcast lookup
+        pa.field("sid", pa.int32()),
         pa.field("section", pa.string()),
-        pa.field("source", pa.string()),      # which matcher emitted it
+        # rows the doc emitted at extraction (doc-contiguity invariant)
+        pa.field("doc_n", pa.int32()),
     ]
 )
 

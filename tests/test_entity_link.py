@@ -86,6 +86,48 @@ def test_linked_concepts_match_gold(fdir, linked):
     assert correct / spanned >= 0.98, (correct, spanned)
 
 
+def test_grouped_resolution_matches_block(linked):
+    """The shuffle-based fallback (resolution='grouped', for layouts where
+    blocks split mid-doc) produces exactly the block path's output."""
+    import pandas as pd
+
+    g = (
+        el.run_entity_link(SF, resolution="grouped")
+        .to_pandas()
+        .sort_values(["doc_id", "start", "end"])
+        .reset_index(drop=True)
+    )
+    b = linked.sort_values(["doc_id", "start", "end"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g[["doc_id", "start", "end", "concept_id"]],
+        b[["doc_id", "start", "end", "concept_id"]],
+    )
+
+
+def test_resolution_invariant_detects_split_docs():
+    """A doc split across blocks (rows present < doc_n) must fail LOUDLY in
+    the no-shuffle resolution path, not silently emit overlaps."""
+    import numpy as np
+    import pandas as pd
+
+    g = pd.DataFrame(
+        {
+            "doc_id": ["d", "d"],
+            "start": np.array([0, 5], dtype=np.int32),
+            "end": np.array([3, 8], dtype=np.int32),
+            "cluster_concept": np.array([1, 1], dtype=np.int64),
+            "doc_n": np.array([3, 3], dtype=np.int32),  # one row missing
+        }
+    )
+    with pytest.raises(RuntimeError, match="doc-contiguity"):
+        el._resolve_frame(g)
+    # complete doc passes
+    ok = g.copy()
+    ok["doc_n"] = np.array([2, 2], dtype=np.int32)
+    out = el._resolve_frame(ok)
+    assert len(out) == 2
+
+
 def test_span_sequence_equality(fdir):
     """input_hint invariant: the docs' (kind, text, media_ref, order) span
     sequences survive the pipeline's read+flatten path untouched."""
