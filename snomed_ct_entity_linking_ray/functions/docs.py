@@ -19,42 +19,40 @@ import pyarrow.compute as pc
 
 
 def flatten_batch(batch: pa.Table) -> pa.Table:
-    """docs(doc_id, spans) -> (doc_id, text, n_media, spans) zero-copy-ish.
+    """docs(doc_id, spans) -> (doc_id, text, n_media, spans).
 
-    Uses Arrow list flattening + grouped string join; no per-row Python on
-    the text path.
-    """
+    Fully vectorized: Arrow list flattening, a rebuilt per-doc ListArray of
+    text pieces, and ``pc.binary_join`` for the per-row concat — NO per-row
+    Python on the text path (the reference reads note text row-by-row,
+    3rd Place/src/document.py:83-95; here the whole batch is one kernel
+    chain)."""
+    import numpy as np
+
     spans = batch["spans"]
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
-    flat = spans.flatten()  # struct array of all spans
+    flat = spans.flatten()  # struct array of all spans, order-preserving
     kinds = flat.field("kind")
     texts = flat.field("text")
-    # parent index of each span
     offsets = spans.offsets.to_numpy(zero_copy_only=False)
-    import numpy as np
-
     n_rows = len(batch)
     counts = np.diff(offsets)
     parents = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
     is_text = pc.equal(kinds, "text").to_numpy(zero_copy_only=False)
-    # per-row concat of text spans, in order (flatten preserves order)
-    txt_parents = parents[is_text]
-    txt_values = texts.to_pylist()
-    doc_texts = [""] * n_rows
-    parts: list[list[str]] = [[] for _ in range(n_rows)]
-    j = 0
-    for i, flag in enumerate(is_text):
-        if flag:
-            parts[parents[i]].append(txt_values[i])
-    doc_texts = ["".join(p) for p in parts]
+    # per-row list of text-span strings: filter values, rebuild offsets from
+    # per-parent text-span counts, then one binary_join kernel
+    txt_counts = np.bincount(parents[is_text], minlength=n_rows)
+    txt_offsets = np.zeros(n_rows + 1, dtype=np.int32)
+    np.cumsum(txt_counts, out=txt_offsets[1:])
+    txt_values = texts.filter(pa.array(is_text))
+    txt_lists = pa.ListArray.from_arrays(pa.array(txt_offsets), txt_values)
+    doc_texts = pc.binary_join(txt_lists, "")
     n_media = np.zeros(n_rows, dtype=np.int32)
     np.add.at(n_media, parents[~is_text], 1)
-    _ = txt_parents, j
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "text": pa.array(doc_texts, pa.string()),
+            "text": doc_texts,
             "n_media": pa.array(n_media),
             "spans": batch["spans"],
         }

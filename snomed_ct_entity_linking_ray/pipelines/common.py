@@ -79,7 +79,7 @@ def tree_to_pandas(
     partials: rd.Dataset,
     combine,
     n_blocks_hint: int = 64,
-    fanin: int = 8,
+    fanin: int = 64,
 ) -> pd.DataFrame:
     """Tree-combine per-block partial frames so the DRIVER only ever sees
     one bounded final frame (never the concatenation of all partials, whose

@@ -153,10 +153,8 @@ def q_dict_precision(sf_dir: str, threshold: float = 0.9):
     )
     ref = broadcast(gold_set)
 
-    mentions, state_ref, _ = extract_mentions(sf_dir)
-    surfaces_ref = broadcast(
-        np.array(ray.get(state_ref)["surfaces"], dtype=object)
-    )
+    mentions, state, _ = extract_mentions(sf_dir)
+    surfaces_ref = broadcast(np.array(state["surfaces"], dtype=object))
 
     class Score:
         def __init__(self):

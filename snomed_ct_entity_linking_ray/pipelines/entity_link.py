@@ -119,14 +119,19 @@ def build_link_state(fixture_path: str):
         if cid not in surface_to_cids[norm]:
             surface_to_cids[norm].append(cid)
     surfaces = sorted(surface_to_cids)
-    automaton = AhoCorasick({s: i for i, s in enumerate(surfaces)})
     emb = hash_embed(surfaces)
     # unsalted fuzzy block id per sid (int64; low 4 bits reserved for salt)
     block_of_sid = np.array(
         [prefix_block_id(s[:3]) for s in surfaces], dtype=np.int64
     )
+    from ..functions.vecmatch import VecDict
+
+    # NOTE: the Aho-Corasick automaton is NOT built here — extractor actors
+    # build it lazily only when they actually hit non-ASCII docs (shipping
+    # the ~10s-of-MB python trie to every actor measurably serialized actor
+    # startup; the VecDict is a few numpy arrays and ships zero-copy-ish).
     return {
-        "automaton": automaton,
+        "vecdict": VecDict(surfaces),
         "surfaces": surfaces,
         "surface_to_cids": {s: sorted(v) for s, v in surface_to_cids.items()},
         "surface_emb": emb,
@@ -166,40 +171,144 @@ def _norm_with_map(raw: str):
 
 
 class MentionExtractor:
-    """Automaton matcher with per-actor state: the broadcast automaton +
-    dictionary ship once per actor (__init__), not per batch.
+    """Dictionary matcher with per-actor state: the broadcast automaton /
+    vectorized dictionary ship once per actor (__init__), not per batch.
+
+    Two equivalent matchers (tested equal in tests/test_vecmatch.py):
+    - ``vector`` (default): rolling-hash window matching over the batch's
+      concatenated byte buffer (functions/vecmatch.py) — all-C array ops,
+      used for ASCII docs (the overwhelming case for clinical text);
+      non-ASCII docs in the batch fall back to the automaton per doc.
+    - ``automaton``: per-doc Aho-Corasick scan over normalized text with
+      raw-offset remapping (the general-alphabet path).
 
     Emits ``sid`` (int32 index into the broadcast surface list — strings
     never enter the mentions table) and ``doc_n`` (number of mention rows
-    for the doc, emitted while the doc is provably whole inside this one
+    for the doc, counted while the doc is provably whole inside this one
     call — the downstream resolution invariant check). The M16
     section-exclusion filter applies HERE, before doc_n is counted."""
 
-    def __init__(self, state_ref, exclude_sections: frozenset[str] | None = None):
-        state = ray.get(state_ref)
-        self.ac: AhoCorasick = state["automaton"]
-        self.n_surfaces = len(state["surfaces"])
+    def __init__(
+        self,
+        vd_ref,
+        exclude_sections: frozenset[str] | None = None,
+        matcher: str = "vector",
+    ):
+        self.vd = ray.get(vd_ref)
+        self._ac: AhoCorasick | None = None
         self.exclude = exclude_sections or frozenset()
+        self.matcher = matcher
+
+    @property
+    def ac(self) -> AhoCorasick:
+        # lazy: only actors that actually see non-ASCII docs (or run in
+        # forced automaton mode) pay the trie build
+        if self._ac is None:
+            self._ac = AhoCorasick(
+                {s: i for i, s in enumerate(self.vd.surfaces)}
+            )
+        return self._ac
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {
-            "doc_id": [],
-            "start": [],
-            "end": [],
-            "sid": [],
-            "section": [],
-            "doc_n": [],
-        }
-        for doc_id, raw in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        n_docs = len(doc_ids)
+        if self.matcher == "vector":
+            ascii_pos = [i for i, t in enumerate(texts) if t.isascii()]
+        else:
+            ascii_pos = []
+        auto_pos = (
+            sorted(set(range(n_docs)) - set(ascii_pos))
+            if len(ascii_pos) < n_docs
+            else []
+        )
+        parts = []
+        if ascii_pos:
+            parts.append(self._vector_part(texts, ascii_pos))
+        if auto_pos:
+            parts.append(self._automaton_part(texts, auto_pos))
+        if parts:
+            pos = np.concatenate([p[0] for p in parts])
+            start = np.concatenate([p[1] for p in parts])
+            end = np.concatenate([p[2] for p in parts])
+            sid = np.concatenate([p[3] for p in parts])
+            section = np.concatenate([p[4] for p in parts])
+        else:
+            pos = start = end = sid = np.zeros(0, dtype=np.int64)
+            section = np.zeros(0, dtype=object)
+        if self.exclude and len(pos):
+            keep = ~np.isin(section, list(self.exclude))
+            pos, start, end, sid, section = (
+                pos[keep], start[keep], end[keep], sid[keep], section[keep]
+            )
+        # rows grouped per doc (doc-contiguity), deterministic within-doc
+        # order; doc_n counted after exclusion
+        order = np.lexsort((sid, end, start, pos))
+        pos, start, end, sid, section = (
+            pos[order], start[order], end[order], sid[order], section[order]
+        )
+        counts = np.bincount(pos, minlength=n_docs) if len(pos) else np.zeros(n_docs, dtype=np.int64)
+        doc_arr = np.array(doc_ids, dtype=object)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_arr[pos], pa.string()),
+                "start": pa.array(start.astype(np.int32)),
+                "end": pa.array(end.astype(np.int32)),
+                "sid": pa.array(sid.astype(np.int32)),
+                "section": pa.array(section, pa.string()),
+                "doc_n": pa.array(counts[pos].astype(np.int32)),
+            }
+        )
+
+    def _vector_part(self, texts: list[str], pos_list: list[int]):
+        from ..functions.vecmatch import match_ascii_batch
+
+        sub = [texts[i] for i in pos_list]
+        doc, start, end, sid, _plural = match_ascii_batch(sub, self.vd)
+        # vectorized section lookup: global sorted section boundaries
+        # (find_sections covers [0, len) per doc, docs are contiguous)
+        bases = np.concatenate(
+            [[0], np.cumsum([len(t) for t in sub])]
+        ).astype(np.int64)
+        sec_starts: list[int] = []
+        sec_hdrs: list[str] = []
+        for i, t in enumerate(sub):
+            for h, s, _e in find_sections(t):
+                sec_starts.append(int(bases[i]) + s)
+                sec_hdrs.append(h)
+        if len(doc):
+            g_start = start + bases[doc]
+            hdr_idx = (
+                np.searchsorted(
+                    np.array(sec_starts, dtype=np.int64), g_start, side="right"
+                )
+                - 1
+            )
+            section = np.array(sec_hdrs, dtype=object)[np.maximum(hdr_idx, 0)]
+        else:
+            section = np.zeros(0, dtype=object)
+        return (
+            np.array(pos_list, dtype=np.int64)[doc] if len(doc) else doc,
+            start,
+            end,
+            sid.astype(np.int64),
+            section,
+        )
+
+    def _automaton_part(self, texts: list[str], pos_list: list[int]):
+        out_pos: list[int] = []
+        out_start: list[int] = []
+        out_end: list[int] = []
+        out_sid: list[int] = []
+        out_section: list[str] = []
+        for p in pos_list:
+            raw = texts[p]
             norm, norm2raw = _norm_with_map(raw)
             if not norm:
                 continue
             sections = SectionIndex(find_sections(raw))
             n = len(norm)
             seen: set[tuple[int, int, int]] = set()
-            n_doc = 0
             for s, e, pid in self.ac.find_all(norm):
                 # word boundaries in norm space, with trailing-plural
                 # tolerance (M1 trailing s*): allow one extra 's' before the
@@ -219,61 +328,74 @@ class MentionExtractor:
                 key = (raw_s, raw_e, pid)
                 if key in seen:
                     continue
-                section = sections.header_at(raw_s)
-                if section in self.exclude:
-                    continue
                 seen.add(key)
-                out["doc_id"].append(doc_id)
-                out["start"].append(raw_s)
-                out["end"].append(raw_e)
-                out["sid"].append(pid)
-                out["section"].append(section)
-                n_doc += 1
-            out["doc_n"].extend([n_doc] * n_doc)
-        return pa.table(
-            {
-                "doc_id": pa.array(out["doc_id"], pa.string()),
-                "start": pa.array(out["start"], pa.int32()),
-                "end": pa.array(out["end"], pa.int32()),
-                "sid": pa.array(out["sid"], pa.int32()),
-                "section": pa.array(out["section"], pa.string()),
-                "doc_n": pa.array(out["doc_n"], pa.int32()),
-            }
+                out_pos.append(p)
+                out_start.append(raw_s)
+                out_end.append(raw_e)
+                out_sid.append(pid)
+                out_section.append(sections.header_at(raw_s))
+        return (
+            np.array(out_pos, dtype=np.int64),
+            np.array(out_start, dtype=np.int64),
+            np.array(out_end, dtype=np.int64),
+            np.array(out_sid, dtype=np.int64),
+            np.array(out_section, dtype=object),
         )
 
 
-def extract_mentions(sf_dir: str, exclude_sections: frozenset[str] | None = None):
+DOCS_PER_BLOCK = 2_000  # read-block granularity for the docs table: sized
+                        # by DATA (≈2k docs ≈ 1.5MB text per task — fine
+                        # packing without per-task overhead), NOT CPU count
+                        # (downstream shuffle cost grows with block count,
+                        # so tying blocks to CPUs makes more CPUs slower).
+                        # Measured at the 1M-doc bench tier: 512 blocks
+                        # beats 64 by ~25%.
+MAX_DOC_BLOCKS = 512
+SHUFFLE_INPUT_BLOCKS = 64  # fixed block count for the block-key sort input
+
+
+def _doc_blocks(n_docs: int) -> int:
+    return max(16, min(MAX_DOC_BLOCKS, n_docs // DOCS_PER_BLOCK or 16))
+
+
+def extract_mentions(
+    sf_dir: str,
+    exclude_sections: frozenset[str] | None = None,
+    matcher: str = "vector",
+):
     """docs → mentions Dataset. ``exclude_sections`` applies the M16
     medication-section filter inside the extractor (off by default: the
     fixture gold plants mentions in all sections)."""
-    fdir = fixtures.fixture_dir(fixtures.spec_for_sf_dir(sf_dir))
-    state_ref = ray.put(build_link_state(fdir))
+    spec = fixtures.spec_for_sf_dir(sf_dir)
+    fdir = fixtures.fixture_dir(spec)
+    state = build_link_state(fdir)  # driver-local; per-consumer slices are
+    state["vd_ref"] = ray.put(state["vecdict"])  # broadcast separately
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    # Block count is FIXED (not CPU-derived): downstream sort/shuffle cost
-    # depends on block count, so tying it to CPUs makes more CPUs slower.
-    docs = rd.read_parquet(f"{fdir}/docs.parquet", override_num_blocks=64)
+    docs = rd.read_parquet(
+        f"{fdir}/docs.parquet", override_num_blocks=_doc_blocks(spec.n_docs)
+    )
     flat = docs.map_batches(flatten_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "text"]
     )
     mentions = flat.map_batches(
         MentionExtractor,
-        fn_constructor_args=(state_ref, exclude_sections),
+        fn_constructor_args=(state["vd_ref"], exclude_sections, matcher),
         batch_format="pyarrow",
         # min pool = half the CPUs: autoscaling from 1 ramps too slowly and
         # its latency dominates; leaving half the CPUs keeps read tasks fed
         concurrency=(max(1, n_cpus // 2), n_cpus),
-        batch_size=128,
+        # whole-block batches: ~2k docs / ~1.5MB text per call, so the
+        # vectorized matcher's O(buffer) arrays stay ~15MB per task
+        batch_size=None,
     )
-    return mentions, state_ref, fdir
+    return mentions, state, fdir
 
 
 def q_mentions(sf_dir: str):
     """Extracted mentions with surfaces restored for presentation (the
     pipeline-internal table carries sid ints only)."""
-    mentions, state_ref, _ = extract_mentions(sf_dir)
-    surfaces_ref = ray.put(
-        np.array(ray.get(state_ref)["surfaces"], dtype=object)
-    )
+    mentions, state, _ = extract_mentions(sf_dir)
+    surfaces_ref = ray.put(np.array(state["surfaces"], dtype=object))
 
     class Project:
         def __init__(self):
@@ -356,15 +478,17 @@ def prefix_block_id(prefix: str) -> np.int64:
 
 
 def blocked_sides(
-    mentions: rd.Dataset, state_ref, freq_n: np.ndarray
+    mentions: rd.Dataset, state: dict, freq_n: np.ndarray
 ) -> tuple[rd.Dataset, rd.Dataset, set]:
     """Emit (block_key, ...) rows for both sides of the FUZZY path; salt
     hot keys measured from the frequency table: mention rows get
     key#h(mention)%k, concept rows replicate into every salt bucket.
     The shuffle payload is ALL-INT: (block_key:int64, node:int64,
     sid:int32, concept_id:int64)."""
-    state = ray.get(state_ref)
     block_of_sid = state["block_of_sid"]
+    if "block_ref" not in state:
+        state["block_ref"] = ray.put(block_of_sid)
+    block_ref = state["block_ref"]
 
     # per-block mention frequency, derived driver-side from the
     # dictionary-bounded freq table (block id is a function of the surface)
@@ -385,7 +509,7 @@ def blocked_sides(
 
         def __init__(self):
             self.hot = ray.get(hot_arr_ref)
-            self.block_of_sid = ray.get(state_ref)["block_of_sid"]
+            self.block_of_sid = ray.get(block_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             sid = df["sid"].to_numpy().astype(np.int32)
@@ -409,7 +533,16 @@ def blocked_sides(
                 }
             )
 
-    m_salted = mentions.map_batches(ExplodeSalt, batch_format="pandas", concurrency=(1, 4))
+    # Coalesce the int-only shuffle input to a FIXED small block count: the
+    # sort exchange's cost grows superlinearly with input blocks (it creates
+    # in×out partition objects — 500 extraction blocks made the sort ~10×
+    # slower than 64). The mentions dataset itself keeps its extraction
+    # block layout (per-doc contiguity for the resolve path); only this
+    # salted projection is coalesced, inside the same lazy execution.
+    m_salted = (
+        mentions.map_batches(ExplodeSalt, batch_format="pandas", concurrency=(1, 4))
+        .repartition(SHUFFLE_INPUT_BLOCKS)
+    )
 
     # concept side: built driver-side from the dictionary (small), replicated
     # into salt buckets for hot keys
@@ -500,10 +633,8 @@ class PairScorer:
     Surfaces arrive as int sids; strings and embedding rows come straight
     out of the broadcast state by index (no dict lookups, no cache)."""
 
-    def __init__(self, state_ref):
-        state = ray.get(state_ref)
-        self.surfaces = np.array(state["surfaces"], dtype=object)
-        self.surface_emb = state["surface_emb"]
+    def __init__(self, score_ref):
+        self.surfaces, self.surface_emb = ray.get(score_ref)
         self.duck = DuckSimilarity(threads=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -526,11 +657,15 @@ class PairScorer:
         return df
 
 
-def score_pairs(pairs: rd.Dataset, state_ref, apply_threshold: bool = True) -> rd.Dataset:
+def score_pairs(pairs: rd.Dataset, state: dict, apply_threshold: bool = True) -> rd.Dataset:
+    if "score_ref" not in state:
+        state["score_ref"] = ray.put(
+            (np.array(state["surfaces"], dtype=object), state["surface_emb"])
+        )
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
     scored = pairs.map_batches(
         PairScorer,
-        fn_constructor_args=(state_ref,),
+        fn_constructor_args=(state["score_ref"],),
         batch_format="pandas",
         concurrency=(max(1, n_cpus // 2), n_cpus),
         batch_size=8192,
@@ -714,9 +849,8 @@ def run_entity_link(
     from ..stages.components import connected_components
 
     t0 = _time.time()
-    mentions, state_ref, fdir = extract_mentions(sf_dir, exclude_sections)
+    mentions, state, fdir = extract_mentions(sf_dir, exclude_sections)
     mentions = mentions.materialize()  # reused below (small relative to docs)
-    state = ray.get(state_ref)
     surfaces = state["surfaces"]
     s2c = state["surface_to_cids"]
     if timings is not None:
@@ -725,9 +859,9 @@ def run_entity_link(
 
     t0 = _time.time()
     freq_n = surface_freq(mentions, len(surfaces))
-    m_salted, c_keys, _hot = blocked_sides(mentions, state_ref, freq_n)
+    m_salted, c_keys, _hot = blocked_sides(mentions, state, freq_n)
     pairs = candidate_pairs(m_salted, c_keys)
-    scored = score_pairs(pairs, state_ref, apply_threshold=False)
+    scored = score_pairs(pairs, state, apply_threshold=False)
     # θ-passing fuzzy LINKS are a pure function of (surface, concept) —
     # the mention-level pairs above exist to measure/score the candidate
     # stream at corpus scale; the distinct passing table is dictionary-
@@ -819,37 +953,31 @@ def run_entity_link(
         timings["t_cluster_vote"] = round(_time.time() - t0, 3)
         timings["n_bridges"] = len(bridges_u)
 
-    class AttachConcept:
-        def __init__(self):
-            self.final = ray.get(final_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            cids = self.final[df["sid"].to_numpy()]
-            if (cids < 0).any():
-                # every extracted mention's surface is in the dictionary, so
-                # every observed sid must have an assignment; a miss would
-                # silently break the doc_n resolution invariant
-                raise RuntimeError("mention sid without concept assignment")
-            return pd.DataFrame(
-                {
-                    "doc_id": df["doc_id"],
-                    "start": df["start"],
-                    "end": df["end"],
-                    "cluster_concept": cids,
-                    "doc_n": df["doc_n"],
-                }
-            )
-
-    n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    linked = mentions.map_batches(
-        AttachConcept, batch_format="pandas", concurrency=(1, max(4, n_cpus // 2))
-    )
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        # plain task-based map (no actor pool ramp): the broadcast array is
+        # fetched zero-copy from the local plasma store per task
+        final = ray.get(final_ref)
+        cids = final[df["sid"].to_numpy()]
+        if (cids < 0).any():
+            # every extracted mention's surface is in the dictionary, so
+            # every observed sid must have an assignment; a miss would
+            # silently break the doc_n resolution invariant
+            raise RuntimeError("mention sid without concept assignment")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "start": df["start"],
+                "end": df["end"],
+                "cluster_concept": cids,
+                "doc_n": df["doc_n"],
+            }
+        )
 
     if resolution == "grouped":
         # shuffle-based fallback: co-locate each doc's rows by hashed doc
         # bucket (vectorized resolution inside each of the ~256 groups)
         def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
+            df = attach(df)
             df["rbucket"] = (
                 pd.util.hash_pandas_object(df["doc_id"], index=False).to_numpy()
                 % np.uint64(256)
@@ -857,7 +985,7 @@ def run_entity_link(
             return df
 
         return (
-            linked.map_batches(add_bucket, batch_format="pandas")
+            mentions.map_batches(add_bucket, batch_format="pandas")
             .groupby("rbucket")
             .map_groups(
                 lambda g: _resolve_frame(g, check_invariant=False),
@@ -871,8 +999,12 @@ def run_entity_link(
     # there to here is a block-preserving map_batches, so all rows of a doc
     # are contiguous within one block. That invariant is VERIFIED per batch
     # (doc_n row counts) — a violation raises instead of emitting overlaps.
-    return linked.map_batches(
-        _resolve_frame, batch_format="pandas", batch_size=None
+    # Attach + resolve fuse into ONE task per block.
+    def attach_resolve(df: pd.DataFrame) -> pd.DataFrame:
+        return _resolve_frame(attach(df))
+
+    return mentions.map_batches(
+        attach_resolve, batch_format="pandas", batch_size=None
     ).select_columns(["doc_id", "start", "end", "concept_id"])
 
 
@@ -944,15 +1076,14 @@ def linked_pairs(sf_dir: str) -> pa.Table:
     Candidate sets are broadcast (flattened offsets+values int arrays) and
     exploded per batch with vectorized repeats — no driver-side per-row
     loop; only the final result table (gate-sized) is collected."""
-    mentions, state_ref, _ = extract_mentions(sf_dir)
+    mentions, state, _ = extract_mentions(sf_dir)
     mentions = mentions.materialize()
-    state = ray.get(state_ref)
     surfaces = state["surfaces"]
     freq_n = surface_freq(mentions, len(surfaces))
-    m_salted, c_keys, _hot = blocked_sides(mentions, state_ref, freq_n)
+    m_salted, c_keys, _hot = blocked_sides(mentions, state, freq_n)
     pairs = candidate_pairs(m_salted, c_keys)
     fuzzy_pass, _ = fuzzy_pass_links(
-        score_pairs(pairs, state_ref, apply_threshold=False)
+        score_pairs(pairs, state, apply_threshold=False)
     )
 
     cand_sets: list[set[int]] = [
