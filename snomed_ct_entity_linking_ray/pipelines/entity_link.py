@@ -358,14 +358,28 @@ def _doc_blocks(n_docs: int) -> int:
     return max(16, min(MAX_DOC_BLOCKS, n_docs // DOCS_PER_BLOCK or 16))
 
 
+def doc_bucket_array(doc_ids: list[str]) -> np.ndarray:
+    """Stable output-partition bucket per doc (md5-based — identical across
+    processes and runs; the checkpoint layout key)."""
+    return np.array(
+        [stable_u64(d) % N_OUTPUT_PARTITIONS for d in doc_ids], dtype=np.int64
+    )
+
+
 def extract_mentions(
     sf_dir: str,
     exclude_sections: frozenset[str] | None = None,
     matcher: str = "vector",
+    bucket_filter: frozenset[int] | None = None,
 ):
     """docs → mentions Dataset. ``exclude_sections`` applies the M16
     medication-section filter inside the extractor (off by default: the
-    fixture gold plants mentions in all sections)."""
+    fixture gold plants mentions in all sections).
+
+    ``bucket_filter``: only docs whose output bucket (hash(doc_id) %
+    N_OUTPUT_PARTITIONS) is in the set are extracted — the resume path
+    filters COMPLETED buckets out at the read, skipping their extraction
+    compute entirely, not just their writes."""
     spec = fixtures.spec_for_sf_dir(sf_dir)
     fdir = fixtures.fixture_dir(spec)
     state = build_link_state(fdir)  # driver-local; per-consumer slices are
@@ -377,6 +391,14 @@ def extract_mentions(
     flat = docs.map_batches(flatten_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "text"]
     )
+    if bucket_filter is not None and len(bucket_filter) < N_OUTPUT_PARTITIONS:
+        keep = np.array(sorted(bucket_filter), dtype=np.int64)
+
+        def filt(t: pa.Table) -> pa.Table:
+            b = doc_bucket_array(t["doc_id"].to_pylist())
+            return t.filter(pa.array(np.isin(b, keep)))
+
+        flat = flat.map_batches(filt, batch_format="pyarrow")
     mentions = flat.map_batches(
         MentionExtractor,
         fn_constructor_args=(state["vd_ref"], exclude_sections, matcher),
@@ -830,33 +852,20 @@ def _resolve_frame(g: pd.DataFrame, check_invariant: bool = True) -> pd.DataFram
     return out.sort_values(["doc_id", "start", "end"], ignore_index=True)
 
 
-def run_entity_link(
-    sf_dir: str,
-    exclude_sections: frozenset[str] | None = None,
-    timings: dict | None = None,
-    resolution: str = "block",
-):
-    """Flagship pipeline. When ``timings`` is a dict it is filled with stage
-    wall-times and cardinalities (bench instrumentation; adds one count on
-    already-materialized data, no extra passes).
-
-    ``resolution``: "block" resolves overlaps per block (no shuffle; the
-    doc-contiguity invariant is VERIFIED per batch via doc_n and violations
-    raise), "grouped" shuffles by hash(doc_id) buckets first — the fallback
-    for layouts where blocks may split mid-doc."""
+def compute_link_map(
+    mentions: rd.Dataset, state: dict, timings: dict | None = None
+) -> np.ndarray:
+    """The global middle of the flagship: frequency table → salted blocking
+    shuffle → pair scoring → θ-passing links → star-contracted clustering →
+    majority vote. Returns the per-sid final concept assignment (int64,
+    -1 = unobserved). Pure function of (mentions, dictionary state) — the
+    checkpointable 'link map' artifact of the resumable pipeline."""
     import time as _time
 
     from ..stages.components import connected_components
 
-    t0 = _time.time()
-    mentions, state, fdir = extract_mentions(sf_dir, exclude_sections)
-    mentions = mentions.materialize()  # reused below (small relative to docs)
     surfaces = state["surfaces"]
     s2c = state["surface_to_cids"]
-    if timings is not None:
-        timings["t_extract"] = round(_time.time() - t0, 3)
-        timings["n_mentions"] = mentions.count()
-
     t0 = _time.time()
     freq_n = surface_freq(mentions, len(surfaces))
     m_salted, c_keys, _hot = blocked_sides(mentions, state, freq_n)
@@ -948,30 +957,61 @@ def run_entity_link(
     for i, cands in enumerate(cand_by_sid):
         if cands and freq_n[i] > 0:
             final_sid[i] = modal.get(cluster(min(cands)), min(cands))
-    final_ref = ray.put(final_sid)
     if timings is not None:
         timings["t_cluster_vote"] = round(_time.time() - t0, 3)
         timings["n_bridges"] = len(bridges_u)
+    return final_sid
+
+
+def _attach_frame(df: pd.DataFrame, final: np.ndarray) -> pd.DataFrame:
+    """Broadcast sid→concept attach; preserves row order/count."""
+    cids = final[df["sid"].to_numpy()]
+    if (cids < 0).any():
+        # every extracted mention's surface is in the dictionary, so every
+        # observed sid must have an assignment; a miss would silently break
+        # the doc_n resolution invariant
+        raise RuntimeError("mention sid without concept assignment")
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "start": df["start"],
+            "end": df["end"],
+            "cluster_concept": cids,
+            "doc_n": df["doc_n"],
+        }
+    )
+
+
+def run_entity_link(
+    sf_dir: str,
+    exclude_sections: frozenset[str] | None = None,
+    timings: dict | None = None,
+    resolution: str = "block",
+):
+    """Flagship pipeline. When ``timings`` is a dict it is filled with stage
+    wall-times and cardinalities (bench instrumentation; adds one count on
+    already-materialized data, no extra passes).
+
+    ``resolution``: "block" resolves overlaps per block (no shuffle; the
+    doc-contiguity invariant is VERIFIED per batch via doc_n and violations
+    raise), "grouped" shuffles by hash(doc_id) buckets first — the fallback
+    for layouts where blocks may split mid-doc."""
+    import time as _time
+
+    t0 = _time.time()
+    mentions, state, fdir = extract_mentions(sf_dir, exclude_sections)
+    mentions = mentions.materialize()  # reused below (small relative to docs)
+    if timings is not None:
+        timings["t_extract"] = round(_time.time() - t0, 3)
+        timings["n_mentions"] = mentions.count()
+
+    final_sid = compute_link_map(mentions, state, timings)
+    final_ref = ray.put(final_sid)
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
         # plain task-based map (no actor pool ramp): the broadcast array is
         # fetched zero-copy from the local plasma store per task
-        final = ray.get(final_ref)
-        cids = final[df["sid"].to_numpy()]
-        if (cids < 0).any():
-            # every extracted mention's surface is in the dictionary, so
-            # every observed sid must have an assignment; a miss would
-            # silently break the doc_n resolution invariant
-            raise RuntimeError("mention sid without concept assignment")
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "start": df["start"],
-                "end": df["end"],
-                "cluster_concept": cids,
-                "doc_n": df["doc_n"],
-            }
-        )
+        return _attach_frame(df, ray.get(final_ref))
 
     if resolution == "grouped":
         # shuffle-based fallback: co-locate each doc's rows by hashed doc
@@ -1029,43 +1069,151 @@ def _input_fingerprint(
 def run_entity_link_checkpointed(
     sf_dir: str, ckpt_root: str, exclude_sections: frozenset[str] | None = None
 ):
-    """Flagship pipeline with resumable partitioned output (north_rule).
+    """Flagship pipeline with resumable partitioned checkpoints
+    (north_rule: per-partition lineage + metrics, resume skips COMPUTE).
 
-    Output partition key = hash(doc_id) % N_OUTPUT_PARTITIONS — the same
-    doc-partitioning every per-doc stage relies on, so a resumed run can
-    skip finished partitions. Input fingerprint covers every output-
-    changing config knob. Returns stage metrics.
+    Three checkpointed stages, partition key = hash(doc_id) %
+    N_OUTPUT_PARTITIONS throughout (the same doc-partitioning every
+    per-doc stage relies on):
+
+    1. ``mentions`` — extraction per bucket. On resume, COMPLETED buckets
+       are filtered out at the docs read, so their flatten/extract compute
+       never runs (not merely their writes).
+    2. ``link_map`` — the global sid→concept assignment artifact (the only
+       corpus-global stage); cached by fingerprint, recomputed only when
+       missing/invalidated, from the checkpointed mentions of ALL buckets
+       (so resumed runs are byte-identical to fresh ones).
+    3. ``linked_mentions`` — attach + per-bucket overlap resolution fused
+       into the partition WRITE (transform runs after the skip check, so
+       finished buckets skip the resolve compute too).
+
+    Input fingerprint covers every output-changing config knob. Returns
+    stage metrics.
     """
-    from ..sources.checkpoint import checkpointed_write
+    import json as _json
+    import os as _os
+
+    from ..sources.checkpoint import (
+        checkpointed_write,
+        partition_done,
+        read_stage,
+    )
 
     fp = _input_fingerprint(sf_dir, exclude_sections)
-    linked = run_entity_link(sf_dir, exclude_sections)
+    all_buckets = range(N_OUTPUT_PARTITIONS)
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["bucket"] = [
-            stable_u64(d) % N_OUTPUT_PARTITIONS for d in df["doc_id"]
-        ]
-        return df
-
-    bucketed = linked.map_batches(add_bucket, batch_format="pandas")
-    return checkpointed_write(
-        bucketed,
-        ckpt_root,
-        stage="linked_mentions",
-        partition_col="bucket",
-        input_fingerprint=fp,
-        lineage={
-            "input": sf_dir,
-            "fixture": fixtures.spec_for_sf_dir(sf_dir).key,
-            "theta": THETA,
-            "stages": [
-                "read_docs", "flatten", "sectionize", "extract_mentions",
-                "block+salt", "pairgen", "score", "union_find", "vote",
-                "resolve_overlaps",
-            ],
-        },
+    # ---- stage 1: per-bucket mentions ---------------------------------
+    missing1 = frozenset(
+        b for b in all_buckets
+        if not partition_done(ckpt_root, "mentions", str(b), fp)
     )
+    state: dict | None = None
+    if missing1:
+        mentions_new, state, _fdir = extract_mentions(
+            sf_dir, exclude_sections, bucket_filter=missing1
+        )
+
+        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["bucket"] = doc_bucket_array(list(df["doc_id"]))
+            return df
+
+        m_mentions = checkpointed_write(
+            mentions_new.map_batches(add_bucket, batch_format="pandas"),
+            ckpt_root,
+            stage="mentions",
+            partition_col="bucket",
+            input_fingerprint=fp,
+            lineage={
+                "input": sf_dir,
+                "stages": ["read_docs", "flatten", "sectionize",
+                           "extract_mentions"],
+            },
+        )
+    else:
+        m_mentions = {"partitions": 0, "rows": 0, "skipped_partitions": 0,
+                      "wall_time_s": 0.0}
+    m_mentions["buckets_skipped_at_read"] = N_OUTPUT_PARTITIONS - len(missing1)
+
+    # ---- stage 2: link-map artifact -----------------------------------
+    lm_dir = _os.path.join(ckpt_root, "link_map")
+    lm_meta = _os.path.join(lm_dir, "_META.json")
+    lm_npy = _os.path.join(lm_dir, "final_sid.npy")
+    final_sid = None
+    link_map_cached = False
+    if _os.path.exists(lm_meta):
+        try:
+            with open(lm_meta) as f:
+                if _json.load(f).get("input_fingerprint") == fp:
+                    final_sid = np.load(lm_npy)
+                    link_map_cached = True
+        except (OSError, ValueError, _json.JSONDecodeError):
+            final_sid = None
+    mentions_all = None
+    if final_sid is None:
+        if state is None:
+            state = build_link_state(
+                fixtures.fixture_dir(fixtures.spec_for_sf_dir(sf_dir))
+            )
+        mentions_all = read_stage(ckpt_root, "mentions").materialize()
+        lm_timings: dict = {}
+        final_sid = compute_link_map(mentions_all, state, lm_timings)
+        _os.makedirs(lm_dir, exist_ok=True)
+        np.save(lm_npy, final_sid)
+        with open(lm_meta, "w") as f:
+            _json.dump({"input_fingerprint": fp, **lm_timings}, f)
+
+    # ---- stage 3: attach + resolve fused into the partition write -----
+    missing3 = frozenset(
+        b for b in all_buckets
+        if not partition_done(ckpt_root, "linked_mentions", str(b), fp)
+    )
+    if missing3:
+        if mentions_all is None:
+            mentions_all = read_stage(ckpt_root, "mentions")
+        final_ref = ray.put(final_sid)
+
+        def attach_keep_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            out = _attach_frame(df, ray.get(final_ref))
+            out["bucket"] = df["bucket"].to_numpy()
+            return out
+
+        m_linked = checkpointed_write(
+            mentions_all.map_batches(attach_keep_bucket, batch_format="pandas"),
+            ckpt_root,
+            stage="linked_mentions",
+            partition_col="bucket",
+            input_fingerprint=fp,
+            # groups are doc-complete by the bucket shuffle (bucket is a
+            # function of doc_id), so resolution needs no invariant check
+            transform=lambda g: _resolve_frame(g, check_invariant=False),
+            lineage={
+                "input": sf_dir,
+                "fixture": fixtures.spec_for_sf_dir(sf_dir).key,
+                "theta": THETA,
+                "stages": [
+                    "read_docs", "flatten", "sectionize", "extract_mentions",
+                    "block+salt", "pairgen", "score", "union_find", "vote",
+                    "resolve_overlaps",
+                ],
+            },
+        )
+    else:
+        # nothing to do; report every partition as skipped from manifests
+        rows = 0
+        for b in all_buckets:
+            with open(
+                _os.path.join(ckpt_root, "linked_mentions", f"part={b}",
+                              "_MANIFEST.json")
+            ) as f:
+                rows += _json.load(f).get("rows", 0)
+        m_linked = {"partitions": N_OUTPUT_PARTITIONS, "rows": rows,
+                    "skipped_partitions": N_OUTPUT_PARTITIONS,
+                    "wall_time_s": 0.0}
+
+    m_linked["mentions_stage"] = m_mentions
+    m_linked["link_map_cached"] = link_map_cached
+    return m_linked
 
 
 def linked_pairs(sf_dir: str) -> pa.Table:

@@ -110,13 +110,18 @@ def checkpointed_write(
     partition_col: str,
     input_fingerprint: str,
     lineage: dict | None = None,
+    transform=None,
 ) -> dict:
     """Write ``ds`` partitioned by ``partition_col``, skipping partitions
     whose manifest already matches ``input_fingerprint``.
 
     The partition write runs inside ``map_groups`` (each group = one
     partition) so partitions stream out in parallel; only a tiny per-
-    partition stats frame returns to the driver. Returns stage metrics.
+    partition stats frame returns to the driver. ``transform`` (optional)
+    is applied to each group AFTER the skip check and before the write —
+    a resumed run therefore skips the transform COMPUTE for finished
+    partitions, not just the write (skipped rows are reported from the
+    manifest). Returns stage metrics.
     """
     import pandas as pd
 
@@ -127,10 +132,14 @@ def checkpointed_write(
         part = str(g[partition_col].iloc[0])
         t0 = time.time()
         if partition_done(root, stage, part, input_fingerprint):
+            with open(_manifest_path(root, stage, part)) as f:
+                prev_rows = json.load(f).get("rows", 0)
             return pd.DataFrame(
-                {"partition": [part], "rows": [len(g)], "skipped": [True],
+                {"partition": [part], "rows": [prev_rows], "skipped": [True],
                  "wall_time_s": [0.0]}
             )
+        if transform is not None:
+            g = transform(g)
         tbl = pa.Table.from_pandas(g, preserve_index=False)
         write_partition(root, stage, part, tbl, input_fingerprint, time.time() - t0)
         return pd.DataFrame(
@@ -140,6 +149,8 @@ def checkpointed_write(
 
     stats = ds.groupby(partition_col).map_groups(write_group, batch_format="pandas")
     sdf = stats.to_pandas()
+    if len(sdf) == 0 or "rows" not in sdf.columns:  # fully-empty input
+        sdf = pd.DataFrame({"rows": [], "skipped": [], "partition": []})
     metrics = {
         "partitions": int(len(sdf)),
         "rows": int(sdf["rows"].sum()),
