@@ -103,8 +103,95 @@ def _q_eval_iou(sf_dir: str):
     return iou_per_concept(run_entity_link(sf_dir), gold)
 
 
+def _duck_path(p: str) -> str:
+    """DuckDB read_parquet target: sharded fixture tables are directories."""
+    import os
+
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
 def oracle_sql() -> dict[str, str]:
+    # Oracle-parquet generation + fixture paths for the non-SQL-expressible
+    # queries: an INDEPENDENT single-process implementation writes expected
+    # parquet (snomed_ct_entity_linking_ray/oracles.py), and the SQL below
+    # points DuckDB at those files — the driver's row/schema/value-hash
+    # compare then verifies the distributed dataflow end-to-end. The
+    # driver runs at sf=0.01; both paths are deterministic pure functions
+    # of the fixture spec.
+    from snomed_ct_entity_linking_ray import fixtures, oracles
+
+    sf_dir = "/root/testdata/sf0.01"
+    odir = oracles.oracle_dir(sf_dir)
+    fdir = fixtures.fixture_dir(fixtures.spec_for_sf_dir(sf_dir))
+    gold = _duck_path(f"{fdir}/gold_mentions.parquet")
+    concepts = _duck_path(f"{fdir}/concepts.parquet")
+
+    oracle_backed = {
+        name: f"SELECT * FROM read_parquet('{odir}/{name}.parquet')"
+        for name in (
+            "media_inventory",
+            "frame_samples",
+            "simhash_buckets",
+            "minhash_lsh_pairs",
+            "cosine_topk_ivf",
+            "dict_precision",
+            "entity_link_mentions",
+            "entity_link",
+            "entity_link_eval_iou",
+        )
+    }
+
     return {
+        **oracle_backed,
+        "langid": """
+            WITH s AS (
+                SELECT doc_id,
+                    len(list_filter(string_split(text,' '), x -> x IN ('the','fast')))   AS de_en,
+                    len(list_filter(string_split(text,' '), x -> x IN ('table','part'))) AS c_fr,
+                    len(list_filter(string_split(text,' '), x -> x IN ('data','row')))   AS c_es,
+                    len(list_filter(string_split(text,' '), x -> x IN ('hash','merge'))) AS c_de,
+                    len(list_filter(string_split(text,' '), x -> x IN ('spark','batch'))) AS c_zh
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(de_en, c_fr, c_es, c_de, c_zh) = 0 THEN 'und'
+                        WHEN c_de  = greatest(de_en, c_fr, c_es, c_de, c_zh) THEN 'de'
+                        WHEN de_en = greatest(de_en, c_fr, c_es, c_de, c_zh) THEN 'en'
+                        WHEN c_es  = greatest(de_en, c_fr, c_es, c_de, c_zh) THEN 'es'
+                        WHEN c_fr  = greatest(de_en, c_fr, c_es, c_de, c_zh) THEN 'fr'
+                        ELSE 'zh' END AS lang_pred
+            FROM s
+        """,
+        "dict_majority": f"""
+            WITH norm AS (
+                SELECT section,
+                       trim(regexp_replace(lower(surface), '[^a-z0-9]+', ' ', 'g')) AS surface,
+                       concept_id
+                FROM read_parquet('{gold}')
+            ), c AS (
+                SELECT section, surface, concept_id, COUNT(*) AS n
+                FROM norm GROUP BY 1, 2, 3
+            )
+            SELECT section, surface, concept_id, support FROM (
+                SELECT section, surface, concept_id,
+                       CAST(SUM(n) OVER (PARTITION BY section, surface) AS BIGINT) AS support,
+                       row_number() OVER (PARTITION BY section, surface
+                                          ORDER BY n DESC, concept_id) AS rn
+                FROM c
+            ) WHERE rn = 1
+        """,
+        "allowed_sections": f"""
+            WITH hier AS (
+                SELECT DISTINCT concept_id, hierarchy FROM read_parquet('{concepts}')
+            ), pairs AS (
+                SELECT DISTINCT h.hierarchy, g.section
+                FROM read_parquet('{gold}') g JOIN hier h USING (concept_id)
+            )
+            SELECT hierarchy,
+                   string_agg(section, '|' ORDER BY section) AS sections,
+                   CAST(COUNT(*) AS BIGINT) AS n_sections
+            FROM pairs GROUP BY hierarchy
+        """,
         "filter_revenue": """
             SELECT l_orderkey, l_linenumber,
                    l_extendedprice * (1.0 - l_discount) AS revenue
@@ -239,8 +326,4 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 16 AND c.vec_id >= 16
             ) WHERE rank <= 5
         """,
-        # minhash_lsh_pairs / simhash_buckets / langid / cosine_topk_ivf /
-        # entity_link*: not SQL-expressible (sketches, heuristics, approximate
-        # search, fixture-backed linkage) → driver records rows-only checks;
-        # exact semantics are pytest-verified against in-repo oracles.
     }

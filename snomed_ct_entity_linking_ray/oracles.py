@@ -1,0 +1,545 @@
+"""Single-process oracle implementations for the queries whose semantics
+are not directly SQL-expressible (sketches, approximate search, the
+flagship linkage). The driver's correctness gate compares each Ray
+pipeline against ``oracle_sql()`` via DuckDB; for these queries the SQL is
+``SELECT … FROM read_parquet('<oracle parquet>')`` over files generated
+here by an INDEPENDENT single-process dataflow (plain Python/numpy loops —
+no Ray, no Dataset code paths), so the compare exercises the distributed
+orchestration end-to-end.
+
+Shared with the engine are only the property-tested scalar kernels whose
+bit-exactness is the point (hash_embed, MinHash coefficients, DuckDB
+jaro_winkler, simhash64) — reimplementing those would just test float
+reproducibility, not the dataflow.
+
+Files land under ``/tmp/scel_oracles/<key>/`` keyed by fixture key +
+ORACLE_VERSION; generation is write-once with an atomic rename (same
+discipline as fixtures.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import fixtures
+
+ORACLE_VERSION = 1
+
+# mirror of pipelines.entity_link constants (the contract under test)
+THETA = 0.995
+N_QUERIES = 16
+IVF_QUANT = 1_000_000  # centroid quantization grid (order-independent sums)
+
+_HEADER_LINE = re.compile(r"^([A-Z][A-Za-z /]{2,60}):\s*$", re.M)
+_TOKEN = re.compile(r"[a-z0-9]+")
+
+
+# --------------------------------------------------------------------------
+# plumbing
+# --------------------------------------------------------------------------
+
+def _read(sf_dir: str, table: str) -> pa.Table:
+    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def oracle_dir(sf_dir: str, root: str = "/tmp/scel_oracles") -> str:
+    """Generate-once oracle parquet directory for this sf tier."""
+    spec = fixtures.spec_for_sf_dir(sf_dir)
+    out = os.path.join(root, f"{spec.key}_o{ORACLE_VERSION}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    fdir = fixtures.fixture_dir(spec)
+    tmp = out + f".tmp{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    _generate_all(sf_dir, fdir, tmp)
+    with open(marker.replace(out, tmp), "w") as f:
+        f.write(spec.key)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
+    docs = _load_fixture_docs(fdir)
+    mentions = _extract_mentions_oracle(fdir, docs)
+    linked = _entity_link_oracle(fdir, mentions)
+    writers = {
+        "media_inventory": lambda: _media_inventory(docs),
+        "frame_samples": lambda: _frame_samples(docs),
+        "simhash_buckets": lambda: _simhash_buckets(sf_dir),
+        "minhash_lsh_pairs": lambda: _minhash_lsh_pairs(sf_dir),
+        "cosine_topk_ivf": lambda: _cosine_topk_ivf(sf_dir),
+        "dict_precision": lambda: _dict_precision(fdir, mentions),
+        "entity_link_mentions": lambda: _mentions_table(mentions),
+        "entity_link": lambda: linked,
+        "entity_link_eval_iou": lambda: _eval_iou(fdir, linked),
+    }
+    for name, build in writers.items():
+        pq.write_table(build() if callable(build) else build,
+                       os.path.join(tmp, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# fixture-doc helpers (independent re-derivation, no engine code)
+# --------------------------------------------------------------------------
+
+def _load_fixture_docs(fdir: str) -> list[dict]:
+    """[{doc_id, text, media: [(ref, offset)]}] — text rebuilt by
+    concatenating kind=='text' span texts in order."""
+    t = pq.read_table(os.path.join(fdir, "docs.parquet"))
+    out = []
+    for doc_id, spans in zip(t["doc_id"].to_pylist(), t["spans"].to_pylist()):
+        text_parts = []
+        media = []
+        for s in spans:
+            if s["kind"] == "text":
+                text_parts.append(s["text"])
+            else:
+                media.append((s["media_ref"], s["offset"]))
+        out.append({"doc_id": doc_id, "text": "".join(text_parts), "media": media})
+    return out
+
+
+def _sections_of(text: str) -> list[tuple[str, int]]:
+    """[(header, start)] covering the doc from 0 (leading text = 'other')."""
+    secs = [("other", 0)]
+    for m in _HEADER_LINE.finditer(text):
+        secs.append((m.group(1), m.start()))
+    return secs
+
+
+def _section_at(secs: list[tuple[str, int]], pos: int) -> str:
+    cur = secs[0][0]
+    for h, s in secs:
+        if s <= pos:
+            cur = h
+        else:
+            break
+    return cur
+
+
+def _norm(s: str) -> str:
+    return " ".join(_TOKEN.findall(s.lower()))
+
+
+# --------------------------------------------------------------------------
+# mention extraction + flagship linkage oracle
+# --------------------------------------------------------------------------
+
+def _surface_map(fdir: str) -> dict[str, list[int]]:
+    c = pq.read_table(os.path.join(fdir, "concepts.parquet"))
+    s2c: dict[str, list[int]] = {}
+    for name, cid in zip(c["name"].to_pylist(), c["concept_id"].to_pylist()):
+        n = _norm(name)
+        if not n:
+            continue
+        s2c.setdefault(n, [])
+        if cid not in s2c[n]:
+            s2c[n].append(cid)
+    return {k: sorted(v) for k, v in s2c.items()}
+
+
+def _extract_mentions_oracle(fdir: str, docs: list[dict]) -> list[dict]:
+    """Word-bounded dictionary scan with trailing-plural absorption (the
+    M1/M4/M18 contract): a surface matches exactly the token sequences
+    equal to it, or equal plus one trailing 's' on the last token."""
+    s2c = _surface_map(fdir)
+    surfaces = set(s2c)
+    max_k = max(s.count(" ") + 1 for s in surfaces)
+    rows = []
+    for d in docs:
+        text = d["text"]
+        low = text.lower()
+        secs = _sections_of(text)
+        toks = [(m.group(0), m.start(), m.end()) for m in _TOKEN.finditer(low)]
+        for i in range(len(toks)):
+            joined = ""
+            for k in range(1, max_k + 1):
+                if i + k > len(toks):
+                    break
+                joined = toks[i + k - 1][0] if k == 1 else joined + " " + toks[i + k - 1][0]
+                start, end = toks[i][1], toks[i + k - 1][2]
+                for cand in (joined,) + (
+                    (joined[:-1],) if joined.endswith("s") and len(joined) > 1 else ()
+                ):
+                    if cand in surfaces:
+                        rows.append(
+                            {
+                                "doc_id": d["doc_id"],
+                                "start": start,
+                                "end": end,
+                                "surface": cand,
+                                "section": _section_at(secs, start),
+                            }
+                        )
+    rows.sort(key=lambda r: (r["doc_id"], r["start"], r["end"], r["surface"]))
+    return rows
+
+
+def _mentions_table(mentions: list[dict]) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([m["doc_id"] for m in mentions], pa.string()),
+            "start": pa.array([m["start"] for m in mentions], pa.int32()),
+            "end": pa.array([m["end"] for m in mentions], pa.int32()),
+            "surface": pa.array([m["surface"] for m in mentions], pa.string()),
+            "section": pa.array([m["section"] for m in mentions], pa.string()),
+        }
+    )
+
+
+def _entity_link_oracle(fdir: str, mentions: list[dict]) -> pa.Table:
+    """Blocking → scoring → star-contracted clustering → majority vote →
+    per-doc D2 overlap resolution, as sequential loops."""
+    from .functions.overlaps import remove_overlaps
+    from .functions.similarity import DuckSimilarity, hash_embed
+
+    s2c = _surface_map(fdir)
+    surfaces = sorted(s2c)
+    sid_of = {s: i for i, s in enumerate(surfaces)}
+    freq = np.zeros(len(surfaces), dtype=np.int64)
+    for m in mentions:
+        freq[sid_of[m["surface"]]] += 1
+
+    # fuzzy θ-passing links: observed surfaces × dictionary surfaces that
+    # share a char-3gram prefix block, hybrid-scored. On the fixtures no
+    # non-identical pair may pass θ (1-edit decoys top out ≈0.97); assert
+    # it, because the engine's BLOCK_CAP truncation is only output-neutral
+    # while that holds.
+    by_prefix: dict[str, list[str]] = {}
+    for s in surfaces:
+        by_prefix.setdefault(s[:3], []).append(s)
+    observed = [s for s in surfaces if freq[sid_of[s]] > 0]
+    left, right = [], []
+    for s in observed:
+        for t in by_prefix.get(s[:3], ()):
+            if t != s:
+                left.append(s)
+                right.append(t)
+    cand = {s: set(s2c[s]) for s in surfaces}
+    if left:
+        emb = hash_embed(surfaces)
+        jw = DuckSimilarity(threads=1).scores(
+            pa.array(left), pa.array(right)
+        )["jw"]
+        cos = np.einsum(
+            "ij,ij->i",
+            emb[[sid_of[s] for s in left]],
+            emb[[sid_of[t] for t in right]],
+        )
+        score = 0.5 * jw + 0.5 * cos
+        passing = np.nonzero(score >= THETA)[0]
+        if len(passing):
+            raise AssertionError(
+                "fixture has θ-passing non-identical surface pairs; the "
+                "oracle must then model BLOCK_CAP truncation: "
+                f"{[(left[i], right[i], score[i]) for i in passing[:3]]}"
+            )
+
+    # star contraction: concept cliques per corpus-observed surface
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+            parent.setdefault(lo, lo)
+
+    for s in observed:
+        cs = sorted(cand[s])
+        for c in cs[1:]:
+            union(cs[0], c)
+
+    # majority vote per cluster, weighted by surface mention counts
+    votes: dict[tuple[int, int], int] = {}
+    for s in observed:
+        n = int(freq[sid_of[s]])
+        for c in cand[s]:
+            k = (find(c), c)
+            votes[k] = votes.get(k, 0) + n
+    modal: dict[int, int] = {}
+    best: dict[int, tuple[int, int]] = {}
+    for (lab, c), n in sorted(votes.items()):
+        if lab not in best or (-n, c) < best[lab]:
+            best[lab] = (-n, c)
+            modal[lab] = c
+
+    final: dict[str, int] = {}
+    for s in observed:
+        root = find(min(cand[s]))
+        final[s] = modal.get(root, min(cand[s]))
+
+    # attach + per-doc D2 resolution
+    by_doc: dict[str, list[dict]] = {}
+    for m in mentions:
+        by_doc.setdefault(m["doc_id"], []).append(
+            {"start": m["start"], "end": m["end"], "concept_id": final[m["surface"]]}
+        )
+    out_rows = []
+    for doc_id in sorted(by_doc):
+        spans = {
+            (s["start"], s["end"], s["concept_id"]) for s in by_doc[doc_id]
+        }
+        kept = remove_overlaps(
+            [{"start": a, "end": b, "concept_id": c} for a, b, c in sorted(spans)]
+        )
+        for k in kept:
+            out_rows.append((doc_id, k["start"], k["end"], k["concept_id"]))
+    out_rows.sort()
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in out_rows], pa.string()),
+            "start": pa.array([r[1] for r in out_rows], pa.int32()),
+            "end": pa.array([r[2] for r in out_rows], pa.int32()),
+            "concept_id": pa.array([r[3] for r in out_rows], pa.int64()),
+        }
+    )
+
+
+def _dict_precision(fdir: str, mentions: list[dict], threshold: float = 0.9) -> pa.Table:
+    g = pq.read_table(os.path.join(fdir, "gold_mentions.parquet"))
+    gold = set(
+        zip(g["doc_id"].to_pylist(), g["start"].to_pylist(), g["end"].to_pylist())
+    )
+    tp: dict[str, int] = {}
+    n: dict[str, int] = {}
+    for m in mentions:
+        s = m["surface"]
+        n[s] = n.get(s, 0) + 1
+        if (m["doc_id"], m["start"], m["end"]) in gold:
+            tp[s] = tp.get(s, 0) + 1
+    rows = [
+        (s, tp.get(s, 0), n[s])
+        for s in sorted(n)
+        if tp.get(s, 0) / n[s] >= threshold
+    ]
+    return pa.table(
+        {
+            "surface": pa.array([r[0] for r in rows], pa.string()),
+            "tp": pa.array([r[1] for r in rows], pa.int64()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _eval_iou(fdir: str, linked: pa.Table) -> pa.Table:
+    """Macro metric inputs: per-concept char IoU of linked vs gold
+    (1st Place/src/scoring.py:10-47 semantics, interval arithmetic)."""
+    g = pq.read_table(
+        os.path.join(fdir, "gold_mentions.parquet"),
+        columns=["doc_id", "start", "end", "concept_id"],
+    )
+
+    def spans_by(side_tbl: pa.Table) -> dict[int, dict[str, list[tuple[int, int]]]]:
+        out: dict[int, dict[str, list[tuple[int, int]]]] = {}
+        for d, s, e, c in zip(
+            side_tbl["doc_id"].to_pylist(), side_tbl["start"].to_pylist(),
+            side_tbl["end"].to_pylist(), side_tbl["concept_id"].to_pylist(),
+        ):
+            out.setdefault(int(c), {}).setdefault(d, []).append((int(s), int(e)))
+        return out
+
+    def covered(iv: list[tuple[int, int]]) -> int:
+        total, last = 0, -1
+        for s, e in sorted(iv):
+            if s > last:
+                total += e - s
+                last = e
+            elif e > last:
+                total += e - last
+                last = e
+        return total
+
+    def inter_len(a: list[tuple[int, int]], b: list[tuple[int, int]]) -> int:
+        a, b = sorted(a), sorted(b)
+        i = j = total = 0
+        while i < len(a) and j < len(b):
+            s, e = max(a[i][0], b[j][0]), min(a[i][1], b[j][1])
+            if s < e:
+                total += e - s
+            if a[i][1] < b[j][1]:
+                i += 1
+            else:
+                j += 1
+        return total
+
+    p, q = spans_by(linked), spans_by(g)
+    rows = []
+    for c in sorted(set(p) | set(q)):
+        inter = union = 0
+        docs = set(p.get(c, {})) | set(q.get(c, {}))
+        for d in docs:
+            a = p.get(c, {}).get(d, [])
+            b = q.get(c, {}).get(d, [])
+            ii = inter_len(a, b)
+            union += covered(a) + covered(b) - ii
+            inter += ii
+        rows.append((c, inter / union if union else 1.0))
+    return pa.table(
+        {
+            "concept_id": pa.array([r[0] for r in rows], pa.int64()),
+            "iou": pa.array([r[1] for r in rows], pa.float64()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal / sketch / vector oracles
+# --------------------------------------------------------------------------
+
+def _media_meta(ref: str) -> tuple[int, int, int]:
+    h = zlib.crc32(ref.encode())
+    return (
+        64 + h % 1920,
+        64 + (h >> 11) % 1080,
+        1 + (h >> 22) % 300,
+    )
+
+
+def _media_inventory(docs: list[dict]) -> pa.Table:
+    rows = []
+    for d in docs:
+        for ref, off in d["media"]:
+            w, h, nf = _media_meta(ref)
+            rows.append((d["doc_id"], ref, off, w, h, nf))
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.string()),
+            "media_ref": pa.array([r[1] for r in rows], pa.string()),
+            "offset": pa.array([r[2] for r in rows], pa.int32()),
+            "width": pa.array([r[3] for r in rows], pa.int32()),
+            "height": pa.array([r[4] for r in rows], pa.int32()),
+            "n_frames": pa.array([r[5] for r in rows], pa.int32()),
+        }
+    )
+
+
+def _frame_samples(docs: list[dict], stride: int = 30) -> pa.Table:
+    rows = []
+    for d in docs:
+        for ref, _off in d["media"]:
+            _w, _h, nf = _media_meta(ref)
+            for i in range(0, nf, stride):
+                rows.append((ref, i))
+    return pa.table(
+        {
+            "media_ref": pa.array([r[0] for r in rows], pa.string()),
+            "frame_idx": pa.array([r[1] for r in rows], pa.int32()),
+        }
+    )
+
+
+def _simhash_buckets(sf_dir: str, prefix_bits: int = 12) -> pa.Table:
+    from .functions.hashing import simhash64
+
+    t = _read(sf_dir, "documents").select(["doc_id", "text"])
+    hs = np.array(
+        [simhash64(x.split(" ")) for x in t["text"].to_pylist()], dtype=np.uint64
+    )
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "simhash": pa.array(hs.astype(np.int64)),
+            "bucket": pa.array(
+                (hs >> np.uint64(64 - prefix_bits)).astype(np.int64)
+            ),
+        }
+    )
+
+
+def _minhash_lsh_pairs(
+    sf_dir: str, num_perm: int = 64, bands: int = 16, jaccard_threshold: float = 0.5
+) -> pa.Table:
+    from .functions.hashing import MinHasher, shingle_hashes
+
+    t = _read(sf_dir, "documents").select(["doc_id", "text"])
+    mh = MinHasher(num_perm=num_perm)
+    ids = t["doc_id"].to_pylist()
+    sigs = {
+        i: mh.signature(shingle_hashes(x))
+        for i, x in zip(ids, t["text"].to_pylist())
+    }
+    buckets: dict[str, list[int]] = {}
+    for i in ids:
+        for key in mh.band_keys(sigs[i], bands):
+            buckets.setdefault(key, []).append(i)
+    pairs: dict[tuple[int, int], float] = {}
+    for members in buckets.values():
+        members = sorted(members)
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, b = members[x], members[y]
+                if (a, b) in pairs:
+                    continue
+                est = float((sigs[a] == sigs[b]).mean())
+                if est >= jaccard_threshold:
+                    pairs[(a, b)] = est
+    keys = sorted(pairs)
+    return pa.table(
+        {
+            "doc_a": pa.array([k[0] for k in keys], pa.int64()),
+            "doc_b": pa.array([k[1] for k in keys], pa.int64()),
+            "est_jaccard": pa.array([pairs[k] for k in keys], pa.float64()),
+        }
+    )
+
+
+def _cosine_topk_ivf(sf_dir: str, k: int = 5, nprobe: int = 3) -> pa.Table:
+    """IVF semantics contract: centroids are per-label means of normalized
+    candidate vectors accumulated on a 1e-6 integer grid (order-independent
+    sums — the distributed build and this oracle agree bitwise), queries
+    probe the nprobe nearest cells, exact cosine within probed cells,
+    ties by (cos desc, match_id asc)."""
+    t = _read(sf_dir, "embeddings").select(["vec_id", "embedding", "label"])
+    vid = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+    lab = np.array(t["label"].to_pylist(), dtype=np.int64)
+    is_q = vid < N_QUERIES
+    Q, qids = E[is_q], vid[is_q]
+    order = np.argsort(qids)
+    Q, qids = Q[order], qids[order]
+    C, cids, clab = E[~is_q], vid[~is_q], lab[~is_q]
+
+    cells = np.unique(clab)
+    cent = np.zeros((len(cells), E.shape[1]), dtype=np.float64)
+    for ci, c in enumerate(cells):
+        m = clab == c
+        qsum = np.rint(C[m] * IVF_QUANT).astype(np.int64).sum(axis=0)
+        cent[ci] = qsum / (IVF_QUANT * m.sum())
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+
+    probe = np.argsort(-(Q @ cent.T), kind="stable", axis=1)[:, :nprobe]
+    rows = []
+    for qi in range(len(qids)):
+        allowed = set(int(cells[c]) for c in probe[qi])
+        m = np.isin(clab, list(allowed))
+        sims = C[m] @ Q[qi]
+        sel = cids[m]
+        order = np.lexsort((sel, -sims))[:k]
+        for rank, j in enumerate(order, start=1):
+            rows.append((int(qids[qi]), int(sel[j]), rank))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "match_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )

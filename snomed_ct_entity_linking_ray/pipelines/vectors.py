@@ -24,12 +24,22 @@ N_QUERIES = 16  # vec_id < 16 are the query set; the rest are candidates
 
 
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    tbl = read_arrow(sf_dir, "embeddings", ["vec_id", "embedding"])
-    df = tbl.to_pandas()
-    q = df[df["vec_id"] < N_QUERIES].sort_values("vec_id")
-    Q = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    """Query-side load with PREDICATE PUSHDOWN (vec_id < N_QUERIES prunes
+    row groups at the read — the query side never scans the candidate
+    rows)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
+    )
+    df = tbl.to_pandas().sort_values("vec_id")
+    Q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
-    return q["vec_id"].to_numpy(), Q
+    return df["vec_id"].to_numpy(), Q
 
 
 def q_cosine_topk(sf_dir: str, k: int = 5):
@@ -82,52 +92,109 @@ def q_cosine_topk(sf_dir: str, k: int = 5):
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+IVF_QUANT = 1_000_000  # centroid accumulation grid (see oracles.py)
+
+
 def q_cosine_topk_ivf(sf_dir: str, k: int = 5, nprobe: int = 3):
     """IVF-style approximate top-k: ``label`` is the coarse cell; each query
     probes the ``nprobe`` cells whose centroids are nearest. Scale path:
-    the per-batch matmul only sees candidates in probed cells."""
-    tbl = read_arrow(sf_dir, "embeddings", ["vec_id", "embedding", "label"]).to_pandas()
-    cand = tbl[tbl["vec_id"] >= N_QUERIES]
-    E = np.stack(cand["embedding"].to_numpy()).astype(np.float64)
-    E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
-    labels = cand["label"].to_numpy()
-    cells = np.unique(labels)
-    centroids = np.stack([E[labels == c].mean(axis=0) for c in cells])
-    centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
+    the per-batch matmul only sees candidates in probed cells.
 
-    qids, Q = _query_matrix(sf_dir)
-    probe = np.argsort(-(Q @ centroids.T), axis=1)[:, :nprobe]  # [nq, nprobe]
-    probed_cells = {int(q): set(int(cells[c]) for c in row) for q, row in zip(qids, probe)}
-    ref = broadcast((qids, Q, probed_cells))
+    The centroid build is DISTRIBUTED: per-batch partial sums per label,
+    combined driver-side (bounded by #labels, not corpus size). Components
+    accumulate on a 1e-6 integer grid so the sum is order-independent —
+    the distributed build, a single-process rebuild, and the committed
+    oracle agree bitwise regardless of batch layout."""
+    from .common import tree_to_pandas
 
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
 
+    def centroid_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cand = df[df["vec_id"] >= N_QUERIES]
+        if len(cand) == 0:
+            return pd.DataFrame({"label": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "qsum": pd.Series([], dtype=object)})
+        C = np.stack(cand["embedding"].to_numpy()).astype(np.float64)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+        Cq = np.rint(C * IVF_QUANT).astype(np.int64)
+        rows = []
+        for lab in np.unique(cand["label"].to_numpy()):
+            m = cand["label"].to_numpy() == lab
+            rows.append((int(lab), int(m.sum()), Cq[m].sum(axis=0).tolist()))
+        return pd.DataFrame(
+            {"label": [r[0] for r in rows],
+             "n": [r[1] for r in rows],
+             "qsum": [r[2] for r in rows]}
+        )
+
+    def centroid_combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "label" not in df.columns:
+            return pd.DataFrame({"label": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "qsum": pd.Series([], dtype=object)})
+        rows = []
+        for lab, g in df.groupby("label"):
+            rows.append(
+                (int(lab), int(g["n"].sum()),
+                 np.sum(np.stack(g["qsum"].to_numpy()), axis=0).tolist())
+            )
+        return pd.DataFrame(
+            {"label": [r[0] for r in rows],
+             "n": [r[1] for r in rows],
+             "qsum": [r[2] for r in rows]}
+        )
+
+    cent_df = tree_to_pandas(
+        ds.map_batches(centroid_partial, batch_format="pandas"),
+        centroid_combine,
+        n_blocks_hint=32,
+    )
+    cent_df = centroid_combine(cent_df).sort_values("label")
+    cells = cent_df["label"].to_numpy().astype(np.int64)
+    centroids = np.stack(cent_df["qsum"].to_numpy()).astype(np.float64) / (
+        IVF_QUANT * cent_df["n"].to_numpy()[:, None]
+    )
+    centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
+
+    qids, Q = _query_matrix(sf_dir)
+    probe = np.argsort(-(Q @ centroids.T), kind="stable", axis=1)[:, :nprobe]
+    # [nq, n_cells] bool: which cells each query probes
+    allowed = np.zeros((len(qids), len(cells)), dtype=bool)
+    for r, row in enumerate(probe):
+        allowed[r, row] = True
+    ref = broadcast((qids, Q, cells, allowed))
+
     class Score:
         def __init__(self):
-            self.qids, self.Q, self.cells = ray.get(ref)
+            self.qids, self.Q, self.cells, self.allowed = ray.get(ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             cand = df[df["vec_id"] >= N_QUERIES]
-            out = {"query_id": [], "match_id": [], "cos": []}
             if len(cand) == 0:
-                return pd.DataFrame({k2: pd.Series(v, dtype=np.float64 if k2 == "cos" else np.int64)
-                                     for k2, v in out.items()})
+                return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                     "match_id": pd.Series([], dtype=np.int64),
+                                     "cos": pd.Series([], dtype=np.float64)})
             C = np.stack(cand["embedding"].to_numpy()).astype(np.float64)
             C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
             ids = cand["vec_id"].to_numpy()
-            lab = cand["label"].to_numpy()
-            for qi, qv in zip(self.qids, self.Q):
-                mask = np.isin(lab, list(self.cells[int(qi)]))
-                if not mask.any():
-                    continue
-                sims = C[mask] @ qv
-                sel_ids = ids[mask]
-                kk = min(k, len(sims))
-                idx = np.argpartition(-sims, kk - 1)[:kk]
-                out["query_id"].extend([int(qi)] * kk)
-                out["match_id"].extend(sel_ids[idx].astype(np.int64))
-                out["cos"].extend(sims[idx])
-            return pd.DataFrame(out)
+            cell_idx = np.searchsorted(self.cells, cand["label"].to_numpy())
+            sims = self.Q @ C.T                      # [nq, nc]
+            mask = self.allowed[:, cell_idx]         # [nq, nc]
+            sims = np.where(mask, sims, -np.inf)
+            nq, nc = sims.shape
+            kk = min(k, nc)
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(nq), kk)
+            cols = idx.ravel()
+            keep = sims[rows, cols] > -np.inf
+            return pd.DataFrame(
+                {
+                    "query_id": self.qids[rows[keep]].astype(np.int64),
+                    "match_id": ids[cols[keep]].astype(np.int64),
+                    "cos": sims[rows[keep], cols[keep]],
+                }
+            )
 
     partial = ds.map_batches(Score, batch_format="pandas", concurrency=(1, 4))
 

@@ -1,0 +1,66 @@
+"""Driver-gate rehearsal: every formerly rows-only query must match its
+oracle (independent single-process implementation → parquet, or direct
+DuckDB SQL) exactly — row count, sorted columns, values — the same compare
+the correctness driver runs at sf=0.01."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry
+
+SF = "/root/testdata/sf0.01"
+
+ORACLE_BACKED = [
+    "langid",
+    "dict_majority",
+    "allowed_sections",
+    "dict_precision",
+    "media_inventory",
+    "frame_samples",
+    "simhash_buckets",
+    "minhash_lsh_pairs",
+    "cosine_topk_ivf",
+    "entity_link_mentions",
+    "entity_link",
+    "entity_link_eval_iou",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", ORACLE_BACKED)
+def test_query_matches_oracle(name, duck):
+    qs, oq = entry.queries(), entry.oracle_sql()
+    assert name in oq, f"{name} lost its oracle entry"
+    res = qs[name](SF)
+    rdf = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    odf = duck.execute(oq[name]).df()
+    a, b = _normalize(rdf), _normalize(odf)
+    assert list(a.columns) == list(b.columns), (list(a.columns), list(b.columns))
+    assert len(a) == len(b), (len(a), len(b))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_every_query_has_an_oracle():
+    qs, oq = entry.queries(), entry.oracle_sql()
+    missing = sorted(set(qs) - set(oq))
+    assert not missing, f"queries without oracle entries: {missing}"
