@@ -1,11 +1,15 @@
 """Deduplication operator family (engine additions for training-data
 pipelines): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
 near-dup. All follow the same shape as the flagship linkage pipeline —
-blocking keys → groupby shuffle → in-block pair verification — so they reuse
-its skew discipline (bounded block sizes, logged drops).
+blocking keys → groupby shuffle → in-block pair verification — and they
+share its skew discipline: every O(n²) in-block verifier caps the block at
+``BLOCK_CAP`` members (deterministic keep-lowest-id, dropped count logged)
+so one hot key cannot produce an unbounded pair explosion at scale.
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 import pandas as pd
@@ -15,6 +19,33 @@ import ray
 from ..functions import hashing
 from ..functions.text import char_set_jaccard_batch
 from .common import broadcast, read
+
+logger = logging.getLogger(__name__)
+
+# Max members of one block that enter pairwise verification. A block at the
+# cap yields ~8.4M candidate pairs — bounded work per map_groups task. At
+# the driver-verified scales (sf0.01/sf0.1) no fixture block reaches the
+# cap, so capped and uncapped semantics coincide; at 100 TB a hot
+# (lang, source) or LSH bucket gets truncated WITH a logged drop count
+# instead of an O(n²) blowup (same discipline as the flagship's fuzzy
+# blocking, entity_link.py BLOCK_CAP).
+BLOCK_CAP = 4096
+
+
+def _cap_block(g: pd.DataFrame, id_col: str, what: str, cap: int = BLOCK_CAP) -> pd.DataFrame:
+    """Deterministically bound a pairwise block: sort by id, keep lowest.
+
+    ``cap`` is captured BY VALUE into the shipped UDF closure (a module
+    global would re-resolve to the default inside each Ray worker's fresh
+    import)."""
+    g = g.sort_values(id_col)
+    if len(g) > cap:
+        logger.warning(
+            "%s block over cap: %d members, dropping %d (keep-lowest-id)",
+            what, len(g), len(g) - cap,
+        )
+        g = g.head(cap)
+    return g
 
 
 def q_dedup_exact(sf_dir: str):
@@ -48,7 +79,8 @@ def q_dedup_exact(sf_dir: str):
     )
 
 
-def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9):
+def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9,
+                          block_cap: int = BLOCK_CAP):
     """Char-set-Jaccard near-dup pairs within (lang, source) blocks —
     blocking → groupby shuffle → in-block pair generation → vectorized
     verification. Semantics identical to DuckDB ``jaccard()`` (char sets).
@@ -56,7 +88,7 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9):
     ds = read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
+        g = _cap_block(g, "doc_id", "ngram_jaccard", block_cap)
         ids = g["doc_id"].to_numpy()
         texts = g["text"].to_numpy()
         n = len(g)
@@ -92,58 +124,102 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64):
 
 
 def q_minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
-                        jaccard_threshold: float = 0.5):
+                        jaccard_threshold: float = 0.5,
+                        block_cap: int = BLOCK_CAP):
     """MinHash+LSH near-dup: shingle → signature → band buckets →
     groupby(band bucket) → candidate pairs → signature-similarity verify.
 
-    Scale shape: the shuffle key is (band_id, band_hash); each doc emits
-    ``bands`` small rows; verification is per-bucket and deduped by pair.
+    Scale shape: the wide band shuffle carries ONLY ``(band, doc_id)`` —
+    ~30 bytes/row instead of the 512-byte signature (a 16× payload cut vs
+    shipping signatures through every band row). Signatures are computed
+    once into a materialized ``(doc_id, sigb)`` table (520 B/doc, spills to
+    the object store) that fans out three ways: band explosion and the two
+    hash-join probes that re-attach signatures to the deduped candidate
+    pairs for verification. Buckets over ``BLOCK_CAP`` members are capped
+    with a logged drop.
     """
-    sigs = minhash_signatures(sf_dir, num_perm)
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    class SigBytes:
+        """Shingle+MinHash once per doc; signature as one binary column
+        (joins/shuffles treat it as an opaque 512-byte payload)."""
+
+        def __init__(self):
+            self.mh = hashing.MinHasher(num_perm=num_perm)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            sigb = [
+                self.mh.signature(hashing.shingle_hashes(t)).tobytes()
+                for t in df["text"]
+            ]
+            return pd.DataFrame(
+                {"doc_id": df["doc_id"].to_numpy(np.int64), "sigb": sigb}
+            )
+
+    # Materialized stage boundary: the signature table is consumed by three
+    # downstream branches; recomputing shingles 3x would cost more than the
+    # 520 B/doc of (spillable) object-store residency.
+    sigsb = ds.map_batches(SigBytes, batch_format="pandas", concurrency=(1, 4)).materialize()
 
     mh = hashing.MinHasher(num_perm=num_perm)
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
-        rows_id, rows_key, rows_sig = [], [], []
-        for did, sig in zip(df["doc_id"], df["sig"]):
-            sig = np.asarray(sig, dtype=np.uint64)
-            for key in mh.band_keys(sig, bands):
-                rows_id.append(did)
-                rows_key.append(key)
-                rows_sig.append(sig)
-        return pd.DataFrame({"doc_id": rows_id, "band": rows_key, "sig": rows_sig})
+        keys: list[str] = []
+        for sb in df["sigb"]:
+            keys.extend(mh.band_keys(np.frombuffer(sb, dtype=np.uint64), bands))
+        ids = np.repeat(df["doc_id"].to_numpy(np.int64), bands)
+        return pd.DataFrame({"band": keys, "doc_id": ids})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        S = np.stack(g["sig"].to_numpy())
-        n = len(g)
+        ids = _cap_block(g, "doc_id", "lsh_bucket", block_cap)["doc_id"].to_numpy(np.int64)
+        n = len(ids)
         if n < 2:
             return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64),
-                                 "est_jaccard": pd.Series([], dtype=np.float64)})
+                                 "doc_b": pd.Series([], dtype=np.int64)})
         ia, ib = np.triu_indices(n, k=1)
-        est = (S[ia] == S[ib]).mean(axis=1)
-        keep = est >= jaccard_threshold
-        return pd.DataFrame(
-            {
-                "doc_a": ids[ia[keep]].astype(np.int64),
-                "doc_b": ids[ib[keep]].astype(np.int64),
-                "est_jaccard": est[keep],
-            }
-        )
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
     cand = (
-        sigs.map_batches(explode_bands, batch_format="pandas")
+        sigsb.map_batches(explode_bands, batch_format="pandas")
         .groupby("band")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
 
-    # a pair found in k bands appears k times → exact pair dedup
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # a pair found in k bands appears k times → native-agg pair dedup
+    cand = cand.groupby(["doc_a", "doc_b"]).count().drop_columns(["count()"])
 
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+    # hash-join both signatures back onto the (deduped, bounded) pair set;
+    # partition count scales with the cluster (join aggregators are actors)
+    n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    j = cand.join(sigsb, "inner", num_partitions=n_part,
+                  on=("doc_a",), right_on=("doc_id",))
+    j = j.map_batches(
+        lambda df: df.rename(columns={"sigb": "sig_a"}).drop(
+            columns=[c for c in ("doc_id",) if c in df.columns]
+        ),
+        batch_format="pandas",
+    )
+    j = j.join(sigsb, "inner", num_partitions=n_part,
+               on=("doc_b",), right_on=("doc_id",))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "est_jaccard": pd.Series([], dtype=np.float64)})
+        A = np.stack([np.frombuffer(b, dtype=np.uint64) for b in df["sig_a"]])
+        B = np.stack([np.frombuffer(b, dtype=np.uint64) for b in df["sigb"]])
+        est = (A == B).mean(axis=1)
+        keep = est >= jaccard_threshold
+        return pd.DataFrame(
+            {
+                "doc_a": df["doc_a"].to_numpy(np.int64)[keep],
+                "doc_b": df["doc_b"].to_numpy(np.int64)[keep],
+                "est_jaccard": est[keep],
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pandas")
 
 
 def q_simhash_buckets(sf_dir: str, prefix_bits: int = 12):
@@ -167,13 +243,14 @@ def q_simhash_buckets(sf_dir: str, prefix_bits: int = 12):
     return ds.map_batches(fn, batch_format="pandas")
 
 
-def q_embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35):
+def q_embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35,
+                              block_cap: int = BLOCK_CAP):
     """Embedding-cosine near-dup pairs within label blocks (label acts as
     the coarse blocking key, mirroring an IVF cell assignment)."""
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id")
+        g = _cap_block(g, "vec_id", "embedding_neardup", block_cap)
         ids = g["vec_id"].to_numpy()
         E = np.stack(g["embedding"].to_numpy()).astype(np.float64)
         E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)

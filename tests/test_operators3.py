@@ -117,3 +117,28 @@ def test_artifacts_s8(tmp_path):
     assert back["surfaces"] == ["a", "b"]
     np.testing.assert_array_equal(back["emb"], state["emb"])
     assert load_state(str(tmp_path / "missing.pkl")) is None
+
+
+def test_dedup_block_cap_skew():
+    """Skew discipline: a block over BLOCK_CAP is truncated deterministically
+    (keep-lowest-id) with a logged drop — the pipeline completes and emits
+    exactly the capped subset's pairs (one giant (lang, source) block)."""
+    from snomed_ct_entity_linking_ray.pipelines import dedup
+
+    sf = "/root/testdata/sf0.001"
+    full = dedup.q_ngram_jaccard_pairs(sf, threshold=0.0).to_pandas()
+    assert len(full) > 0  # threshold 0 keeps every in-block pair
+
+    capped = dedup.q_ngram_jaccard_pairs(sf, threshold=0.0, block_cap=4).to_pandas()
+    # every block contributes at most C(4,2)=6 pairs, from its 4 lowest ids
+    import duckdb
+
+    blocks = duckdb.sql(
+        f"SELECT lang, source, count(*) AS n FROM read_parquet('{sf}/documents.parquet') GROUP BY 1,2"
+    ).df()
+    exp = int(sum(min(n, 4) * (min(n, 4) - 1) // 2 for n in blocks["n"]))
+    assert len(capped) == exp
+    assert len(capped) < len(full)
+    # capped output is a subset of the uncapped pairs
+    key = lambda df: set(zip(df["doc_a"], df["doc_b"]))
+    assert key(capped) <= key(full)
