@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search family
         "cosine_topk": vectors.q_cosine_topk,
         "cosine_topk_ivf": vectors.q_cosine_topk_ivf,
+        "encoder_topk": vectors.q_encoder_topk,
         # dictionary-training aggregates (G2/G5/G7; fixture-backed rows-only)
         "dict_majority": dict_train.q_dict_majority,
         "allowed_sections": dict_train.q_allowed_sections,
@@ -134,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
             "simhash_buckets",
             "minhash_lsh_pairs",
             "cosine_topk_ivf",
+            "encoder_topk",
             "dict_precision",
             "entity_link_mentions",
             "entity_link",

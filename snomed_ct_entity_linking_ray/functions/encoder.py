@@ -1,0 +1,86 @@
+"""Tiny numpy bi-encoder with REAL loaded weights (SURVEY.md A2/A3).
+
+Re-expresses the reference's SapBERT batched-embedding semantics
+(2nd Place/submission/infer.py:128-232 — batch 256, max_len 25 tokens,
+mean-pool over token embeddings, L2-normalize) as a 2-layer numpy MLP over
+char-3gram token features: the torch-free stand-in this container allows.
+
+The weights are a versioned on-disk artifact (state/artifacts.py pickle).
+Every encoder actor loads them from disk in ``__init__`` — the same
+weights-on-disk → actor-pool path a GPU checkpoint would take (swap
+``num_cpus=1`` for ``num_gpus=1`` on a real cluster; the artifact file
+would live on shared storage and each actor still loads once, not once
+per batch).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..state.artifacts import load_state, save_state
+from .similarity import hash_embed
+
+DIM_IN = 64     # hash_embed token-feature width
+DIM_HID = 48
+DIM_OUT = 32
+MAX_TOKENS = 25  # max_len 25 of the reference encoder
+ENCODER_SEED = 13
+ENCODER_ARTIFACT = "/tmp/scel_artifacts/encoder_v1.pkl"
+
+
+def build_encoder_weights(seed: int = ENCODER_SEED) -> dict:
+    """Deterministic small-MLP weights (fixed seed → same artifact bytes on
+    every machine; stands in for a trained checkpoint)."""
+    rng = np.random.default_rng(seed)
+    return {
+        "W1": rng.standard_normal((DIM_IN, DIM_HID)) / np.sqrt(DIM_IN),
+        "b1": rng.standard_normal(DIM_HID) * 0.01,
+        "W2": rng.standard_normal((DIM_HID, DIM_OUT)) / np.sqrt(DIM_HID),
+        "b2": rng.standard_normal(DIM_OUT) * 0.01,
+    }
+
+
+def ensure_encoder_artifact(path: str = ENCODER_ARTIFACT) -> str:
+    """Write-once weight artifact (atomic via save_state's tmp+rename)."""
+    if not os.path.exists(path):
+        save_state(build_encoder_weights(), path)
+    return path
+
+
+class NumpyEncoder:
+    """Forward pass: per-token char-3gram features → tanh MLP → mean-pool
+    over the first MAX_TOKENS tokens → L2-normalize. Loads weights from the
+    artifact file (once per construction — i.e. once per actor)."""
+
+    def __init__(self, path: str = ENCODER_ARTIFACT):
+        st = load_state(path)
+        if st is None:
+            raise FileNotFoundError(f"encoder artifact missing/stale: {path}")
+        self.W1 = st["W1"]
+        self.b1 = st["b1"]
+        self.W2 = st["W2"]
+        self.b2 = st["b2"]
+
+    def encode(self, texts) -> np.ndarray:
+        """[n, DIM_OUT] float64, unit rows. Token features for the whole
+        batch are built as ONE hash_embed call + segment mean-pool (no
+        per-text MLP invocations)."""
+        if len(texts) == 0:
+            return np.empty((0, DIM_OUT), dtype=np.float64)
+        toks: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            tt = t.split()[:MAX_TOKENS] or [""]
+            toks.extend(tt)
+            counts[i] = len(tt)
+        F = hash_embed(toks, dim=DIM_IN)                    # [n_tok, 64]
+        H = np.tanh(F @ self.W1 + self.b1)
+        E = H @ self.W2 + self.b2                           # [n_tok, 32]
+        # segment mean-pool by doc
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        sums = np.add.reduceat(E, bounds[:-1], axis=0)
+        pooled = sums / counts[:, None]
+        pooled /= np.maximum(np.linalg.norm(pooled, axis=1, keepdims=True), 1e-30)
+        return pooled

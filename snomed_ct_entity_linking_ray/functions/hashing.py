@@ -65,6 +65,16 @@ class MinHasher:
             keys.append(f"{b}:{h:08x}")
         return keys
 
+    def band_key_ints(self, sig: np.ndarray, bands: int) -> list[int]:
+        """Same buckets as ``band_keys`` under an INJECTIVE int64 encoding
+        ``(band_index << 32) | crc32(band_bytes)`` — identical membership
+        (tested), but the wide groupby sorts int64 instead of strings."""
+        rows = self.num_perm // bands
+        return [
+            (b << 32) | zlib.crc32(sig[b * rows : (b + 1) * rows].tobytes())
+            for b in range(bands)
+        ]
+
 
 def simhash64(tokens: list[str]) -> int:
     """64-bit SimHash over token crc-based hashes (Charikar 2002)."""

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 1
+ORACLE_VERSION = 2
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -79,6 +79,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "simhash_buckets": lambda: _simhash_buckets(sf_dir),
         "minhash_lsh_pairs": lambda: _minhash_lsh_pairs(sf_dir),
         "cosine_topk_ivf": lambda: _cosine_topk_ivf(sf_dir),
+        "encoder_topk": lambda: _encoder_topk(sf_dir),
         "dict_precision": lambda: _dict_precision(fdir, mentions),
         "entity_link_mentions": lambda: _mentions_table(mentions),
         "entity_link": lambda: linked,
@@ -497,6 +498,51 @@ def _minhash_lsh_pairs(
             "doc_a": pa.array([k[0] for k in keys], pa.int64()),
             "doc_b": pa.array([k[1] for k in keys], pa.int64()),
             "est_jaccard": pa.array([pairs[k] for k in keys], pa.float64()),
+        }
+    )
+
+
+def _encoder_topk(sf_dir: str, k: int = 5) -> pa.Table:
+    """Single-process re-derivation of q_encoder_topk: per-doc forward pass
+    (token hash_embed -> tanh MLP -> mean-pool -> L2) with the SAME weight
+    artifact the actors load (the artifact IS the model under test; what
+    this oracle independently re-derives is the distributed dataflow —
+    actor-pool encode, broadcast query matrix, partial+final top-k)."""
+    from .functions.encoder import MAX_TOKENS, ensure_encoder_artifact
+    from .functions.similarity import hash_embed
+    from .state.artifacts import load_state
+
+    w = load_state(ensure_encoder_artifact())
+
+    def enc_one(text: str) -> np.ndarray:
+        toks = text.split()[:MAX_TOKENS] or [""]
+        F = hash_embed(toks, dim=w["W1"].shape[0])
+        E = np.tanh(F @ w["W1"] + w["b1"]) @ w["W2"] + w["b2"]
+        v = E.mean(axis=0)
+        return v / max(np.linalg.norm(v), 1e-30)
+
+    t = _read(sf_dir, "documents").select(["doc_id", "text"])
+    ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+    vecs = np.stack([enc_one(x) for x in t["text"].to_pylist()])
+    qm = ids < N_QUERIES
+    qids, Q = ids[qm], vecs[qm]
+    order = np.argsort(qids)
+    qids, Q = qids[order], Q[order]
+    cids, C = ids[~qm], vecs[~qm]
+    sims = np.round(Q @ C.T, 9)
+    out_q, out_m, out_r = [], [], []
+    for r, qid in enumerate(qids):
+        row = sims[r]
+        # sort by (-cos, match_id): identical tie-break to the pipeline
+        order2 = np.lexsort((cids, -row))[:k]
+        out_q.extend([qid] * len(order2))
+        out_m.extend(cids[order2])
+        out_r.extend(range(1, len(order2) + 1))
+    return pa.table(
+        {
+            "query_id": pa.array(np.asarray(out_q, dtype=np.int64)),
+            "match_id": pa.array(np.asarray(out_m, dtype=np.int64)),
+            "rank": pa.array(np.asarray(out_r, dtype=np.int64)),
         }
     )
 

@@ -164,11 +164,13 @@ def q_minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     mh = hashing.MinHasher(num_perm=num_perm)
 
     def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
-        keys: list[str] = []
+        keys: list[int] = []
         for sb in df["sigb"]:
-            keys.extend(mh.band_keys(np.frombuffer(sb, dtype=np.uint64), bands))
+            keys.extend(mh.band_key_ints(np.frombuffer(sb, dtype=np.uint64), bands))
         ids = np.repeat(df["doc_id"].to_numpy(np.int64), bands)
-        return pd.DataFrame({"band": keys, "doc_id": ids})
+        return pd.DataFrame(
+            {"band": np.asarray(keys, dtype=np.int64), "doc_id": ids}
+        )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = _cap_block(g, "doc_id", "lsh_bucket", block_cap)["doc_id"].to_numpy(np.int64)
@@ -185,10 +187,14 @@ def q_minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
         .map_groups(bucket_pairs, batch_format="pandas")
     )
 
-    # a pair found in k bands appears k times → native-agg pair dedup
-    cand = cand.groupby(["doc_a", "doc_b"]).count().drop_columns(["count()"])
+    # NOTE: a pair found in k bands appears k times here. Deduping BEFORE
+    # the joins would need a two-column groupby over the full candidate set
+    # (measured 90s for 238k rows — Ray's multi-key sort agg); instead the
+    # duplicates ride through the (hash-partitioned, cheap) joins and the
+    # exact dedup runs on the post-verify survivors, a set bounded by the
+    # true near-dup count, via a single hashed int64 key.
 
-    # hash-join both signatures back onto the (deduped, bounded) pair set;
+    # hash-join both signatures back onto the bounded candidate pair set;
     # partition count scales with the cluster (join aggregators are actors)
     n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
     j = cand.join(sigsb, "inner", num_partitions=n_part,
@@ -211,15 +217,24 @@ def q_minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
         B = np.stack([np.frombuffer(b, dtype=np.uint64) for b in df["sigb"]])
         est = (A == B).mean(axis=1)
         keep = est >= jaccard_threshold
-        return pd.DataFrame(
-            {
-                "doc_a": df["doc_a"].to_numpy(np.int64)[keep],
-                "doc_b": df["doc_b"].to_numpy(np.int64)[keep],
-                "est_jaccard": est[keep],
-            }
+        da = df["doc_a"].to_numpy(np.int64)[keep]
+        db = df["doc_b"].to_numpy(np.int64)[keep]
+        out = pd.DataFrame(
+            {"doc_a": da, "doc_b": db, "est_jaccard": est[keep]}
         )
+        # single int64 mix key for the global exact-pair dedup groupby
+        out["pkey"] = (
+            (da.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            ^ (db.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+        ).astype(np.int64)
+        return out
 
-    return j.map_batches(verify, batch_format="pandas")
+    verified = j.map_batches(verify, batch_format="pandas")
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["doc_a", "doc_b"]).drop(columns=["pkey"])
+
+    return verified.groupby("pkey").map_groups(dedup_group, batch_format="pandas")
 
 
 def q_simhash_buckets(sf_dir: str, prefix_bits: int = 12):

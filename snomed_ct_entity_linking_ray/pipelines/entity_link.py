@@ -175,12 +175,15 @@ class MentionExtractor:
     vectorized dictionary ship once per actor (__init__), not per batch.
 
     Two equivalent matchers (tested equal in tests/test_vecmatch.py):
-    - ``vector`` (default): rolling-hash window matching over the batch's
-      concatenated byte buffer (functions/vecmatch.py) — all-C array ops,
-      used for ASCII docs (the overwhelming case for clinical text);
-      non-ASCII docs in the batch fall back to the automaton per doc.
-    - ``automaton``: per-doc Aho-Corasick scan over normalized text with
-      raw-offset remapping (the general-alphabet path).
+    - ``automaton`` (default): per-doc Aho-Corasick scan over normalized
+      text with raw-offset remapping. MEASURED FASTER: 20s vs 37s for the
+      rolling-hash path at sf0.1/32cpus — one trie walk touches each char
+      once, while rolling-hash pays a candidate-verify pass per window
+      length.
+    - ``vector``: rolling-hash window matching over the batch's
+      concatenated byte buffer (functions/vecmatch.py) — all-C array ops
+      for ASCII docs; non-ASCII docs fall back to the automaton per doc.
+      Kept as the no-per-char-Python alternative (property-tested equal).
 
     Emits ``sid`` (int32 index into the broadcast surface list — strings
     never enter the mentions table) and ``doc_n`` (number of mention rows
@@ -192,7 +195,7 @@ class MentionExtractor:
         self,
         vd_ref,
         exclude_sections: frozenset[str] | None = None,
-        matcher: str = "vector",
+        matcher: str = "automaton",
     ):
         self.vd = ray.get(vd_ref)
         self._ac: AhoCorasick | None = None
@@ -369,7 +372,7 @@ def doc_bucket_array(doc_ids: list[str]) -> np.ndarray:
 def extract_mentions(
     sf_dir: str,
     exclude_sections: frozenset[str] | None = None,
-    matcher: str = "vector",
+    matcher: str = "automaton",
     bucket_filter: frozenset[int] | None = None,
 ):
     """docs → mentions Dataset. ``exclude_sections`` applies the M16
@@ -385,7 +388,9 @@ def extract_mentions(
     state = build_link_state(fdir)  # driver-local; per-consumer slices are
     state["vd_ref"] = ray.put(state["vecdict"])  # broadcast separately
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    docs = rd.read_parquet(
+    from ..sources.docs_io import read_docs
+
+    docs = read_docs(
         f"{fdir}/docs.parquet", override_num_blocks=_doc_blocks(spec.n_docs)
     )
     flat = docs.map_batches(flatten_batch, batch_format="pyarrow").select_columns(

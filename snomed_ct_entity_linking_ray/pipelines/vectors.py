@@ -92,6 +92,89 @@ def q_cosine_topk(sf_dir: str, k: int = 5):
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def q_encoder_topk(sf_dir: str, k: int = 5):
+    """Model-scored retrieval with REAL loaded weights (SURVEY.md A2/A3):
+    every scoring actor loads the numpy-MLP artifact from disk in
+    ``__init__`` (the weights-on-disk → actor-pool path of the reference's
+    SapBERT embedder, 2nd Place/submission/infer.py:128-232), encodes each
+    candidate batch, and emits a batch-local partial top-k against the
+    broadcast encoded query matrix; a tiny per-query final top-k follows.
+
+    Output is rank-only (cos quantized to 1e-9 before ranking so the
+    tie-break is deterministic across batch layouts — same discipline as
+    ``q_cosine_topk``)."""
+    from ..functions.encoder import NumpyEncoder, ensure_encoder_artifact
+
+    path = ensure_encoder_artifact()
+
+    # query side: pruned read (doc_id < N_QUERIES), encoded driver-side
+    # with the same artifact — bounded by N_QUERIES, not corpus size
+    import os
+
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", N_QUERIES)],
+    ).to_pandas().sort_values("doc_id")
+    enc = NumpyEncoder(path)
+    qids = qt["doc_id"].to_numpy(np.int64)
+    Q = enc.encode(list(qt["text"]))
+    ref = broadcast((qids, Q))
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    class EncodeScore:
+        def __init__(self):
+            self.enc = NumpyEncoder(path)   # weights load once per actor
+            self.qids, self.Q = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            cand = df[df["doc_id"] >= N_QUERIES]
+            if len(cand) == 0:
+                return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                     "match_id": pd.Series([], dtype=np.int64),
+                                     "cos": pd.Series([], dtype=np.float64)})
+            C = self.enc.encode(list(cand["text"]))
+            sims = np.round(self.Q @ C.T, 9)     # [nq, nc], quantized
+            ids = cand["doc_id"].to_numpy()
+            nq, nc = sims.shape
+            kk = min(k, nc)
+            # duplicate texts → EXACT cos ties, so the batch-local top-k
+            # must apply the global (-cos, match_id) order, not argpartition
+            idx = np.lexsort(
+                (np.broadcast_to(ids, sims.shape), -sims), axis=-1
+            )[:, :kk]
+            rows = np.repeat(self.qids, kk)
+            cols = idx.ravel()
+            return pd.DataFrame(
+                {
+                    "query_id": rows.astype(np.int64),
+                    "match_id": ids[cols].astype(np.int64),
+                    "cos": sims[np.repeat(np.arange(nq), kk), cols],
+                }
+            )
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    partial = ds.map_batches(
+        EncodeScore, batch_format="pandas",
+        concurrency=(1, max(2, n_cpus // 2)), batch_size=256, num_cpus=1,
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "match_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype(np.int64),
+                "match_id": g["match_id"].astype(np.int64),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 IVF_QUANT = 1_000_000  # centroid accumulation grid (see oracles.py)
 
 

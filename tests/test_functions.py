@@ -150,3 +150,28 @@ def test_md5_fingerprint_matches_duckdb():
     con = duckdb.connect()
     for s in ["hello", "chest pain", ""]:
         assert hashing.md5_hex(s) == con.execute("select md5(?)", [s]).fetchone()[0]
+
+
+def test_band_key_ints_equiv():
+    """band_key_ints is an injective re-encoding of band_keys: same bucket
+    membership for any pair of signatures."""
+    import numpy as np
+
+    from snomed_ct_entity_linking_ray.functions import hashing
+
+    mh = hashing.MinHasher(num_perm=64)
+    rng = np.random.default_rng(3)
+    sigs = [rng.integers(0, 1 << 60, 64, dtype=np.uint64) for _ in range(20)]
+    # make some signatures share bands
+    sigs[5][:4] = sigs[0][:4]
+    sigs[7] = sigs[1].copy()
+    for bands in (8, 16):
+        for s in sigs:
+            ks = mh.band_keys(s, bands)
+            ki = mh.band_key_ints(s, bands)
+            assert len(ks) == len(ki) == bands
+        for a in sigs:
+            for b in sigs:
+                same_str = [x == y for x, y in zip(mh.band_keys(a, bands), mh.band_keys(b, bands))]
+                same_int = [x == y for x, y in zip(mh.band_key_ints(a, bands), mh.band_key_ints(b, bands))]
+                assert same_str == same_int

@@ -142,3 +142,21 @@ def test_dedup_block_cap_skew():
     # capped output is a subset of the uncapped pairs
     key = lambda df: set(zip(df["doc_a"], df["doc_b"]))
     assert key(capped) <= key(full)
+
+
+def test_docs_io_dispatch(tmp_path):
+    """Format dispatch: parquet reads work; a Lance-looking path without the
+    lance package raises an informative ImportError (the documented
+    substitution path)."""
+    import pytest as _pytest
+
+    from snomed_ct_entity_linking_ray import fixtures
+    from snomed_ct_entity_linking_ray.sources import docs_io
+
+    fdir = fixtures.fixture_dir(fixtures.spec_for_sf_dir("/root/testdata/sf0.001"))
+    ds = docs_io.read_docs(f"{fdir}/docs.parquet", override_num_blocks=4)
+    assert ds.count() > 0
+    assert not docs_io.is_lance_path(f"{fdir}/docs.parquet")
+    assert docs_io.is_lance_path("/tmp/whatever.lance")
+    with _pytest.raises(ImportError, match="[Ll]ance"):
+        docs_io.read_docs("/tmp/whatever.lance")

@@ -23,6 +23,7 @@ ORACLE_BACKED = [
     "simhash_buckets",
     "minhash_lsh_pairs",
     "cosine_topk_ivf",
+    "encoder_topk",
     "entity_link_mentions",
     "entity_link",
     "entity_link_eval_iou",

@@ -103,3 +103,28 @@ def test_plural_absorbed_span():
     assert list(start) == [2] and list(end) == [11] and plural[0]
     d2, *_ = match_ascii_batch(["a card ossss b"], vd)
     assert len(d2) == 0
+
+
+def test_encoder_artifact_roundtrip(tmp_path):
+    """A2/A3 weights path: artifact saves once, loads in a fresh encoder,
+    and the forward pass is deterministic + mean-pool/L2 semantics hold."""
+    import numpy as np
+
+    from snomed_ct_entity_linking_ray.functions import encoder as enc_mod
+
+    path = str(tmp_path / "enc.pkl")
+    enc_mod.ensure_encoder_artifact(path)
+    assert enc_mod.ensure_encoder_artifact(path) == path  # write-once
+
+    e1 = enc_mod.NumpyEncoder(path)
+    e2 = enc_mod.NumpyEncoder(path)
+    texts = ["severe chest pain", "chest pain", "", "one " * 60]
+    a, b = e1.encode(texts), e2.encode(texts)
+    np.testing.assert_array_equal(a, b)
+    # unit rows
+    np.testing.assert_allclose(np.linalg.norm(a, axis=1), 1.0, atol=1e-12)
+    # truncation at MAX_TOKENS: 60 repeated tokens == 25 repeated tokens
+    c = e1.encode(["one " * 25])
+    np.testing.assert_array_equal(a[3], c[0])
+    # batch layout independence: encoding alone == encoding in a batch
+    np.testing.assert_array_equal(e1.encode(["chest pain"])[0], a[1])
