@@ -23,7 +23,6 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 
 def read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -50,11 +49,22 @@ def grouped_sums(
     keys: list[str],
     sums: dict[str, str],
     count_as: str | None = None,
+    n_buckets: int = 64,
 ) -> rd.Dataset:
     """Partial-per-batch pandas groupby, then a final groupby over partials.
 
     ``sums`` maps output column -> input column (summed). ``count_as`` adds a
     row count. All summed inputs should be exact types (ints/cents).
+
+    The final combine is a hash-bucketed ``map_groups`` over ``n_buckets``
+    int64 shuffle keys with a VECTORIZED pandas groupby per bucket — NOT
+    Ray's native ``groupby(keys).aggregate``: the native sort-aggregate
+    merge pays ~0.2 ms of per-group Python per output group (measured 20 s
+    for 95k groups on 100k rows; worse with fewer reducers), while this
+    shape is O(rows) C-vectorized with only ``n_buckets`` Python-level
+    groups. Bucket count is independent of key cardinality, so the same
+    shape holds at 10^9 groups (each bucket holds ~card/n_buckets keys and
+    partial rows are already combined per batch).
     """
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -62,13 +72,26 @@ def grouped_sums(
         if count_as:
             any_col = keys[0]
             agg[count_as] = (any_col, "size")
-        return df.groupby(keys, as_index=False, sort=False).agg(**agg)
+        g = df.groupby(keys, as_index=False, sort=False).agg(**agg)
+        h = np.zeros(len(g), dtype=np.uint64)
+        for k in keys:
+            h = h * np.uint64(1099511628211) ^ pd.util.hash_pandas_object(
+                g[k], index=False
+            ).to_numpy()
+        g["_pb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return g
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-    aggs = [Sum(out, alias_name=out) for out in sums]
-    if count_as:
-        aggs.append(Sum(count_as, alias_name=count_as))
-    return partials.groupby(keys).aggregate(*aggs)
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = {out: (out, "sum") for out in sums}
+        if count_as:
+            agg[count_as] = (count_as, "sum")
+        return g.groupby(keys, as_index=False, sort=False).agg(**agg)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(final, batch_format="pandas")
+    )
 
 
 def broadcast(obj) -> "ray.ObjectRef":

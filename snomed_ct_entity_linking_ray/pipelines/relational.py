@@ -209,22 +209,44 @@ def q_latest_order_before_event(sf_dir: str):
 # --- windows (tumbling + session) -----------------------------------------
 
 def q_hourly_user_activity(sf_dir: str):
-    """Tumbling 1h window per user: event count + value cents."""
+    """Tumbling 1h window per user: event count + value cents.
+
+    The shuffle key is the INT64 epoch-hour, not a datetime64 column —
+    grouping on a datetime key measured 39s vs 0.2s for the identical
+    aggregate on this input (Ray's sort shuffle degrades badly on
+    datetime blocks); the timestamp is reconstructed after the combine."""
     ds = read(sf_dir, "events", ["user_id", "ts", "value"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "user_id": df["user_id"],
-                "hour": df["ts"].dt.floor("h"),
+                "hour_idx": (df["ts"].astype("int64") // (3600 * 10**6)).astype(
+                    np.int64
+                ),  # fixture ts is datetime64[us]
                 "value_c": cents(df["value"]),
             }
         )
 
     p = ds.map_batches(prep, batch_format="pandas")
-    return grouped_sums(
-        p, ["user_id", "hour"], sums={"sum_value_cents": "value_c"}, count_as="n_events"
+    agg = grouped_sums(
+        p, ["user_id", "hour_idx"], sums={"sum_value_cents": "value_c"},
+        count_as="n_events",
     )
+
+    def restore_hour(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "hour": (df["hour_idx"].to_numpy(np.int64) * (3600 * 10**6)).astype(
+                    "datetime64[us]"
+                ),
+                "sum_value_cents": df["sum_value_cents"],
+                "n_events": df["n_events"],
+            }
+        )
+
+    return agg.map_batches(restore_hour, batch_format="pandas")
 
 
 # --- semi / anti joins (J2-class: broadcast key-set filters) ---------------

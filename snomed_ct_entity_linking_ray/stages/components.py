@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Sum
 
 
 def _collapse(df: pd.DataFrame) -> pd.DataFrame:
@@ -85,63 +85,144 @@ def connected_components(
     )
 
 
+_PB = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _min_by_node(ds: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
+    """(node, label)* → per-node min label, via hash-bucketed map_groups
+    with a VECTORIZED pandas min inside each bucket (no per-group Python,
+    no joins — the same shuffle discipline as pipelines/common.grouped_sums;
+    bucket count is independent of node cardinality)."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["label"].min()  # map-side combine
+        g["_pb"] = (
+            (g["node"].to_numpy(np.uint64) * _PB) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return g
+
+    def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["label"].min()
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(bucket_min, batch_format="pandas")
+    )
+
+
 def connected_components_propagate(
     edges: rd.Dataset,
     max_rounds: int = 15,
     num_partitions: int = 32,
 ) -> rd.Dataset:
-    """Min-label propagation via hash joins; O(diameter) rounds. See module
-    docstring — the beyond-single-worker-node-set path."""
-    labels = (
-        edges.map_batches(_collapse, batch_format="pandas")
-        .map_batches(
+    """Hash-to-min label propagation; O(log diameter) rounds with pointer
+    jumping. See module docstring — the beyond-single-worker-node-set path.
+
+    JOIN-FREE: label lookups are expressed as union + groupby co-location
+    (key rows and request rows meet in one group), because per-round hash
+    joins spawn actor-pool aggregators that can starve a small CPU budget
+    and re-execute the lazy edge lineage every round. Every shuffle here is
+    a plain sort exchange over int64 keys; the exploded edge list is
+    materialized ONCE and reused by all rounds.
+
+    ``num_partitions`` doubles as the hash-bucket count of every grouped
+    min — size it to the cluster (more buckets than cores wastes per-task
+    fixed cost; the per-bucket work is vectorized C either way)."""
+    # (key, other) in both directions — materialized once, reused per round
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"key": np.concatenate([u, v]), "other": np.concatenate([v, u])}
+        )
+
+    e2 = edges.map_batches(explode, batch_format="pandas").materialize()
+
+    labels = _min_by_node(
+        edges.map_batches(_collapse, batch_format="pandas").map_batches(
             lambda df: pd.DataFrame({"node": df["u"], "label": df["v"]}),
             batch_format="pandas",
-        )
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-    ).materialize()
+        ),
+        n_buckets=num_partitions,
+    ).repartition(num_partitions).materialize()
     prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    def as_messages(df: pd.DataFrame) -> pd.DataFrame:
+        # label rows enter the edge groupby as (key=node, other=-1) carriers
+        return pd.DataFrame(
+            {
+                "key": df["node"].to_numpy(np.int64),
+                "other": np.full(len(df), -1, dtype=np.int64),
+                "label": df["label"].to_numpy(np.int64),
+            }
+        )
+
+    def add_label_col(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["label"] = np.int64(np.iinfo(np.int64).max)
+        return df
+
+    def add_kbucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_kb"] = (
+            (df["key"].to_numpy(np.uint64) * _PB) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return df
+
+    def bucket_propagate(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a key land in one bucket; per-key min label via a
+        # VECTORIZED transform, pushed to every neighbor and kept for the
+        # key itself — no per-key Python (bucket count is fixed)
+        lab = g.groupby("key")["label"].transform("min").to_numpy(np.int64)
+        other = g["other"].to_numpy(np.int64)
+        m = other >= 0
+        km = g.assign(label=lab).groupby("key", as_index=False)["label"].min()
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([other[m], km["key"].to_numpy(np.int64)]),
+                "label": np.concatenate([lab[m], km["label"].to_numpy(np.int64)]),
+            }
+        )
 
     converged = False
     for _round in range(max_rounds):
-        lu = edges.join(
-            labels, join_type="inner", num_partitions=num_partitions,
-            on=("u",), right_on=("node",),
-        ).map_batches(
-            lambda df: pd.DataFrame({"node": df["v"], "label": df["label"]}),
-            batch_format="pandas",
+        mixed = e2.map_batches(add_label_col, batch_format="pandas").union(
+            labels.map_batches(as_messages, batch_format="pandas")
         )
-        lv = edges.join(
-            labels, join_type="inner", num_partitions=num_partitions,
-            on=("v",), right_on=("node",),
-        ).map_batches(
-            lambda df: pd.DataFrame({"node": df["u"], "label": df["label"]}),
-            batch_format="pandas",
+        stepped = _min_by_node(
+            mixed.map_batches(add_kbucket, batch_format="pandas")
+            .groupby("_kb")
+            .map_groups(bucket_propagate, batch_format="pandas"),
+            n_buckets=num_partitions,
+            # pin the block count: union+sort otherwise grow blocks every
+            # round, doubling task counts (measured 2x wall per round)
+        ).repartition(num_partitions).materialize()
+
+        # pointer jumping (label-of-label): labels are node ids, so routing
+        # (key=label, request node) next to (key=node, its label) in one
+        # groupby halves remaining path lengths — O(log diameter) rounds.
+        def as_requests(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["label"].to_numpy(np.int64),
+                    "other": df["node"].to_numpy(np.int64),
+                    "label": np.full(len(df), np.iinfo(np.int64).max, dtype=np.int64),
+                }
+            )
+
+        jump_in = stepped.map_batches(as_requests, batch_format="pandas").union(
+            stepped.map_batches(as_messages, batch_format="pandas")
         )
-        stepped = (
-            labels.union(lu).union(lv).groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-        )
-        # pointer jumping (label-of-label): label values are themselves node
-        # ids (each component's min node labels itself), so one self-join
-        # halves the remaining path length — O(log diameter) total rounds
-        # instead of O(diameter).
-        jump = stepped.join(
-            stepped.map_batches(
-                lambda df: pd.DataFrame({"jnode": df["node"], "jlabel": df["label"]}),
-                batch_format="pandas",
-            ),
-            join_type="inner", num_partitions=num_partitions,
-            on=("label",), right_on=("jnode",),
-        ).map_batches(
-            lambda df: pd.DataFrame({"node": df["node"], "label": df["jlabel"]}),
-            batch_format="pandas",
-        )
-        new_labels = (
-            stepped.union(jump).groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-        ).materialize()
+        new_labels = _min_by_node(
+            jump_in.map_batches(add_kbucket, batch_format="pandas")
+            .groupby("_kb")
+            .map_groups(bucket_propagate, batch_format="pandas"),
+            n_buckets=num_partitions,
+            # pin the block count: union+sort otherwise grow blocks every
+            # round, doubling task counts (measured 2x wall per round)
+        ).repartition(num_partitions).materialize()
+
         new_sum = new_labels.aggregate(Sum("label", alias_name="s"))["s"]
         labels = new_labels
         if new_sum == prev_sum:

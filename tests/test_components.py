@@ -1,0 +1,99 @@
+"""Distributed connected-components tests (stages/components.py): both the
+tree-reduce default and the multi-node label-propagation path are checked
+against a plain single-process union-find, including a high-diameter chain
+(pointer-jumping convergence) and the loud non-convergence failure."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from snomed_ct_entity_linking_ray.stages.components import (
+    connected_components,
+    connected_components_propagate,
+)
+
+
+def _reference_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in list(parent)}
+
+
+def _edge_ds(edges: list[tuple[int, int]], n_blocks: int = 8) -> rd.Dataset:
+    df = pd.DataFrame({"u": [e[0] for e in edges], "v": [e[1] for e in edges]})
+    return rd.from_pandas(df).repartition(n_blocks)
+
+
+def _labels_of(ds) -> dict[int, int]:
+    out = ds.to_pandas()
+    return dict(zip(out["node"].astype(int), out["label"].astype(int)))
+
+
+@pytest.fixture(scope="module")
+def random_graph():
+    # small on purpose: each propagate round costs ~3 streaming executions
+    # of fixed overhead at the 4-CPU test budget; convergence takes ~3-5
+    # rounds regardless of node count (hash-to-min + pointer jumping)
+    rng = np.random.default_rng(11)
+    edges = [tuple(sorted(map(int, rng.integers(0, 120, 2)))) for _ in range(180)]
+    edges = [(u, v) for u, v in edges if u != v]
+    return edges
+
+
+def test_tree_reduce_matches_reference(random_graph):
+    want = _reference_labels(random_graph)
+    got = _labels_of(connected_components(_edge_ds(random_graph), n_blocks_hint=8))
+    assert got == want
+
+
+def test_propagate_matches_reference(random_graph):
+    want = _reference_labels(random_graph)
+    got = _labels_of(
+        connected_components_propagate(_edge_ds(random_graph), num_partitions=4)
+    )
+    assert got == want
+
+
+def test_propagate_high_diameter_chain():
+    # a 64-node path scattered across blocks: diameter >> per-round hop
+    # count, but pointer jumping converges in O(log diameter) rounds
+    edges = [(i, i + 1) for i in range(64)]
+    rng = np.random.default_rng(3)
+    rng.shuffle(edges)
+    want = _reference_labels(edges)
+    got = _labels_of(
+        connected_components_propagate(
+            _edge_ds(edges, n_blocks=4), max_rounds=10, num_partitions=4
+        )
+    )
+    assert got == want
+    assert set(got.values()) == {0}
+
+
+def test_propagate_nonconvergence_raises():
+    edges = [(i, i + 1) for i in range(240)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_propagate(
+            _edge_ds(edges, n_blocks=6), max_rounds=1, num_partitions=4
+        )
+
+
+def test_tree_reduce_chain():
+    edges = [(i, i + 1) for i in range(240)]
+    want = _reference_labels(edges)
+    got = _labels_of(connected_components(_edge_ds(edges, n_blocks=6), n_blocks_hint=6))
+    assert got == want
