@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         dict_train,
         entity_link,
+        llm,
         multimodal,
         relational,
         text,
@@ -60,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": text.q_fingerprint,
         "term_match_first": text.q_term_match_first,
         "langid": text.q_langid,
+        "llm_prompts": text.q_llm_prompts,
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
@@ -74,6 +76,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_majority": dict_train.q_dict_majority,
         "allowed_sections": dict_train.q_allowed_sections,
         "dict_precision": dict_train.q_dict_precision,
+        # LLM-NER pipeline shape (M22+A5+M23; deterministic surrogate
+        # generator actor pool, real prompt/realign/broadcast plumbing)
+        "llm_ner": llm.q_llm_ner,
         # multimodal plumbing (stubbed decode, real Ray plumbing)
         "media_inventory": multimodal.q_media_inventory,
         "frame_samples": multimodal.q_frame_samples,
@@ -112,6 +117,11 @@ def _duck_path(p: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from snomed_ct_entity_linking_ray.pipelines.text import (
+        PROMPT_CHUNK_TOKENS as _PCHUNK,
+        PROMPT_SYS as _PSYS,
+    )
+
     # Oracle-parquet generation + fixture paths for the non-SQL-expressible
     # queries: an INDEPENDENT single-process implementation writes expected
     # parquet (snomed_ct_entity_linking_ray/oracles.py), and the SQL below
@@ -140,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
             "entity_link_mentions",
             "entity_link",
             "entity_link_eval_iou",
+            "llm_ner",
         )
     }
 
@@ -291,6 +302,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id, md5(lower(text)) AS fp FROM documents
+        """,
+        "llm_prompts": f"""
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            c AS (SELECT doc_id, ws,
+                         unnest(range(0, CAST(ceil(len(ws)/{_PCHUNK}.0) AS BIGINT))) AS chunk_id
+                  FROM d)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   '[INST] ' || '{_PSYS}' || chr(10) ||
+                     array_to_string(
+                        ws[CAST(chunk_id*{_PCHUNK}+1 AS BIGINT):CAST(chunk_id*{_PCHUNK}+{_PCHUNK} AS BIGINT)],
+                        ' ') || ' [/INST]' AS prompt,
+                   CAST(least({_PCHUNK}, len(ws) - chunk_id*{_PCHUNK}) AS BIGINT) AS n_tokens
+            FROM c
         """,
         "term_match_first": """
             SELECT d.doc_id, t.term, CAST(strpos(d.text, t.term) - 1 AS BIGINT) AS start

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 2
+ORACLE_VERSION = 3
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -84,6 +84,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "entity_link_mentions": lambda: _mentions_table(mentions),
         "entity_link": lambda: linked,
         "entity_link_eval_iou": lambda: _eval_iou(fdir, linked),
+        "llm_ner": lambda: _llm_ner(fdir, docs),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -587,5 +588,53 @@ def _cosine_topk_ivf(sf_dir: str, k: int = 5, nprobe: int = 3) -> pa.Table:
             "query_id": pa.array([r[0] for r in rows], pa.int64()),
             "match_id": pa.array([r[1] for r in rows], pa.int64()),
             "rank": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# A5 surrogate-generator pipeline oracle (pipelines/llm.py::q_llm_ner)
+# --------------------------------------------------------------------------
+
+def _llm_ner(fdir: str, docs: list[dict], window: int = 100) -> pa.Table:
+    """Independent replication of the M22→A5→M23 surrogate pipeline:
+    100-token (``\\S+``) windows per doc, dictionary matches found with a
+    longest-first alternation regex with word lookarounds (the 2nd-place
+    M18 strategy — the engine uses an Aho-Corasick automaton + greedy
+    leftmost-longest sweep instead), offsets computed directly in doc
+    coordinates (ground truth, independent of the engine's difflib
+    realignment path)."""
+    c = pq.read_table(os.path.join(fdir, "concepts.parquet"),
+                      columns=["concept_id", "name"])
+    s2c: dict[str, int] = {}
+    for name, cid in zip(c["name"].to_pylist(), c["concept_id"].to_pylist()):
+        n = " ".join(_TOKEN.findall(name.lower()))
+        if n and (n not in s2c or cid < s2c[n]):
+            s2c[n] = cid
+    surfs = sorted(s2c, key=len, reverse=True)
+    pat = re.compile(
+        r"(?<![a-z0-9])(" + "|".join(re.escape(s) for s in surfs) + r")(?![a-z0-9])"
+    )
+    tok_re = re.compile(r"\S+")
+    rows = []
+    for d in docs:
+        text = d["text"]
+        spans = [(m.start(), m.end()) for m in tok_re.finditer(text)]
+        for i in range(0, len(spans), window):
+            j = min(len(spans), i + window)
+            cs, ce = spans[i][0], spans[j - 1][1]
+            low = text[cs:ce].lower()
+            for m in pat.finditer(low):
+                rows.append(
+                    (d["doc_id"], cs + m.start(), cs + m.end(),
+                     m.group(1), s2c[m.group(1)])
+                )
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.string()),
+            "start": pa.array([r[1] for r in rows], pa.int32()),
+            "end": pa.array([r[2] for r in rows], pa.int32()),
+            "surface": pa.array([r[3] for r in rows], pa.string()),
+            "concept_id": pa.array([r[4] for r in rows], pa.int64()),
         }
     )

@@ -108,6 +108,46 @@ def q_fingerprint(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+PROMPT_SYS = (
+    "Extract all clinical entity mentions from the passage "
+    "and wrap each in <t></t> tags."
+)
+PROMPT_CHUNK_TOKENS = 100
+
+
+def q_llm_prompts(sf_dir: str):
+    """M22 LLM prompt formatter (reference: 3rd Place/src/
+    snomedctentitylinking.py:284-293 '[INST] sys + chunk [/INST]' template
+    over 100-token section chunks, document.py:281-311).
+
+    Re-expressed Ray-Data-first: one flat_map-style ``map_batches`` that
+    token-windows each doc (M14 semantics, whitespace tokens, 100/window)
+    and emits one prompt row per chunk — the stage that would feed the A5
+    generator actor pool. Explode + groupby-join keeps the chunk assembly
+    in pandas C kernels; the prompt concat is a vectorized str op."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].str.split(" ")
+        lens = s.str.len().to_numpy()
+        doc = np.repeat(df["doc_id"].to_numpy(), lens)
+        tok = np.concatenate([np.arange(n) for n in lens]) if len(df) else np.array([], dtype=np.int64)
+        ex = pd.DataFrame(
+            {
+                "doc_id": doc,
+                "chunk_id": (tok // PROMPT_CHUNK_TOKENS).astype(np.int64),
+                "w": s.explode().to_numpy(),
+            }
+        )
+        g = ex.groupby(["doc_id", "chunk_id"], sort=False)
+        out = g["w"].agg(" ".join).reset_index(name="chunk")
+        out["n_tokens"] = g.size().to_numpy().astype(np.int64)
+        out["prompt"] = "[INST] " + PROMPT_SYS + "\n" + out["chunk"] + " [/INST]"
+        return out[["doc_id", "chunk_id", "prompt", "n_tokens"]]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def q_term_match_first(sf_dir: str):
     """M4-lite dictionary match: first occurrence (substring semantics, like
     SQL strpos) of each MATCH_TERMS entry per doc; 0-based char offset."""
@@ -141,13 +181,15 @@ def q_langid(sf_dir: str):
     """Language-ID heuristic: argmax of marker-word counts, deterministic
     tiebreak by language code; 'und' when no marker hits. (Driver check is
     rows-only; exactness is covered by test_text_pipelines.)"""
+    from collections import Counter
+
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     langs = sorted(LANG_MARKERS)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         scores = np.zeros((len(df), len(langs)), dtype=np.int64)
         words = df["text"].str.split(" ")
-        counts = words.map(lambda ws: {w: ws.count(w) for w in set(ws)})
+        counts = words.map(Counter)  # single pass per doc
         for j, lang in enumerate(langs):
             for marker in LANG_MARKERS[lang]:
                 scores[:, j] += np.array([c.get(marker, 0) for c in counts])

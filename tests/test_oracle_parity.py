@@ -15,6 +15,7 @@ SF = "/root/testdata/sf0.01"
 
 ORACLE_BACKED = [
     "langid",
+    "llm_prompts",
     "dict_majority",
     "allowed_sections",
     "dict_precision",
@@ -27,6 +28,7 @@ ORACLE_BACKED = [
     "entity_link_mentions",
     "entity_link",
     "entity_link_eval_iou",
+    "llm_ner",
 ]
 
 
