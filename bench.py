@@ -150,8 +150,9 @@ def run_scaling() -> dict:
     # 0.292 an hour apart, and one noisy leg even showed pairs/s FALLING
     # with more CPUs. min-of-N is the standard noisy-host estimator of
     # true capability; both legs get the same treatment.
-    r_lo = min((run(lo) for _ in range(2)), key=lambda r: r["value"])
-    r_hi = min((run(hi) for _ in range(2)), key=lambda r: r["value"])
+    reps = int(os.environ.get("SCEL_SCALING_REPS", "2"))
+    r_lo = min((run(lo) for _ in range(reps)), key=lambda r: r["value"])
+    r_hi = min((run(hi) for _ in range(reps)), key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)  # 1.0 = linear scaling
     return {
