@@ -151,14 +151,22 @@ def run_scaling() -> dict:
     # with more CPUs. min-of-N is the standard noisy-host estimator of
     # true capability; both legs get the same treatment.
     reps = int(os.environ.get("SCEL_SCALING_REPS", "2"))
-    r_lo = min((run(lo) for _ in range(reps)), key=lambda r: r["value"])
-    r_hi = min((run(hi) for _ in range(reps)), key=lambda r: r["value"])
+    runs_lo = [run(lo) for _ in range(reps)]
+    runs_hi = [run(hi) for _ in range(reps)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)  # 1.0 = linear scaling
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        # self-describing estimator (ADVICE r2): min-of-N per leg with the
+        # rep count and every discarded raw timing recorded alongside
+        "estimator": "min_per_leg",
+        "reps": reps,
+        "raw_sec_lo": [r["value"] for r in runs_lo],
+        "raw_sec_hi": [r["value"] for r in runs_hi],
         "num_cpus_lo": lo,
         "num_cpus_hi": hi,
         "sec_lo": t_lo,

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 3
+ORACLE_VERSION = 4  # r3: encoder_topk pooling made bit-identical to pipeline
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -519,7 +519,10 @@ def _encoder_topk(sf_dir: str, k: int = 5) -> pa.Table:
         toks = text.split()[:MAX_TOKENS] or [""]
         F = hash_embed(toks, dim=w["W1"].shape[0])
         E = np.tanh(F @ w["W1"] + w["b1"]) @ w["W2"] + w["b2"]
-        v = E.mean(axis=0)
+        # identical pooling arithmetic to NumpyEncoder.encode (ADVICE r2):
+        # reduceat-sum then divide — same operation order as the pipeline,
+        # so oracle and pipeline are bit-identical before quantization
+        v = np.add.reduceat(E, np.array([0]), axis=0)[0] / np.float64(E.shape[0])
         return v / max(np.linalg.norm(v), 1e-30)
 
     t = _read(sf_dir, "documents").select(["doc_id", "text"])

@@ -44,12 +44,24 @@ def cents(x: np.ndarray | pd.Series) -> np.ndarray:
     return np.rint(arr * 100.0).astype(np.int64)
 
 
+def default_buckets(min_buckets: int = 64, per_cpu: int = 4) -> int:
+    """Hash-bucket count for grouped combines, scaled to the cluster:
+    max(min_buckets, per_cpu x cluster CPUs). More buckets than cores only
+    wastes per-task fixed cost; fewer caps reduce parallelism below the
+    cluster and raises the per-bucket memory bound (see grouped_sums)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(min_buckets, per_cpu * cpus)
+
+
 def grouped_sums(
     ds: rd.Dataset,
     keys: list[str],
     sums: dict[str, str],
     count_as: str | None = None,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> rd.Dataset:
     """Partial-per-batch pandas groupby, then a final groupby over partials.
 
@@ -62,10 +74,16 @@ def grouped_sums(
     merge pays ~0.2 ms of per-group Python per output group (measured 20 s
     for 95k groups on 100k rows; worse with fewer reducers), while this
     shape is O(rows) C-vectorized with only ``n_buckets`` Python-level
-    groups. Bucket count is independent of key cardinality, so the same
-    shape holds at 10^9 groups (each bucket holds ~card/n_buckets keys and
-    partial rows are already combined per batch).
-    """
+    groups.
+
+    MEMORY BOUND: each bucket task holds ~key_cardinality/n_buckets combined
+    groups x row width in ONE pandas frame, so ``n_buckets`` must grow with
+    both cluster size and estimated key cardinality. The default scales with
+    cluster CPUs (``default_buckets``); for extreme cardinalities (10^9+
+    groups) pass an explicit n_buckets ≈ cardinality x row_bytes /
+    target_bucket_bytes."""
+    if n_buckets is None:
+        n_buckets = default_buckets()
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         agg = {out: (src, "sum") for out, src in sums.items()}
@@ -96,6 +114,83 @@ def grouped_sums(
 
 def broadcast(obj) -> "ray.ObjectRef":
     return ray.put(obj)
+
+
+def distinct_column(ds: rd.Dataset, col: str, n_buckets: int | None = None) -> rd.Dataset:
+    """Distributed distinct of one column: per-batch drop_duplicates
+    (map-side combine), then a hash-bucketed vectorized distinct — the
+    grouped_sums shape. The driver never scans the input; the result
+    Dataset is bounded by the distinct-key count."""
+    if n_buckets is None:
+        n_buckets = default_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[[col]].drop_duplicates()
+        h = pd.util.hash_pandas_object(g[col], index=False).to_numpy()
+        g = g.copy()
+        g["_kb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=[col]).drop(columns=["_kb"])
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(bucket_distinct, batch_format="pandas")
+    )
+
+
+# Distinct-key count above which a semi/anti probe set stops being
+# broadcast and becomes a hash semi-join: 2M int64 keys ≈ a 16 MB payload
+# plus python-set overhead per actor — past that, shipping the set to every
+# extractor costs more than one hash shuffle of both (slim) sides.
+MAX_BROADCAST_KEYS = 2_000_000
+
+
+def semi_anti_filter(
+    probe: rd.Dataset,
+    probe_key: str,
+    key_source: rd.Dataset,
+    key_col: str,
+    anti: bool = False,
+    max_broadcast: int = MAX_BROADCAST_KEYS,
+) -> rd.Dataset:
+    """J2 semi/anti join (VERDICT r2 #3 shape): the key set is computed
+    DISTRIBUTIVELY (``distinct_column`` — per-batch distinct + bucketed
+    combine; the driver never scans the fact table), then:
+
+    - ≤ ``max_broadcast`` distinct keys: the set is collected once (bounded
+      by the distinct count, which is exactly what was just measured),
+      broadcast via ray.put, and applied as a per-batch isin — the probe
+      side never shuffles;
+    - above it: Ray's native hash ``left_semi`` / ``left_anti`` join — both
+      sides shuffle once (keys already distinct, so no row multiplication),
+      nothing on the driver.
+    """
+    dk = distinct_column(key_source, key_col).materialize()
+    n_keys = dk.count()
+    if n_keys <= max_broadcast:
+        keys = set(dk.to_pandas()[key_col].tolist())
+        ref = ray.put(keys)
+
+        class Filt:
+            def __init__(self):
+                self.keys = ray.get(ref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                m = df[probe_key].isin(self.keys)
+                return df[~m] if anti else df[m]
+
+        return probe.map_batches(Filt, batch_format="pandas", concurrency=(1, 4))
+    n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    return probe.join(
+        dk,
+        "left_anti" if anti else "left_semi",
+        num_partitions=n_part,
+        on=(probe_key,),
+        right_on=(key_col,),
+    )
 
 
 def tree_to_pandas(

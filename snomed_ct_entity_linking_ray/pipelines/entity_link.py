@@ -39,8 +39,12 @@ Scale notes:
   directly and mentions attach via the broadcast sid→concept array.
 - Mention rows carry ``sid`` (int32 index into the broadcast surface list)
   instead of surface strings; the block-key shuffle payload is all-int.
-- Four streaming executions end-to-end: extract(materialize) →
-  frequency tree → block/score/distinct tree → attach+resolve (consumed).
+- Three streaming executions end-to-end: extract(materialize, with the
+  G1 frequency table accumulated by a FreqSink side-channel actor during
+  the same pass) → block/score/distinct tree → attach+resolve (consumed).
+  The flagship path also drops the section string column from the
+  materialized mentions (nothing downstream needs it), cutting the
+  object-store round-trip of the biggest intermediate.
 - Per-doc overlap resolution relies on doc-contiguity within blocks; the
   extractor emits a per-doc row count (``doc_n``) and resolution VERIFIES
   the invariant per batch, failing loudly instead of emitting overlaps.
@@ -170,6 +174,32 @@ def _norm_with_map(raw: str):
     return norm, norm2raw
 
 
+@ray.remote(num_cpus=0)
+class FreqSink:
+    """Side-channel accumulator for the G1 surface-frequency table: each
+    extraction task pushes its per-batch sparse (sid, count) partial, so
+    the frequency table is ready the moment the mentions materialize —
+    no second read pass over the biggest intermediate and no separate
+    streaming execution (VERDICT r2 #1a). Pushes are ACKed (the extractor
+    ray.gets the add) so materialize-returned implies all partials are in,
+    and keyed by the batch's first doc id so Ray task RETRIES cannot
+    double-count (batches partition docs, so first ids are unique)."""
+
+    def __init__(self, n_surfaces: int):
+        self.freq = np.zeros(n_surfaces, dtype=np.int64)
+        self.seen: set[str] = set()
+
+    def add(self, key: str, sids: np.ndarray, counts: np.ndarray) -> None:
+        if key in self.seen:
+            return
+        self.seen.add(key)
+        if len(sids):
+            np.add.at(self.freq, sids, counts)
+
+    def totals(self) -> np.ndarray:
+        return self.freq
+
+
 class MentionExtractor:
     """Dictionary matcher with per-actor state: the broadcast automaton /
     vectorized dictionary ship once per actor (__init__), not per batch.
@@ -189,18 +219,29 @@ class MentionExtractor:
     never enter the mentions table) and ``doc_n`` (number of mention rows
     for the doc, counted while the doc is provably whole inside this one
     call — the downstream resolution invariant check). The M16
-    section-exclusion filter applies HERE, before doc_n is counted."""
+    section-exclusion filter applies HERE, before doc_n is counted.
+
+    ``emit_sections=False`` (the flagship path) skips section detection
+    entirely when no exclusion filter needs it and drops the ``section``
+    string column from the materialized mentions table — the table the
+    whole pipeline round-trips through the object store; its bandwidth is
+    the measured single-node scaling floor (BASELINE.md)."""
 
     def __init__(
         self,
         vd_ref,
         exclude_sections: frozenset[str] | None = None,
         matcher: str = "automaton",
+        emit_sections: bool = True,
+        freq_sink=None,
     ):
         self.vd = ray.get(vd_ref)
         self._ac: AhoCorasick | None = None
         self.exclude = exclude_sections or frozenset()
         self.matcher = matcher
+        self.emit_sections = emit_sections
+        self.need_sections = emit_sections or bool(self.exclude)
+        self.freq_sink = freq_sink
 
     @property
     def ac(self) -> AhoCorasick:
@@ -252,34 +293,49 @@ class MentionExtractor:
         )
         counts = np.bincount(pos, minlength=n_docs) if len(pos) else np.zeros(n_docs, dtype=np.int64)
         doc_arr = np.array(doc_ids, dtype=object)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_arr[pos], pa.string()),
-                "start": pa.array(start.astype(np.int32)),
-                "end": pa.array(end.astype(np.int32)),
-                "sid": pa.array(sid.astype(np.int32)),
-                "section": pa.array(section, pa.string()),
-                "doc_n": pa.array(counts[pos].astype(np.int32)),
-            }
-        )
+        if self.freq_sink is not None and n_docs:
+            # post-exclusion sparse partial; ACKed (see FreqSink docstring)
+            uniq, cnt = (
+                np.unique(sid, return_counts=True)
+                if len(sid)
+                else (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+            )
+            ray.get(
+                self.freq_sink.add.remote(
+                    doc_ids[0], uniq.astype(np.int32), cnt.astype(np.int64)
+                )
+            )
+        cols = {
+            "doc_id": pa.array(doc_arr[pos], pa.string()),
+            "start": pa.array(start.astype(np.int32)),
+            "end": pa.array(end.astype(np.int32)),
+            "sid": pa.array(sid.astype(np.int32)),
+            "section": pa.array(section, pa.string()),
+            "doc_n": pa.array(counts[pos].astype(np.int32)),
+        }
+        if not self.emit_sections:
+            del cols["section"]
+        return pa.table(cols)
 
     def _vector_part(self, texts: list[str], pos_list: list[int]):
         from ..functions.vecmatch import match_ascii_batch
 
         sub = [texts[i] for i in pos_list]
         doc, start, end, sid, _plural = match_ascii_batch(sub, self.vd)
-        # vectorized section lookup: global sorted section boundaries
-        # (find_sections covers [0, len) per doc, docs are contiguous)
-        bases = np.concatenate(
-            [[0], np.cumsum([len(t) for t in sub])]
-        ).astype(np.int64)
-        sec_starts: list[int] = []
-        sec_hdrs: list[str] = []
-        for i, t in enumerate(sub):
-            for h, s, _e in find_sections(t):
-                sec_starts.append(int(bases[i]) + s)
-                sec_hdrs.append(h)
-        if len(doc):
+        if not self.need_sections:
+            section = np.full(len(doc), "", dtype=object)
+        elif len(doc):
+            # vectorized section lookup: global sorted section boundaries
+            # (find_sections covers [0, len) per doc, docs are contiguous)
+            bases = np.concatenate(
+                [[0], np.cumsum([len(t) for t in sub])]
+            ).astype(np.int64)
+            sec_starts: list[int] = []
+            sec_hdrs: list[str] = []
+            for i, t in enumerate(sub):
+                for h, s, _e in find_sections(t):
+                    sec_starts.append(int(bases[i]) + s)
+                    sec_hdrs.append(h)
             g_start = start + bases[doc]
             hdr_idx = (
                 np.searchsorted(
@@ -309,7 +365,9 @@ class MentionExtractor:
             norm, norm2raw = _norm_with_map(raw)
             if not norm:
                 continue
-            sections = SectionIndex(find_sections(raw))
+            sections = (
+                SectionIndex(find_sections(raw)) if self.need_sections else None
+            )
             n = len(norm)
             seen: set[tuple[int, int, int]] = set()
             for s, e, pid in self.ac.find_all(norm):
@@ -336,7 +394,9 @@ class MentionExtractor:
                 out_start.append(raw_s)
                 out_end.append(raw_e)
                 out_sid.append(pid)
-                out_section.append(sections.header_at(raw_s))
+                out_section.append(
+                    sections.header_at(raw_s) if sections is not None else ""
+                )
         return (
             np.array(out_pos, dtype=np.int64),
             np.array(out_start, dtype=np.int64),
@@ -374,6 +434,8 @@ def extract_mentions(
     exclude_sections: frozenset[str] | None = None,
     matcher: str = "automaton",
     bucket_filter: frozenset[int] | None = None,
+    emit_sections: bool = True,
+    fuse_freq: bool = False,
 ):
     """docs → mentions Dataset. ``exclude_sections`` applies the M16
     medication-section filter inside the extractor (off by default: the
@@ -382,7 +444,12 @@ def extract_mentions(
     ``bucket_filter``: only docs whose output bucket (hash(doc_id) %
     N_OUTPUT_PARTITIONS) is in the set are extracted — the resume path
     filters COMPLETED buckets out at the read, skipping their extraction
-    compute entirely, not just their writes."""
+    compute entirely, not just their writes.
+
+    ``fuse_freq``: create a ``FreqSink`` side-channel actor
+    (``state["freq_sink"]``) that accumulates the G1 frequency table during
+    extraction — once the mentions materialize, ``totals()`` replaces the
+    separate full read pass ``surface_freq`` would make."""
     spec = fixtures.spec_for_sf_dir(sf_dir)
     fdir = fixtures.fixture_dir(spec)
     state = build_link_state(fdir)  # driver-local; per-consumer slices are
@@ -390,6 +457,10 @@ def extract_mentions(
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
     from ..sources.docs_io import read_docs
 
+    freq_sink = None
+    if fuse_freq:
+        freq_sink = FreqSink.remote(len(state["surfaces"]))
+        state["freq_sink"] = freq_sink
     docs = read_docs(
         f"{fdir}/docs.parquet", override_num_blocks=_doc_blocks(spec.n_docs)
     )
@@ -406,7 +477,13 @@ def extract_mentions(
         flat = flat.map_batches(filt, batch_format="pyarrow")
     mentions = flat.map_batches(
         MentionExtractor,
-        fn_constructor_args=(state["vd_ref"], exclude_sections, matcher),
+        fn_constructor_args=(
+            state["vd_ref"],
+            exclude_sections,
+            matcher,
+            emit_sections,
+            freq_sink,
+        ),
         batch_format="pyarrow",
         # min pool = half the CPUs: autoscaling from 1 ramps too slowly and
         # its latency dominates; leaving half the CPUs keeps read tasks fed
@@ -858,13 +935,21 @@ def _resolve_frame(g: pd.DataFrame, check_invariant: bool = True) -> pd.DataFram
 
 
 def compute_link_map(
-    mentions: rd.Dataset, state: dict, timings: dict | None = None
+    mentions: rd.Dataset,
+    state: dict,
+    timings: dict | None = None,
+    freq_n: np.ndarray | None = None,
 ) -> np.ndarray:
     """The global middle of the flagship: frequency table → salted blocking
     shuffle → pair scoring → θ-passing links → star-contracted clustering →
     majority vote. Returns the per-sid final concept assignment (int64,
     -1 = unobserved). Pure function of (mentions, dictionary state) — the
-    checkpointable 'link map' artifact of the resumable pipeline."""
+    checkpointable 'link map' artifact of the resumable pipeline.
+
+    ``freq_n``: pre-computed G1 frequency table (the ``FreqSink``
+    side-channel when extraction ran with ``fuse_freq=True``); when None a
+    dedicated ``surface_freq`` pass over ``mentions`` computes it (the
+    checkpoint-resume path, where extraction may not have run at all)."""
     import time as _time
 
     from ..stages.components import connected_components
@@ -872,7 +957,8 @@ def compute_link_map(
     surfaces = state["surfaces"]
     s2c = state["surface_to_cids"]
     t0 = _time.time()
-    freq_n = surface_freq(mentions, len(surfaces))
+    if freq_n is None:
+        freq_n = surface_freq(mentions, len(surfaces))
     m_salted, c_keys, _hot = blocked_sides(mentions, state, freq_n)
     pairs = candidate_pairs(m_salted, c_keys)
     scored = score_pairs(pairs, state, apply_threshold=False)
@@ -1004,13 +1090,24 @@ def run_entity_link(
     import time as _time
 
     t0 = _time.time()
-    mentions, state, fdir = extract_mentions(sf_dir, exclude_sections)
+    # flagship path: no section strings in the materialized mentions table
+    # (nothing downstream needs them without an exclusion filter) and the
+    # G1 frequency table accumulated as an extraction side-channel — one
+    # write pass instead of write + count-read (VERDICT r2 #1a/b)
+    mentions, state, fdir = extract_mentions(
+        sf_dir,
+        exclude_sections,
+        emit_sections=False,  # sections are still COMPUTED internally when
+                              # exclude_sections needs them, just not emitted
+        fuse_freq=True,
+    )
     mentions = mentions.materialize()  # reused below (small relative to docs)
+    freq_n = ray.get(state["freq_sink"].totals.remote())
     if timings is not None:
         timings["t_extract"] = round(_time.time() - t0, 3)
         timings["n_mentions"] = mentions.count()
 
-    final_sid = compute_link_map(mentions, state, timings)
+    final_sid = compute_link_map(mentions, state, timings, freq_n=freq_n)
     final_ref = ray.put(final_sid)
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
@@ -1229,10 +1326,12 @@ def linked_pairs(sf_dir: str) -> pa.Table:
     Candidate sets are broadcast (flattened offsets+values int arrays) and
     exploded per batch with vectorized repeats — no driver-side per-row
     loop; only the final result table (gate-sized) is collected."""
-    mentions, state, _ = extract_mentions(sf_dir)
+    mentions, state, _ = extract_mentions(
+        sf_dir, emit_sections=False, fuse_freq=True
+    )
     mentions = mentions.materialize()
     surfaces = state["surfaces"]
-    freq_n = surface_freq(mentions, len(surfaces))
+    freq_n = ray.get(state["freq_sink"].totals.remote())
     m_salted, c_keys, _hot = blocked_sides(mentions, state, freq_n)
     pairs = candidate_pairs(m_salted, c_keys)
     fuzzy_pass, _ = fuzzy_pass_links(

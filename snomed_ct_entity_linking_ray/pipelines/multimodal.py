@@ -35,20 +35,26 @@ def media_rows(sf_dir: str) -> rd.Dataset:
     docs = rd.read_parquet(f"{fdir}/docs.parquet")
 
     def explode(batch: pa.Table) -> pa.Table:
-        out = {"doc_id": [], "media_ref": [], "offset": []}
-        for doc_id, spans in zip(
-            batch["doc_id"].to_pylist(), batch["spans"].to_pylist()
-        ):
-            for s in spans:
-                if s["kind"] == "media":
-                    out["doc_id"].append(doc_id)
-                    out["media_ref"].append(s["media_ref"])
-                    out["offset"].append(s["offset"])
+        # Arrow list-kernel explode (the flatten_batch pattern,
+        # functions/docs.py): flatten the spans ListArray, mask media spans,
+        # and take parent doc_ids by repeat — no per-row Python.
+        import pyarrow.compute as pc
+
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()  # struct array, order-preserving
+        offsets = spans.offsets.to_numpy(zero_copy_only=False)
+        parents = np.repeat(
+            np.arange(len(batch), dtype=np.int64), np.diff(offsets)
+        )
+        is_media = pc.equal(flat.field("kind"), "media")
+        mask = is_media.to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": pa.array(out["doc_id"], pa.string()),
-                "media_ref": pa.array(out["media_ref"], pa.string()),
-                "offset": pa.array(out["offset"], pa.int32()),
+                "doc_id": pc.take(batch["doc_id"], pa.array(parents[mask])),
+                "media_ref": flat.field("media_ref").filter(is_media),
+                "offset": pc.cast(flat.field("offset").filter(is_media), pa.int32()),
             }
         )
 
@@ -96,17 +102,23 @@ class FrameSampler:
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {"media_ref": [], "frame_idx": []}
-        for ref, nf in zip(
-            batch["media_ref"].to_pylist(), batch["n_frames"].to_pylist()
-        ):
-            for i in range(0, int(nf), self.stride):
-                out["media_ref"].append(ref)
-                out["frame_idx"].append(i)
+        # vectorized flat-map: ceil(n_frames/stride) sampled frames per
+        # media row, expanded with repeat/cumsum arithmetic (no row loop)
+        import pyarrow.compute as pc
+
+        nf = np.asarray(batch["n_frames"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        counts = (nf + self.stride - 1) // self.stride
+        parents = np.repeat(np.arange(len(nf), dtype=np.int64), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        within = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            starts, counts
+        )
         return pa.table(
             {
-                "media_ref": pa.array(out["media_ref"], pa.string()),
-                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "media_ref": pc.take(batch["media_ref"], pa.array(parents)),
+                "frame_idx": pa.array(
+                    (within * self.stride).astype(np.int32), pa.int32()
+                ),
             }
         )
 

@@ -56,18 +56,24 @@ def q_doc_stats(sf_dir: str):
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        words = df["text"].str.split(" ")
-        n_words = words.str.len().astype(np.int64)
-        total_word_chars = words.map(lambda ws: sum(len(w) for w in ws)).astype(np.int64)
-        stop = set(STOPWORDS)
-        n_stop = words.map(lambda ws: sum(w in stop for w in ws)).astype(np.int64)
+        # all-C kernels (ADVICE r2: no per-row lambdas): split(" ") always
+        # yields n_spaces+1 parts (empties included) and word chars are
+        # n_chars - n_spaces, so both derive from str.count; stopword hits
+        # via one explode + isin + grouped sum.
+        df = df.reset_index(drop=True)
+        n_chars = df["text"].str.len().astype(np.int64)
+        n_spaces = df["text"].str.count(" ").astype(np.int64)
+        ex = df["text"].str.split(" ").explode()
+        n_stop = (
+            ex.isin(STOPWORDS).groupby(level=0).sum().astype(np.int64)
+        )
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "n_chars": df["text"].str.len().astype(np.int64),
-                "n_words": n_words,
-                "total_word_chars": total_word_chars,
-                "n_stopwords": n_stop,
+                "n_chars": n_chars,
+                "n_words": n_spaces + 1,
+                "total_word_chars": n_chars - n_spaces,
+                "n_stopwords": n_stop.reindex(df.index, fill_value=0).to_numpy(),
             }
         )
 
@@ -181,18 +187,18 @@ def q_langid(sf_dir: str):
     """Language-ID heuristic: argmax of marker-word counts, deterministic
     tiebreak by language code; 'und' when no marker hits. (Driver check is
     rows-only; exactness is covered by test_text_pipelines.)"""
-    from collections import Counter
-
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     langs = sorted(LANG_MARKERS)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized (ADVICE r2: no per-doc Counter): one explode, then per
+        # lang an isin + grouped sum — all pandas C kernels
+        df = df.reset_index(drop=True)
         scores = np.zeros((len(df), len(langs)), dtype=np.int64)
-        words = df["text"].str.split(" ")
-        counts = words.map(Counter)  # single pass per doc
+        ex = df["text"].str.split(" ").explode()
         for j, lang in enumerate(langs):
-            for marker in LANG_MARKERS[lang]:
-                scores[:, j] += np.array([c.get(marker, 0) for c in counts])
+            hits = ex.isin(LANG_MARKERS[lang]).groupby(level=0).sum()
+            scores[:, j] = hits.reindex(df.index, fill_value=0).to_numpy()
         best = scores.argmax(axis=1)
         pred = np.array(langs, dtype=object)[best]
         pred[scores.max(axis=1) == 0] = "und"

@@ -128,11 +128,21 @@ def connected_components_propagate(
 
     ``num_partitions`` doubles as the hash-bucket count of every grouped
     min — size it to the cluster (more buckets than cores wastes per-task
-    fixed cost; the per-bucket work is vectorized C either way)."""
+    fixed cost; the per-bucket work is vectorized C either way).
+
+    CONTRACT: node ids must be NON-NEGATIVE int64 — ``-1`` is the internal
+    label-carrier sentinel and ``np.iinfo.max`` the no-label marker, so a
+    negative id would be silently mis-propagated. Enforced with a
+    vectorized check at the edge explode (ADVICE r2)."""
     # (key, other) in both directions — materialized once, reused per round
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         u = df["u"].to_numpy(np.int64)
         v = df["v"].to_numpy(np.int64)
+        if len(u) and (u.min() < 0 or v.min() < 0):
+            raise ValueError(
+                "connected_components_propagate requires non-negative node "
+                "ids (-1 is the internal label-carrier sentinel)"
+            )
         return pd.DataFrame(
             {"key": np.concatenate([u, v]), "other": np.concatenate([v, u])}
         )

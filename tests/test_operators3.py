@@ -160,3 +160,49 @@ def test_docs_io_dispatch(tmp_path):
     assert docs_io.is_lance_path("/tmp/whatever.lance")
     with _pytest.raises(ImportError, match="[Ll]ance"):
         docs_io.read_docs("/tmp/whatever.lance")
+
+
+def test_semi_anti_filter_join_path_matches_broadcast():
+    """The hash left_semi/left_anti fallback (distinct-key count above
+    max_broadcast) must produce exactly the broadcast-set result."""
+    from snomed_ct_entity_linking_ray.pipelines.common import read, semi_anti_filter
+
+    sf = "/root/testdata/sf0.001"
+
+    def run(anti: bool, max_broadcast: int):
+        out = semi_anti_filter(
+            read(sf, "customer", ["c_custkey", "c_name"]),
+            "c_custkey",
+            read(sf, "events", ["user_id"]),
+            "user_id",
+            anti=anti,
+            max_broadcast=max_broadcast,
+        ).to_pandas()
+        return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+    for anti in (False, True):
+        bcast = run(anti, 10**9)
+        joined = run(anti, 0)
+        assert list(bcast.columns) == list(joined.columns)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(bcast, joined)
+    # sanity: semi + anti partition the probe side
+    n_total = read(sf, "customer", ["c_custkey"]).count()
+    assert len(run(False, 0)) + len(run(True, 0)) == n_total
+
+
+def test_propagate_rejects_negative_node_ids():
+    """Negative ids collide with the -1 label-carrier sentinel; the stage
+    must fail loudly instead of silently mis-propagating."""
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from snomed_ct_entity_linking_ray.stages.components import (
+        connected_components_propagate,
+    )
+
+    edges = rd.from_pandas(pd.DataFrame({"u": [1, -2], "v": [2, 3]}))
+    with _pytest.raises(Exception, match="non-negative"):
+        connected_components_propagate(edges, num_partitions=2)
