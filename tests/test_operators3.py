@@ -206,3 +206,28 @@ def test_propagate_rejects_negative_node_ids():
     edges = rd.from_pandas(pd.DataFrame({"u": [1, -2], "v": [2, 3]}))
     with _pytest.raises(Exception, match="non-negative"):
         connected_components_propagate(edges, num_partitions=2)
+
+
+def test_torch_encoder_slot():
+    """The torch variant of the A2 encoder slot: on a torch-less box it
+    must raise an informative ImportError; where torch exists it must be
+    numerically equal to NumpyEncoder on the same artifact."""
+    import numpy as np
+    import pytest as _pytest
+
+    from snomed_ct_entity_linking_ray.functions import encoder as enc
+
+    enc.ensure_encoder_artifact()
+    try:
+        import torch  # noqa: F401
+        have_torch = True
+    except ImportError:
+        have_torch = False
+    if not have_torch:
+        with _pytest.raises(ImportError, match="[Tt]orch"):
+            enc.TorchEncoder()
+        return
+    texts = ["acute pain left knee", "chronic heart failure", ""]
+    a = enc.NumpyEncoder().encode(texts)
+    b = enc.TorchEncoder().encode(texts)
+    np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
