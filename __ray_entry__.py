@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_with_orders": relational.q_parts_with_orders,
         "first_event_per_user": relational.q_first_event_per_user,
         "user_event_type_counts": relational.q_user_event_type_counts,
+        "rolling_user_value": relational.q_rolling_user_value,
+        "top_orders_per_segment": relational.q_top_orders_per_segment,
         # text analysis family
         "unigrams": text.q_unigrams,
         "doc_stats": text.q_doc_stats,
@@ -278,6 +280,25 @@ def oracle_sql() -> dict[str, str]:
         "user_event_type_counts": """
             SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
             FROM events GROUP BY user_id
+        """,
+        "rolling_user_value": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(round(value*100, 0) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS rolling_value_cents
+            FROM events
+        """,
+        "top_orders_per_segment": """
+            SELECT c_mktsegment, o_orderkey, total_cents, rank FROM (
+                SELECT c.c_mktsegment, o.o_orderkey,
+                       CAST(round(o.o_totalprice*100, 0) AS BIGINT) AS total_cents,
+                       CAST(row_number() OVER (
+                            PARTITION BY c.c_mktsegment
+                            ORDER BY round(o.o_totalprice*100, 0) DESC,
+                                     o.o_orderkey DESC) AS BIGINT) AS rank
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ) WHERE rank <= 3
         """,
         "unigrams": """
             SELECT word, CAST(COUNT(*) AS BIGINT) AS n

@@ -388,6 +388,77 @@ def q_user_event_type_counts(sf_dir: str):
     )
 
 
+def q_rolling_user_value(sf_dir: str, window: int = 3):
+    """Rolling-window aggregate (streaming-shaped, §2.9): per user, ordered
+    by (ts, event_id), the trailing ``window``-row sum of value cents.
+    One groupby(user) shuffle; the rolling sum inside each group is a
+    pandas C kernel. Only WITHIN-user order matters (same partitioning
+    contract as sessionize)."""
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        v = pd.Series(cents(g["value"]))
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "rolling_value_cents": v.rolling(window, min_periods=1)
+                .sum()
+                .astype(np.int64)
+                .to_numpy(),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+
+
+def q_top_orders_per_segment(sf_dir: str, k: int = 3):
+    """Top-k per group (T2-class, grouped): the k highest-value orders per
+    market segment. Per-batch partial top-k per segment (map-side combine
+    bounds the shuffle at k rows x segments per batch), then a final
+    per-segment top-k; ranks are assigned inside the final group."""
+    cust = read_arrow(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    ref = broadcast(cust)
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    class JoinPrep:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out = df.merge(self.small, left_on="o_custkey", right_on="c_custkey")
+            out = pd.DataFrame(
+                {
+                    "c_mktsegment": out["c_mktsegment"],
+                    "o_orderkey": out["o_orderkey"].to_numpy(np.int64),
+                    "total_cents": cents(out["o_totalprice"]),
+                }
+            )
+            # map-side combine: ≤ k rows per segment leave each batch
+            return (
+                out.sort_values(
+                    ["total_cents", "o_orderkey"], ascending=[False, False]
+                )
+                .groupby("c_mktsegment", as_index=False)
+                .head(k)
+            )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["total_cents", "o_orderkey"], ascending=[False, False]
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        ds.map_batches(JoinPrep, batch_format="pandas", concurrency=(1, 4))
+        .groupby("c_mktsegment")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 def q_sessionize(sf_dir: str, gap_seconds: int = 1800):
     """Session windows per user (gap > 30 min starts a new session).
 
