@@ -179,8 +179,59 @@ def run_scaling() -> dict:
     }
 
 
+SPIN_N = 30_000_000
+
+
+def _spin_quantum(_):
+    t0 = time.time()
+    x = 0
+    for i in range(SPIN_N):
+        x += i
+    return time.time() - t0
+
+
+def run_calibration() -> dict:
+    """Host parallel-efficiency ceiling (the direct measurement behind the
+    BASELINE.md scaling analysis): a Ray-free, communication-free, zero-I/O
+    pure-python spin run at the lo and hi process counts. Any 8→32
+    measurement on this box — pipeline or not — is bounded by the per-core
+    slowdown this records (all-core frequency/hypervisor envelope), and a
+    barrier-synced stage is gated by the straggler (max) quantum. On a
+    real N→4N-NODE cluster both legs run all-cores-busy per node, so this
+    per-core effect cancels; it exists only in the single-box core-count
+    stand-in."""
+    import multiprocessing as mp
+
+    lo, hi = 8, 32
+    reps = int(os.environ.get("SCEL_SCALING_REPS", "2"))
+
+    def level(n: int) -> dict:
+        runs = []
+        for _ in range(reps):
+            with mp.Pool(n) as p:
+                times = p.map(_spin_quantum, range(n))
+            runs.append({"mean": sum(times) / len(times), "max": max(times)})
+        best = min(runs, key=lambda r: r["mean"])
+        return {"procs": n, "reps": runs, "mean": round(best["mean"], 3),
+                "max": round(best["max"], 3)}
+
+    r_lo, r_hi = level(lo), level(hi)
+    return {
+        "metric": "host_parallel_ceiling",
+        "unit": "ratio",
+        # per-core efficiency at hi vs lo width: 1.0 = no slowdown
+        "value": round(r_lo["mean"] / r_hi["mean"], 3),
+        "straggler_ceiling": round(r_lo["max"] / r_hi["max"], 3),
+        "lo": r_lo,
+        "hi": r_hi,
+        "spin_n": SPIN_N,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--calibrate" in sys.argv:
+        print(json.dumps(run_calibration()))
     else:
         print(json.dumps(run_bench()))
