@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_match_first": text.q_term_match_first,
         "langid": text.q_langid,
         "llm_prompts": text.q_llm_prompts,
+        "doc_freq": text.q_doc_freq,
+        "len_quantiles": text.q_len_quantiles,
+        "sample_stratified": text.q_sample_stratified,
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
@@ -158,6 +161,28 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         **oracle_backed,
+        "doc_freq": """
+            SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            GROUP BY 1
+        """,
+        "len_quantiles": """
+            SELECT CAST(0.25 AS DOUBLE) AS q,
+                   CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS n_chars
+            FROM documents
+            UNION ALL SELECT CAST(0.5  AS DOUBLE), percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_chars) FROM documents
+            UNION ALL SELECT CAST(0.75 AS DOUBLE), percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) FROM documents
+            UNION ALL SELECT CAST(0.9  AS DOUBLE), percentile_disc(0.9)  WITHIN GROUP (ORDER BY n_chars) FROM documents
+            UNION ALL SELECT CAST(0.99 AS DOUBLE), percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) FROM documents
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE ((doc_id % 1000003) * 2654435761) % 1000000007 % 1000 <
+                  CASE lang WHEN 'en' THEN 200 WHEN 'fr' THEN 500
+                            WHEN 'es' THEN 500 WHEN 'de' THEN 800
+                            WHEN 'zh' THEN 1000 ELSE 0 END
+        """,
         "langid": """
             WITH s AS (
                 SELECT doc_id,

@@ -205,3 +205,113 @@ def q_langid(sf_dir: str):
         return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": pred})
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# Per-mille keep rates for deterministic stratified sampling, by language.
+# Shared with the oracle SQL (inlined there as a CASE expression).
+SAMPLE_RATES_PERMILLE = {"en": 200, "fr": 500, "es": 500, "de": 800, "zh": 1000}
+
+
+def q_doc_freq(sf_dir: str):
+    """Inverted-index document frequency: exact COUNT(DISTINCT doc_id) per
+    word — the df side of TF-IDF/BM25 and a distinct-count-per-key pattern
+    the plain ``grouped_sums`` combine can't express (distinctness is not
+    sum-decomposable).
+
+    Scale shape: per-batch drop_duplicates collapses each batch to its
+    distinct (word, doc_id) pairs (bounded by per-doc vocabulary, not token
+    count), then ONE shuffle bucketed by hash(word) so every pair of a word
+    lands in the same bucket task, where a second vectorized dedup + sized
+    groupby emits (word, df). Per-bucket memory ≈ distinct_pairs/n_buckets;
+    n_buckets scales with the cluster (``default_buckets``)."""
+    from .common import default_buckets
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    n_buckets = default_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.set_index("doc_id")["text"].str.split(" ").explode()
+        g = (
+            ex.reset_index()
+            .rename(columns={"text": "word"})
+            .drop_duplicates()
+        )
+        h = pd.util.hash_pandas_object(g["word"], index=False).to_numpy()
+        g["_wb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=["word", "doc_id"])
+        vc = d.groupby("word", sort=False).size()
+        return pd.DataFrame(
+            {"word": vc.index, "df": vc.to_numpy().astype(np.int64)}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_wb")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def q_len_quantiles(
+    sf_dir: str, quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)
+):
+    """Distributed exact quantiles of ``n_chars`` via a value-count
+    histogram: per-batch value_counts partials, bucketed combine
+    (``grouped_sums``), then the BOUNDED histogram — one row per distinct
+    length, not per doc — collects to the driver for the cumulative-count
+    walk. percentile_disc semantics (verified against DuckDB): smallest v
+    with cum_count >= max(1, ceil(q*N)).
+
+    Partitioning assumption: distinct-value cardinality is driver-sized
+    (true for integer lengths/scores; pre-bucket continuous values into
+    fixed-width bins first — the histogram shuffle itself scales, only the
+    final walk is driver-side)."""
+    ds = read(sf_dir, "documents", ["n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["n_chars"].value_counts()
+        return pd.DataFrame(
+            {
+                "n_chars": vc.index.to_numpy().astype(np.int64),
+                "n": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    hist = (
+        grouped_sums(ds.map_batches(partial, batch_format="pandas"),
+                     ["n_chars"], sums={"n": "n"})
+        .sort("n_chars")
+        .to_pandas()
+    )
+    cum = hist["n"].cumsum().to_numpy()
+    total = int(cum[-1]) if len(cum) else 0
+    vals = hist["n_chars"].to_numpy()
+    rows = []
+    for q in quantiles:
+        k = max(1, int(np.ceil(q * total)))
+        idx = int(np.searchsorted(cum, k, side="left"))
+        rows.append((float(q), int(vals[idx])))
+    return pd.DataFrame(rows, columns=["q", "n_chars"]).astype(
+        {"q": np.float64, "n_chars": np.int64}
+    )
+
+
+def q_sample_stratified(sf_dir: str):
+    """Deterministic per-stratum hash sampling — the resumable, cluster-
+    stable way to downsample a 100 TB corpus (no RNG state, no reservoir:
+    re-running any partition reproduces the same sample; rates vary by
+    stratum). Keep doc iff mix(doc_id) per-mille < rate[lang], where
+    mix(i) = ((i % 1000003) * 2654435761) % 1000000007 — all intermediates
+    < 2^51 so the same arithmetic is exact in SQL BIGINT and int64 numpy.
+    Embarrassingly parallel: a pruned-column filter, no shuffle."""
+    ds = read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        h = ((ids % 1000003) * 2654435761) % 1000000007 % 1000
+        rate = df["lang"].map(SAMPLE_RATES_PERMILLE).fillna(0).to_numpy(np.int64)
+        return df[h < rate]
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -14,6 +14,9 @@ import __ray_entry__ as entry
 SF = "/root/testdata/sf0.01"
 
 ORACLE_BACKED = [
+    "doc_freq",
+    "len_quantiles",
+    "sample_stratified",
     "langid",
     "llm_prompts",
     "dict_majority",
