@@ -30,6 +30,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from snomed_ct_entity_linking_ray.pipelines import (
+        compose,
         dedup,
         dict_train,
         entity_link,
@@ -56,6 +57,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_type_counts": relational.q_user_event_type_counts,
         "rolling_user_value": relational.q_rolling_user_value,
         "top_orders_per_segment": relational.q_top_orders_per_segment,
+        "approx_users": relational.q_approx_users,
+        # declarative Stage composition surface (§2.10), driver-verified
+        "compose_pipeline": compose.q_compose_pipeline,
         # text analysis family
         "unigrams": text.q_unigrams,
         "doc_stats": text.q_doc_stats,
@@ -156,11 +160,19 @@ def oracle_sql() -> dict[str, str]:
             "entity_link",
             "entity_link_eval_iou",
             "llm_ner",
+            "approx_users",
         )
     }
 
     return {
         **oracle_backed,
+        "compose_pipeline": """
+            SELECT doc_id,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+                       AS n_tokens
+            FROM documents
+            WHERE length(text) - length(replace(text, ' ', '')) + 1 > 50
+        """,
         "doc_freq": """
             SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word

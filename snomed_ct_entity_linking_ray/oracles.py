@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 4  # r3: encoder_topk pooling made bit-identical to pipeline
+ORACLE_VERSION = 5  # r3: + approx_users HLL oracle
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -85,6 +85,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "entity_link": lambda: linked,
         "entity_link_eval_iou": lambda: _eval_iou(fdir, linked),
         "llm_ner": lambda: _llm_ner(fdir, docs),
+        "approx_users": lambda: _approx_users(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -641,3 +642,31 @@ def _llm_ner(fdir: str, docs: list[dict], window: int = 100) -> pa.Table:
             "concept_id": pa.array([r[4] for r in rows], pa.int64()),
         }
     )
+
+
+def _approx_users(sf_dir: str) -> pa.Table:
+    """HLL approximate distinct user count — independent single-process
+    register build (plain Python loop per value) and an inline
+    integer-exact estimator. Shares ONLY the splitmix64 mixer with the
+    engine (a fixed public constant scalar kernel; bit-exactness is the
+    point — the policy at the top of this file)."""
+    import math
+
+    from .functions.sketches import HLL_M, HLL_P, splitmix64
+
+    ids = _read(sf_dir, "events").column("user_id").to_numpy()
+    regs = [0] * HLL_M
+    for h in splitmix64(np.asarray(ids, dtype=np.int64).astype(np.uint64)):
+        h = int(h)
+        idx = h >> (64 - HLL_P)
+        w = (h << HLL_P) & ((1 << 64) - 1)
+        rank = (65 - w.bit_length()) if w else (64 - HLL_P + 1)
+        rank = min(rank, 64 - HLL_P + 1)
+        if rank > regs[idx]:
+            regs[idx] = rank
+    s = sum(1 << (64 - r) for r in regs)
+    est = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M * float(2**64) / float(s)
+    zeros = regs.count(0)
+    if est <= 2.5 * HLL_M and zeros > 0:
+        est = HLL_M * math.log(HLL_M / zeros)
+    return pa.table({"approx_users": pa.array([int(round(est))], pa.int64())})

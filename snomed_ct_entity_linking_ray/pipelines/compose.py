@@ -145,3 +145,55 @@ def pipeline_lineage(stages: list[Stage]) -> list[dict]:
         }
         for s in stages
     ]
+
+
+# --- driver-verified demo of the extension surface -------------------------
+
+class TokenThreshold:
+    """Stateful demo stage: the threshold 'loads' in __init__ (stands in
+    for model weights / compiled patterns in a real user stage)."""
+
+    def __init__(self, min_tokens: int):
+        self.min_tokens = min_tokens
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater(t["n_tokens"], self.min_tokens))
+
+
+def _tokenize_stage(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    n = pc.add(pc.count_substring(t["text"], " "), 1)
+    return pa.table({"doc_id": t["doc_id"], "n_tokens": pc.cast(n, pa.int64())})
+
+
+def q_compose_pipeline(sf_dir: str, min_tokens: int = 50):
+    """The §2.10 extension surface as a driver-checked query: a user-style
+    two-stage pipeline (stateless Arrow tokenize -> stateful actor-pool
+    threshold) built through ``Stage``/``build_pipeline``, so the contract
+    wrapper, fn_constructor_args plumbing and actor-pool path are verified
+    against a DuckDB oracle — not just unit-tested."""
+    import os
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    stages = [
+        Stage(
+            "tokenize",
+            _tokenize_stage,
+            schema_in=("doc_id", "text"),
+            schema_out=("doc_id", "n_tokens"),
+        ),
+        Stage(
+            "token_threshold",
+            TokenThreshold,
+            schema_in=("doc_id", "n_tokens"),
+            schema_out=("doc_id", "n_tokens"),
+            fn_constructor_args=(min_tokens,),
+            concurrency=(1, 2),
+        ),
+    ]
+    return build_pipeline(ds, stages)

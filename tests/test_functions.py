@@ -175,3 +175,44 @@ def test_band_key_ints_equiv():
                 same_str = [x == y for x, y in zip(mh.band_keys(a, bands), mh.band_keys(b, bands))]
                 same_int = [x == y for x, y in zip(mh.band_key_ints(a, bands), mh.band_key_ints(b, bands))]
                 assert same_str == same_int
+
+
+# --- HLL sketch kernels (functions/sketches.py) ---------------------------
+
+def test_hll_registers_match_scalar_rank_rule():
+    """Vectorized register build == per-value Python rule (idx = top p
+    bits, rank = clz of remainder + 1, capped)."""
+    import numpy as np
+
+    from snomed_ct_entity_linking_ray.functions import sketches
+
+    h = sketches.splitmix64(np.arange(5000, dtype=np.uint64))
+    regs = sketches.hll_registers(h)
+    expect = [0] * sketches.HLL_M
+    for v in h:
+        v = int(v)
+        idx = v >> (64 - sketches.HLL_P)
+        w = (v << sketches.HLL_P) & ((1 << 64) - 1)
+        rank = min(
+            (65 - w.bit_length()) if w else 65, 64 - sketches.HLL_P + 1
+        )
+        expect[idx] = max(expect[idx], rank)
+    assert regs.tolist() == expect
+
+
+def test_hll_merge_equals_single_pass_and_estimate_accuracy():
+    import numpy as np
+
+    from snomed_ct_entity_linking_ray.functions import sketches
+
+    vals = np.arange(100_000, dtype=np.uint64)
+    h = sketches.splitmix64(vals)
+    whole = sketches.hll_registers(h)
+    # merge of arbitrary partials == single pass (order-independence)
+    parts = [sketches.hll_registers(c) for c in np.array_split(h, 7)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = sketches.hll_merge(merged, p)
+    assert np.array_equal(whole, merged)
+    est = sketches.hll_estimate(whole)
+    assert abs(est - 100_000) / 100_000 < 0.05  # ~1.6% expected at p=12

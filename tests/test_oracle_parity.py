@@ -14,6 +14,7 @@ import __ray_entry__ as entry
 SF = "/root/testdata/sf0.01"
 
 ORACLE_BACKED = [
+    "compose_pipeline",
     "doc_freq",
     "len_quantiles",
     "sample_stratified",
@@ -32,6 +33,7 @@ ORACLE_BACKED = [
     "entity_link",
     "entity_link_eval_iou",
     "llm_ner",
+    "approx_users",
 ]
 
 
