@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": text.q_langid,
         "llm_prompts": text.q_llm_prompts,
         "doc_freq": text.q_doc_freq,
+        "bm25_topk": text.q_bm25_topk,
         "len_quantiles": text.q_len_quantiles,
         "sample_stratified": text.q_sample_stratified,
         # dedup family
@@ -161,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
             "entity_link_eval_iou",
             "llm_ner",
             "approx_users",
+            "bm25_topk",
         )
     }
 

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 5  # r3: + approx_users HLL oracle
+ORACLE_VERSION = 6  # r3: + approx_users HLL, bm25_topk oracles
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -86,6 +86,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "entity_link_eval_iou": lambda: _eval_iou(fdir, linked),
         "llm_ner": lambda: _llm_ner(fdir, docs),
         "approx_users": lambda: _approx_users(sf_dir),
+        "bm25_topk": lambda: _bm25_topk(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -670,3 +671,43 @@ def _approx_users(sf_dir: str) -> pa.Table:
     if est <= 2.5 * HLL_M and zeros > 0:
         est = HLL_M * math.log(HLL_M / zeros)
     return pa.table({"approx_users": pa.array([int(round(est))], pa.int64())})
+
+
+def _bm25_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """BM25 top-k oracle — independent scalar-Python scoring with the same
+    float-op ORDER as the engine (the determinism contract documented on
+    pipelines/text.py::q_bm25_topk): driver-style idf from exact-integer
+    df via math.log, per-doc elementwise IEEE arithmetic, fixed term-order
+    accumulation, 1e-9-quantized ranking with doc_id tiebreak."""
+    import math
+
+    from .pipelines.text import BM25_B, BM25_K1, BM25_QUERY
+
+    t = _read(sf_dir, "documents")
+    doc_ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    toks = [s.split(" ") for s in texts]
+    n_docs = len(toks)
+    n_tokens = sum(len(x) for x in toks)
+    avgdl = float(n_tokens) / n_docs
+    idf = {}
+    for term in BM25_QUERY:
+        df_t = sum(1 for x in toks if term in x)
+        idf[term] = math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+    rows = []
+    for did, x in zip(doc_ids, toks):
+        dl = float(len(x))
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avgdl))
+        score = 0.0
+        for term in BM25_QUERY:
+            tf = float(x.count(term))
+            score = score + idf[term] * (tf * (BM25_K1 + 1.0) / (tf + norm))
+        rows.append((did, int(np.rint(score * 1e9))))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    rows = rows[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "score_q": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )

@@ -19,9 +19,11 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
+
 from ..functions.hashing import md5_hex
 from ..functions.text import TOKEN_PATTERN
-from .common import grouped_sums, read
+from .common import broadcast, grouped_sums, read
 
 # The corpus vocabulary is lowercase space-separated words; these literal
 # dictionaries are shared with the oracle SQL (inlined there as VALUES).
@@ -315,3 +317,97 @@ def q_sample_stratified(sf_dir: str):
         return df[h < rate]
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# BM25 constants (Robertson et al.; Lucene defaults) — shared with the
+# independent oracle (oracles.py::_bm25_topk).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = MATCH_TERMS  # fixed term order: idf accumulation sequence
+
+
+def q_bm25_topk(sf_dir: str, k: int = 10):
+    """BM25 top-k document retrieval for a fixed query — the ranking
+    composite of the text family: one streaming stats pass (N, total
+    tokens, per-term document frequency — a single-row combine, no
+    shuffle), driver-side idf (math.log on exact integer df), then a
+    broadcast-scored pass with per-batch partial top-k and a tiny final
+    combine (the ``cosine_topk`` discipline).
+
+    Determinism contract (hash-green vs oracles.py::_bm25_topk): idf/avgdl
+    are computed ONCE on the driver from exact integers; per-doc scoring is
+    elementwise IEEE mul/div/add accumulated in fixed BM25_QUERY order, so
+    engine (numpy) and oracle (scalar Python) are bit-identical; ranking
+    uses the 1e-9-quantized integer score."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    terms = list(BM25_QUERY)
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].str.split(" ").explode()
+        row = {
+            "n_docs": np.int64(len(df)),
+            "n_tokens": np.int64(len(ex)),
+        }
+        for t in terms:
+            row[f"df_{t}"] = np.int64(ex.eq(t).groupby(level=0).any().sum())
+        return pd.DataFrame([row])
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pandas")
+        .to_pandas()  # one tiny row per batch
+        .sum()
+    )
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["n_tokens"]) / n_docs  # one driver-side division
+    import math
+
+    idf = {
+        t: math.log(
+            (n_docs - int(stats[f"df_{t}"]) + 0.5)
+            / (int(stats[f"df_{t}"]) + 0.5)
+            + 1.0
+        )
+        for t in terms
+    }
+    ref = broadcast((terms, idf, avgdl))
+
+    class ScoreTopK:
+        def __init__(self):
+            self.terms, self.idf, self.avgdl = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.reset_index(drop=True)
+            ex = df["text"].str.split(" ").explode()
+            dl = ex.groupby(level=0).size().reindex(df.index, fill_value=0)
+            dl = dl.to_numpy(np.float64)
+            norm = BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / self.avgdl))
+            score = np.zeros(len(df), dtype=np.float64)
+            for t in self.terms:  # fixed accumulation order (contract)
+                tf = (
+                    ex.eq(t)
+                    .groupby(level=0)
+                    .sum()
+                    .reindex(df.index, fill_value=0)
+                    .to_numpy(np.float64)
+                )
+                score = score + self.idf[t] * (
+                    tf * (BM25_K1 + 1.0) / (tf + norm)
+                )
+            score_q = np.rint(score * 1e9).astype(np.int64)
+            out = pd.DataFrame(
+                {"doc_id": df["doc_id"].to_numpy(np.int64), "score_q": score_q}
+            )
+            # batch-local partial top-k (quantized score, doc_id tiebreak)
+            out = out.sort_values(
+                ["score_q", "doc_id"], ascending=[False, True]
+            ).head(k)
+            return out
+
+    partial = ds.map_batches(ScoreTopK, batch_format="pandas", concurrency=(1, 4))
+    final = (
+        partial.to_pandas()  # <= k rows per batch
+        .sort_values(["score_q", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return final

@@ -34,6 +34,7 @@ ORACLE_BACKED = [
     "entity_link_eval_iou",
     "llm_ner",
     "approx_users",
+    "bm25_topk",
 ]
 
 
