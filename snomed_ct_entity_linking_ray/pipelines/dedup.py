@@ -143,7 +143,8 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64):
 
 def q_minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                         jaccard_threshold: float = 0.5,
-                        block_cap: int = BLOCK_CAP):
+                        block_cap: int = BLOCK_CAP,
+                        max_broadcast_sig_bytes: int = 256 << 20):
     """MinHash+LSH near-dup: shingle → signature → band buckets →
     groupby(band bucket) → candidate pairs → signature-similarity verify.
 
@@ -151,10 +152,13 @@ def q_minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     ~30 bytes/row instead of the 512-byte signature (a 16× payload cut vs
     shipping signatures through every band row). Signatures are computed
     once into a materialized ``(doc_id, sigb)`` table (520 B/doc, spills to
-    the object store) that fans out three ways: band explosion and the two
-    hash-join probes that re-attach signatures to the deduped candidate
-    pairs for verification. Buckets over ``BLOCK_CAP`` members are capped
-    with a logged drop.
+    the object store). Candidate pairs are deduped BEFORE verification;
+    verification then re-attaches signatures by one of two documented
+    plans — broadcast lookup when the signature table fits
+    ``max_broadcast_sig_bytes`` (default 256 MB ≈ 500k docs; zero join
+    executions), hash joins above it (only deduped pairs + their
+    signatures move). Buckets over ``BLOCK_CAP`` members are capped with a
+    logged drop.
     """
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -233,9 +237,50 @@ def q_minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
         .map_groups(bucket_dedup, batch_format="pandas")
     )
 
-    # hash-join both signatures back onto the now-distinct candidate pair
-    # set; partition count scales with the cluster (join aggregators are
-    # actors)
+    # Re-attach signatures to the now-distinct candidate pairs for
+    # verification. Two plans (the semi_anti_filter discipline — pick by a
+    # documented size threshold, never silently):
+    #  - signature table fits the broadcast budget → ship it ONCE via
+    #    ray.put (sorted ids + signature matrix, searchsorted lookup per
+    #    batch). Skips two join executions whose fixed cost dominates at
+    #    small candidate counts (measured: the r2 join path cost ~7 s of
+    #    executor rounds at sf0.1's 5k-doc table — the BENCH_r02
+    #    minhash_lsh regression).
+    #  - above the budget (100 TB path) → the two hash joins; only the
+    #    deduped pairs and their signatures move.
+    n_sigs = sigsb.count()  # metadata-only on a materialized dataset
+    if n_sigs * (num_perm * 8 + 24) <= max_broadcast_sig_bytes:
+        sp = sigsb.to_pandas()
+        ids = sp["doc_id"].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids_sorted = ids[order]
+        M = np.stack(
+            [np.frombuffer(b, dtype=np.uint64) for b in sp["sigb"].to_numpy()[order]]
+        )
+        ref = broadcast((ids_sorted, M))
+
+        def verify_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame(
+                    {"doc_a": pd.Series([], dtype=np.int64),
+                     "doc_b": pd.Series([], dtype=np.int64),
+                     "est_jaccard": pd.Series([], dtype=np.float64)}
+                )
+            ids_s, sigm = ray.get(ref)  # plasma-cached, zero-copy
+            ia = np.searchsorted(ids_s, df["doc_a"].to_numpy(np.int64))
+            ib = np.searchsorted(ids_s, df["doc_b"].to_numpy(np.int64))
+            est = (sigm[ia] == sigm[ib]).mean(axis=1)
+            keep = est >= jaccard_threshold
+            return pd.DataFrame(
+                {
+                    "doc_a": df["doc_a"].to_numpy(np.int64)[keep],
+                    "doc_b": df["doc_b"].to_numpy(np.int64)[keep],
+                    "est_jaccard": est[keep],
+                }
+            )
+
+        return cand.map_batches(verify_bcast, batch_format="pandas")
+
     n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
     j = cand.join(sigsb, "inner", num_partitions=n_part,
                   on=("doc_a",), right_on=("doc_id",))
