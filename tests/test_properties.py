@@ -96,3 +96,25 @@ def test_normalize_idempotent(s):
     assert normalize_text(n) == n
     assert n == n.strip()
     assert "  " not in n
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**62), min_size=1, max_size=50
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_stratified_mixer_bit_exact_vs_duckdb(ids):
+    """The sample_stratified mixer must compute identically in numpy int64
+    and SQL BIGINT for any non-negative doc_id (all intermediates < 2^51,
+    so neither side overflows)."""
+    import duckdb
+
+    arr = np.asarray(ids, dtype=np.int64)
+    mine = ((arr % 1000003) * 2654435761) % 1000000007 % 1000
+    got = duckdb.sql(
+        "SELECT ((i % 1000003) * 2654435761) % 1000000007 % 1000 AS h "
+        "FROM (SELECT unnest(?::BIGINT[]) AS i)",
+        params=[list(map(int, ids))],
+    ).fetchnumpy()["h"]
+    assert mine.tolist() == got.tolist()
