@@ -79,7 +79,7 @@ def run_bench() -> dict:
     def timed(name: str, fn):
         t0 = time.time()
         ds = fn(sf_dir)
-        n = ds.count()
+        n = ds.count() if isinstance(ds, ray.data.Dataset) else len(ds)
         queries[name] = round(time.time() - t0, 3)
         return n
 
@@ -104,6 +104,10 @@ def run_bench() -> dict:
     timed("minhash_lsh_pairs", dedup.q_minhash_lsh_pairs)
     timed("embedding_neardup_pairs", dedup.q_embedding_neardup_pairs)
     timed("cosine_topk", vectors.q_cosine_topk)
+    timed("dedup_exact", dedup.q_dedup_exact)
+    timed("doc_freq", text.q_doc_freq)
+    timed("approx_users", relational.q_approx_users)
+    timed("bm25_topk", text.q_bm25_topk)
 
     result = {
         "metric": "entity_link_e2e",
