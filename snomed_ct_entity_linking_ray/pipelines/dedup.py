@@ -90,9 +90,34 @@ def q_dedup_exact(sf_dir: str):
         .map_groups(bucket_combine, batch_format="pandas")
     )
 
-    # re-attach keeper text: hash join bounded by the distinct-text count
+    # Re-attach keeper text. Two plans, picked by measured keeper count
+    # (the semi_anti_filter discipline): under MAX_BROADCAST_KEYS the
+    # (keeper_id -> n_copies) map is ~16 B/entry — broadcast it once and
+    # attach text in a single filtered pass over the source (no join
+    # execution); above it, hash join bounded by the distinct-text count.
+    from .common import MAX_BROADCAST_KEYS
+
+    kdf = keepers.materialize()
+    if kdf.count() <= MAX_BROADCAST_KEYS:
+        kp = kdf.to_pandas()
+        ids = kp["doc_id"].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ref = broadcast((ids[order], kp["n_copies"].to_numpy(np.int64)[order]))
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            ids_s, ncp = ray.get(ref)  # plasma-cached, zero-copy
+            d = df["doc_id"].to_numpy(np.int64)
+            pos = np.searchsorted(ids_s, d)
+            pos = np.clip(pos, 0, len(ids_s) - 1)
+            keep = ids_s[pos] == d
+            out = df[keep].copy()
+            out["n_copies"] = ncp[pos[keep]]
+            return out[["doc_id", "text", "n_copies"]]
+
+        return ds.map_batches(attach, batch_format="pandas")
+
     n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    return keepers.join(
+    return kdf.join(
         ds, "inner", num_partitions=n_part, on=("doc_id",)
     ).select_columns(["doc_id", "text", "n_copies"])
 
