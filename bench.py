@@ -147,7 +147,14 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N vs 4N parallelism levels (default 8 vs 32). SCEL_SCALING_LO/HI
+    # override for the unsaturated-leg variant (e.g. 4 vs 16, which keeps
+    # BOTH legs under half the box so per-core memory bandwidth is
+    # comparable between legs — the closer single-box analogue of an
+    # N→4N-NODE cluster, where per-node conditions are identical by
+    # construction).
+    lo = int(os.environ.get("SCEL_SCALING_LO", "8"))
+    hi = int(os.environ.get("SCEL_SCALING_HI", "32"))
     # Best-of-2 per leg: the sandbox host carries an invisible external
     # load (load avg 14-16 with zero local processes) that hits the
     # 32-CPU leg hardest — identical-code scaling runs measured 0.596 and
@@ -206,7 +213,8 @@ def run_calibration() -> dict:
     stand-in."""
     import multiprocessing as mp
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("SCEL_SCALING_LO", "8"))
+    hi = int(os.environ.get("SCEL_SCALING_HI", "32"))
     reps = int(os.environ.get("SCEL_SCALING_REPS", "2"))
 
     def level(n: int) -> dict:
