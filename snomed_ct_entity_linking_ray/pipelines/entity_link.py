@@ -9,12 +9,20 @@ attach candidate concepts → score → resolve — as record linkage over Arrow
                        with raw-offset remapping + trailing-plural tolerance
                        (M1/M4/M18 semantics, 1st Place/src/mimic_common.py:
                        50-71,127-161; 2nd Place/submission/static_dict.py:36-53)
-    mentions ──mb──▶ (block_key, row): char-3gram prefix key; HOT KEYS
-                       SALTED from a measured frequency table (G1; the
-                       reference's "pain" blacklists,
+    mentions ──mb──▶ candidate pairs, SHUFFLE-FREE (default plan): the
+                       concept side of each char-3gram block is
+                       dictionary-bounded, so it broadcasts as a CSR
+                       (``concept_block_state``) and every mention batch
+                       emits its own mention×concept pairs locally —
+                       no groupby exchange anywhere in the flagship.
+                       Blocks over BLOCK_CAP are capped by a driver-
+                       computed node-hash threshold (logged, not silent).
+                       Fallback plan for dictionaries too large to
+                       broadcast (> BROADCAST_PAIRGEN_MAX_ROWS): the
+                       original salted groupby(block_key) exchange with
+                       HOT KEYS SALTED from the measured G1 frequency
+                       table (the reference's "pain" blacklists,
                        1st Place/src/mimic_train.py:30,36-42)
-         ──groupby(block_key)──▶ pair generation within block (capped,
-                       drops logged — no silent truncation)
     pairs ──mb-actor──▶ hybrid scoring: Jaro-Winkler (DuckDB C++ kernel)
                        + char-3gram hash-embedding cosine (A3 stand-in)
          ──filter(score ≥ θ) + per-batch distinct──▶ θ-passing
@@ -41,7 +49,8 @@ Scale notes:
   instead of surface strings; the block-key shuffle payload is all-int.
 - Three streaming executions end-to-end: extract(materialize, with the
   G1 frequency table accumulated by a FreqSink side-channel actor during
-  the same pass) → block/score/distinct tree → attach+resolve (consumed).
+  the same pass) → pairgen/score/distinct tree (ONE execution, zero
+  exchanges under the broadcast plan) → attach+resolve (consumed).
   The flagship path also drops the section string column from the
   materialized mentions (nothing downstream needs it), cutting the
   object-store round-trip of the biggest intermediate.
@@ -727,6 +736,171 @@ def candidate_pairs(m_salted: rd.Dataset, c_keys: rd.Dataset) -> rd.Dataset:
     return both.groupby("block_key").map_groups(pairgen, batch_format="pandas")
 
 
+BROADCAST_PAIRGEN_MAX_ROWS = 20_000_000  # concept-side (block, concept) rows
+# above which the broadcast plan falls back to the grouped shuffle: the CSR
+# is ~20 bytes/row, so the default bounds the broadcast at ~400 MB — SNOMED
+# scale (~1M surfaces, ~1.2 concepts each) is 50× under it.
+
+
+def concept_block_state(state: dict, freq_n: np.ndarray):
+    """Driver-built broadcast state for the shuffle-free pair plan:
+
+    - CSR of the concept side keyed by UNSALTED block id: sorted unique
+      ``blk_ids`` + offsets into flat ``(c_sid, c_cid)`` arrays. Size is
+      dictionary-bounded (one row per (surface, concept) pair) — the
+      "broadcast the small side" rule; mentions NEVER shuffle.
+    - per-block keep-threshold implementing BLOCK_CAP without co-locating
+      the block: from the G1 frequency table the driver knows each block's
+      mention count m_b and concept count c_b; when m_b×c_b > BLOCK_CAP a
+      uniform node-hash threshold keeps ≈ BLOCK_CAP/c_b mentions (expected;
+      the grouped path keeps the exactly-smallest node ids instead — both
+      deterministic, both logged, output-neutral while no non-identical
+      pair passes θ, which the oracle asserts).
+    """
+    block_of_sid = state["block_of_sid"]
+    s2c = state["surface_to_cids"]
+    surfaces = state["surfaces"]
+    order = np.argsort(block_of_sid, kind="stable")
+    blk_ids_list: list[int] = []
+    offs: list[int] = [0]
+    c_sid: list[int] = []
+    c_cid: list[int] = []
+    cur = None
+    for i in order:
+        b = int(block_of_sid[i])
+        if cur is None or b != cur:
+            if cur is not None:
+                blk_ids_list.append(cur)
+                offs.append(len(c_sid))
+            cur = b
+        for cid in s2c.get(surfaces[i], ()):
+            c_sid.append(i)
+            c_cid.append(cid)
+    if cur is not None:
+        blk_ids_list.append(cur)
+        offs.append(len(c_sid))
+    blk_ids = np.array(blk_ids_list, dtype=np.int64)
+    offsets = np.array(offs, dtype=np.int64)
+    values_sid = np.array(c_sid, dtype=np.int32)
+    values_cid = np.array(c_cid, dtype=np.int64)
+
+    # per-block mention counts from the dictionary-bounded freq table
+    m_per_block = np.zeros(len(blk_ids), dtype=np.int64)
+    pos_of_sid = np.searchsorted(blk_ids, block_of_sid)
+    np.add.at(m_per_block, pos_of_sid, freq_n)
+    c_per_block = np.diff(offsets)
+    pairs_per_block = m_per_block * c_per_block
+    # hot blocks get the same effective budget the grouped plan's salting
+    # gives them (N_SALT sub-blocks × BLOCK_CAP each) so candidate
+    # coverage is plan-independent; cold blocks get one BLOCK_CAP
+    budget = np.where(
+        m_per_block > HOT_KEY_MENTIONS, N_SALT * BLOCK_CAP, BLOCK_CAP
+    ).astype(np.int64)
+    over = pairs_per_block > budget
+    # uint64 keep-threshold per block (max = keep everything)
+    thr = np.full(len(blk_ids), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    if over.any():
+        keep_frac = (budget[over] / np.maximum(c_per_block[over], 1)) / np.maximum(
+            m_per_block[over], 1
+        )
+        thr[over] = (np.clip(keep_frac, 1e-9, 1.0) * float(2**64 - 1)).astype(
+            np.uint64
+        )
+        logger.warning(
+            "broadcast pairgen: %d blocks exceed their budget (max %d "
+            "pairs vs budget %d); capping by node-hash threshold "
+            "(logged, not silent)",
+            int(over.sum()), int(pairs_per_block.max()),
+            int(budget[over].max()),
+        )
+    return {
+        "blk_ids": blk_ids,
+        "offsets": offsets,
+        "values_sid": values_sid,
+        "values_cid": values_cid,
+        "thr": thr,
+        "n_rows": len(values_sid),
+    }
+
+
+class BroadcastPairGen:
+    """Shuffle-free pair generation (the flagship plan): the concept-side
+    block CSR ships once per actor; each mention batch emits its own
+    mention×concept candidate pairs by broadcast lookup — the groupby
+    exchange (sort of every mention row) disappears from the pipeline.
+    Output schema/rows match ``candidate_pairs`` exactly while no block
+    exceeds BLOCK_CAP (cap subsets differ by plan; both deterministic)."""
+
+    def __init__(self, csr_ref, block_ref):
+        csr = ray.get(csr_ref)
+        self.blk_ids = csr["blk_ids"]
+        self.offsets = csr["offsets"]
+        self.values_sid = csr["values_sid"]
+        self.values_cid = csr["values_cid"]
+        self.thr = csr["thr"]
+        self.block_of_sid = ray.get(block_ref)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sid = df["sid"].to_numpy().astype(np.int32)
+        node = mention_node_array(df)
+        blocks = self.block_of_sid[sid]
+        pos = np.searchsorted(self.blk_ids, blocks)
+        if len(pos) and not np.array_equal(self.blk_ids[pos], blocks):
+            raise RuntimeError(
+                "mention block id missing from concept CSR — dictionary "
+                "state and mentions table disagree"
+            )
+        # cap filter (no-op unless the block is over BLOCK_CAP)
+        keep = (
+            node.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ) <= self.thr[pos]
+        if not keep.all():
+            sid, node, pos = sid[keep], node[keep], pos[keep]
+        reps = (self.offsets[pos + 1] - self.offsets[pos]) if len(pos) else (
+            np.zeros(0, dtype=np.int64)
+        )
+        total = int(reps.sum())
+        row_idx = np.repeat(np.arange(len(pos)), reps)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)))[:-1], reps
+        )
+        c_pos = self.offsets[pos[row_idx]] + within
+        m_sid = sid[row_idx]
+        c_sid = self.values_sid[c_pos]
+        mask = m_sid != c_sid  # same-surface pairs are the exact path's
+        return pd.DataFrame(
+            {
+                "node": node[row_idx][mask],
+                "m_sid": m_sid[mask].astype(np.int32),
+                "concept_id": self.values_cid[c_pos][mask],
+                "c_sid": c_sid[mask].astype(np.int32),
+            }
+        )
+
+
+def candidate_pairs_auto(
+    mentions: rd.Dataset, state: dict, freq_n: np.ndarray
+) -> tuple[rd.Dataset, str]:
+    """Pick the pair plan: broadcast (shuffle-free, default — the concept
+    side is dictionary-bounded) vs grouped (the groupby exchange, for
+    dictionaries too large to broadcast). Returns (pairs, plan_name)."""
+    csr = concept_block_state(state, freq_n)
+    if csr["n_rows"] > BROADCAST_PAIRGEN_MAX_ROWS:
+        m_salted, c_keys, _hot = blocked_sides(mentions, state, freq_n)
+        return candidate_pairs(m_salted, c_keys), "grouped"
+    if "block_ref" not in state:
+        state["block_ref"] = ray.put(state["block_of_sid"])
+    csr_ref = ray.put(csr)
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    pairs = mentions.map_batches(
+        BroadcastPairGen,
+        fn_constructor_args=(csr_ref, state["block_ref"]),
+        batch_format="pandas",
+        concurrency=(1, max(2, n_cpus // 2)),
+    )
+    return pairs, "broadcast"
+
+
 # --------------------------------------------------------------------------
 # pair scoring (stateful actor pool — A3 analogue)
 # --------------------------------------------------------------------------
@@ -959,8 +1133,7 @@ def compute_link_map(
     t0 = _time.time()
     if freq_n is None:
         freq_n = surface_freq(mentions, len(surfaces))
-    m_salted, c_keys, _hot = blocked_sides(mentions, state, freq_n)
-    pairs = candidate_pairs(m_salted, c_keys)
+    pairs, pair_plan = candidate_pairs_auto(mentions, state, freq_n)
     scored = score_pairs(pairs, state, apply_threshold=False)
     # θ-passing fuzzy LINKS are a pure function of (surface, concept) —
     # the mention-level pairs above exist to measure/score the candidate
@@ -977,6 +1150,7 @@ def compute_link_map(
     if timings is not None:
         timings["t_block_score"] = round(_time.time() - t0, 3)
         timings["n_candidate_pairs"] = n_scored + n_exact_pairs
+        timings["pair_plan"] = pair_plan
 
     # ---- clustering: star-contracted union-find --------------------------
     # The mention↔concept graph is bipartite and mention nodes have their
@@ -1332,8 +1506,7 @@ def linked_pairs(sf_dir: str) -> pa.Table:
     mentions = mentions.materialize()
     surfaces = state["surfaces"]
     freq_n = ray.get(state["freq_sink"].totals.remote())
-    m_salted, c_keys, _hot = blocked_sides(mentions, state, freq_n)
-    pairs = candidate_pairs(m_salted, c_keys)
+    pairs, _plan = candidate_pairs_auto(mentions, state, freq_n)
     fuzzy_pass, _ = fuzzy_pass_links(
         score_pairs(pairs, state, apply_threshold=False)
     )

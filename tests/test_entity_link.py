@@ -149,3 +149,76 @@ def test_span_sequence_equality(fdir):
     for r in out.itertuples():
         spans = [dict(s) for s in r.spans]
         assert span_signature(spans) == sig_in[r.doc_id]
+
+
+def test_pair_plans_agree():
+    """Broadcast (shuffle-free) vs grouped (groupby exchange) pair plans
+    emit the IDENTICAL pair set on the fixture corpus (cap not binding),
+    so plan choice cannot change any downstream link."""
+    import numpy as np
+    import ray
+
+    mentions, state, _ = el.extract_mentions(
+        SF, emit_sections=False, fuse_freq=True
+    )
+    mentions = mentions.materialize()
+    freq_n = ray.get(state["freq_sink"].totals.remote())
+
+    bc_pairs, plan = el.candidate_pairs_auto(mentions, state, freq_n)
+    assert plan == "broadcast"
+    m_salted, c_keys, _hot = el.blocked_sides(mentions, state, freq_n)
+    gr_pairs = el.candidate_pairs(m_salted, c_keys)
+
+    cols = ["node", "m_sid", "concept_id", "c_sid"]
+    bc = bc_pairs.to_pandas()[cols]
+    gr = gr_pairs.to_pandas()[cols]
+    assert len(bc) == len(gr) and len(bc) > 0
+    key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))  # noqa: E731
+    assert key(bc) == key(gr)
+
+
+def test_broadcast_pairgen_cap(monkeypatch):
+    """Over-cap blocks: the driver-computed node-hash threshold bounds the
+    pair count deterministically (same subset on every call) and leaves
+    under-cap blocks untouched."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    monkeypatch.setattr(el, "BLOCK_CAP", 8)
+    surfaces = ["abc one", "abc two", "abd three"]
+    state = {
+        "surfaces": surfaces,
+        "surface_to_cids": {
+            "abc one": [1], "abc two": [2], "abd three": [3]
+        },
+        "block_of_sid": np.array(
+            [el.prefix_block_id(s[:3]) for s in surfaces], dtype=np.int64
+        ),
+    }
+    # block 'abc': 40 mentions x 2 concepts = 80 pairs > cap 8
+    freq_n = np.array([20, 20, 3], dtype=np.int64)
+    csr = el.concept_block_state(state, freq_n)
+    assert (csr["thr"] != np.uint64(0xFFFFFFFFFFFFFFFF)).sum() == 1
+
+    rng = np.random.RandomState(7)
+    n = 43
+    df = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(n)],
+            "start": np.arange(n, dtype=np.int32),
+            "end": np.arange(n, dtype=np.int32) + 5,
+            "sid": np.array([0] * 20 + [1] * 20 + [2] * 3, dtype=np.int32),
+        }
+    )
+    gen = el.BroadcastPairGen(
+        ray.put(csr), ray.put(state["block_of_sid"])
+    )
+    out1 = gen(df)
+    out2 = gen(df)
+    pd.testing.assert_frame_equal(out1, out2)  # deterministic
+    # under-cap block 'abd' untouched: its 3 mentions pair with nothing
+    # (only their own surface's concept, filtered as same-sid)
+    assert (out1["m_sid"] == 2).sum() == 0
+    # capped block emits FEWER pairs than the uncapped 40 (20x1 each side)
+    assert 0 < len(out1) < 40
