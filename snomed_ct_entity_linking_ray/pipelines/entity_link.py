@@ -956,36 +956,65 @@ def score_pairs(pairs: rd.Dataset, state: dict, apply_threshold: bool = True) ->
     )
 
 
+def _links_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch partial for the θ-passing distinct-links reduction:
+    distinct passing (m_sid, concept_id) rows + one count row carrying the
+    scored-pair tally (schema survives fully-empty pandas blocks)."""
+    if len(df) == 0 or "m_sid" not in df.columns:
+        return pd.DataFrame(
+            {"m_sid": np.array([-1], dtype=np.int64),
+             "concept_id": np.array([-1], dtype=np.int64),
+             "n": np.array([0], dtype=np.int64)}
+        )
+    passing = df[df["score"] >= THETA][["m_sid", "concept_id"]].drop_duplicates()
+    out = pd.DataFrame(
+        {
+            "m_sid": passing["m_sid"].to_numpy().astype(np.int64),
+            "concept_id": passing["concept_id"].to_numpy().astype(np.int64),
+            "n": np.zeros(len(passing), dtype=np.int64),
+        }
+    )
+    count_row = pd.DataFrame(
+        {"m_sid": np.array([-1], dtype=np.int64),
+         "concept_id": np.array([-1], dtype=np.int64),
+         "n": np.array([len(df)], dtype=np.int64)}
+    )
+    return pd.concat([out, count_row], ignore_index=True)
+
+
+def fuzzy_links(
+    mentions: rd.Dataset, state: dict, freq_n: np.ndarray
+) -> tuple[pd.DataFrame, int, str]:
+    """θ-passing distinct links + scored-pair count + plan name. Default:
+    the shuffle-free broadcast pairgen feeding the scorer pool; falls back
+    to the grouped exchange when the concept CSR is too large to
+    broadcast.
+
+    Deliberately TWO stages (pairgen pool → scorer pool), not one fused
+    actor: an ABAB differential at sf0.1/32cpus measured the fused
+    single-stage variant (pairgen+score+partial per mention block) at
+    11.3–13.5 s vs 8.3–8.4 s for this two-stage plan — the scorer pool's
+    8192-row batches rebalance the skewed per-block pair counts across
+    actors, while the fused plan chains each block's whole pair stream
+    through one task and straggles. Both stages run in the same streaming
+    execution with zero exchanges between them."""
+    pairs, plan = candidate_pairs_auto(mentions, state, freq_n)
+    scored = score_pairs(pairs, state, apply_threshold=False)
+    fp, n = fuzzy_pass_links(scored)
+    return fp, n, plan
+
+
 def fuzzy_pass_links(scored: rd.Dataset) -> tuple[pd.DataFrame, int]:
     """Distinct θ-passing (m_sid, concept_id) links + total scored-pair
     count, in ONE streaming execution. Per-batch partials (distinct pass
     rows + one count row) are tree-combined, so the driver-side result is
     dictionary-bounded regardless of how many pair batches were scored."""
+    return _links_reduce(
+        scored.map_batches(_links_partial, batch_format="pandas")
+    )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0 or "m_sid" not in df.columns:
-            # Ray drops the schema of fully-empty pandas blocks — emit the
-            # count row so the schema survives
-            return pd.DataFrame(
-                {"m_sid": np.array([-1], dtype=np.int64),
-                 "concept_id": np.array([-1], dtype=np.int64),
-                 "n": np.array([0], dtype=np.int64)}
-            )
-        passing = df[df["score"] >= THETA][["m_sid", "concept_id"]].drop_duplicates()
-        out = pd.DataFrame(
-            {
-                "m_sid": passing["m_sid"].to_numpy().astype(np.int64),
-                "concept_id": passing["concept_id"].to_numpy().astype(np.int64),
-                "n": np.zeros(len(passing), dtype=np.int64),
-            }
-        )
-        count_row = pd.DataFrame(
-            {"m_sid": np.array([-1], dtype=np.int64),
-             "concept_id": np.array([-1], dtype=np.int64),
-             "n": np.array([len(df)], dtype=np.int64)}
-        )
-        return pd.concat([out, count_row], ignore_index=True)
 
+def _links_reduce(partials: rd.Dataset) -> tuple[pd.DataFrame, int]:
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         is_count = df["m_sid"].to_numpy() < 0
         total = int(df.loc[is_count, "n"].sum())
@@ -997,10 +1026,7 @@ def fuzzy_pass_links(scored: rd.Dataset) -> tuple[pd.DataFrame, int]:
         )
         return pd.concat([links, count_row], ignore_index=True)
 
-    final = tree_to_pandas(
-        scored.map_batches(partial, batch_format="pandas"), combine,
-        n_blocks_hint=64,
-    )
+    final = tree_to_pandas(partials, combine, n_blocks_hint=64)
     final = combine(final)
     is_count = final["m_sid"].to_numpy() < 0
     n_scored = int(final.loc[is_count, "n"].sum())
@@ -1133,13 +1159,11 @@ def compute_link_map(
     t0 = _time.time()
     if freq_n is None:
         freq_n = surface_freq(mentions, len(surfaces))
-    pairs, pair_plan = candidate_pairs_auto(mentions, state, freq_n)
-    scored = score_pairs(pairs, state, apply_threshold=False)
     # θ-passing fuzzy LINKS are a pure function of (surface, concept) —
-    # the mention-level pairs above exist to measure/score the candidate
+    # the mention-level pairs exist to measure/score the candidate
     # stream at corpus scale; the distinct passing table is dictionary-
     # bounded and tree-combined (driver never sees per-batch partials).
-    fuzzy_pass, n_scored = fuzzy_pass_links(scored)
+    fuzzy_pass, n_scored, pair_plan = fuzzy_links(mentions, state, freq_n)
     n_exact_pairs = int(
         sum(
             int(freq_n[i]) * len(s2c.get(s, ()))
@@ -1506,10 +1530,7 @@ def linked_pairs(sf_dir: str) -> pa.Table:
     mentions = mentions.materialize()
     surfaces = state["surfaces"]
     freq_n = ray.get(state["freq_sink"].totals.remote())
-    pairs, _plan = candidate_pairs_auto(mentions, state, freq_n)
-    fuzzy_pass, _ = fuzzy_pass_links(
-        score_pairs(pairs, state, apply_threshold=False)
-    )
+    fuzzy_pass, _n, _plan = fuzzy_links(mentions, state, freq_n)
 
     cand_sets: list[set[int]] = [
         set(state["surface_to_cids"].get(s, ())) for s in surfaces
