@@ -222,3 +222,18 @@ def test_broadcast_pairgen_cap(monkeypatch):
     assert (out1["m_sid"] == 2).sum() == 0
     # capped block emits FEWER pairs than the uncapped 40 (20x1 each side)
     assert 0 < len(out1) < 40
+
+
+def test_grouped_fallback_plan_e2e(monkeypatch, linked):
+    """Forcing the grouped fallback plan (as if the dictionary were too
+    large to broadcast) produces the exact same linked output."""
+    monkeypatch.setattr(el, "BROADCAST_PAIRGEN_MAX_ROWS", 0)
+    tm = {}
+    out = el.run_entity_link(SF, timings=tm).to_pandas()
+    assert tm["pair_plan"] == "grouped"
+    key = ["doc_id", "start", "end", "concept_id"]
+    a = out[key].sort_values(key).reset_index(drop=True)
+    b = linked[key].sort_values(key).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
