@@ -686,7 +686,8 @@ def blocked_sides(
 
 
 def candidate_pairs(m_salted: rd.Dataset, c_keys: rd.Dataset) -> rd.Dataset:
-    """groupby(block_key) — THE wide shuffle, all-int payload — then
+    """groupby(block_key) — the FALLBACK plan's wide shuffle (all-int
+    payload; the default broadcast plan has no exchange at all) — then
     within-block mention × concept cross pairs, capped with logged drops."""
     both = m_salted.union(c_keys)
 
