@@ -237,3 +237,34 @@ def test_grouped_fallback_plan_e2e(monkeypatch, linked):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_concept_block_state_csr_integrity():
+    """The broadcast CSR partitions the dictionary exactly: every
+    (surface, concept) pair appears once, under its surface's block id,
+    and blk_ids are sorted unique (searchsorted contract)."""
+    import numpy as np
+
+    surfaces = ["alpha x", "alpha y", "beta z", "gamma q"]
+    s2c = {"alpha x": [10, 11], "alpha y": [12], "beta z": [13], "gamma q": [14]}
+    state = {
+        "surfaces": surfaces,
+        "surface_to_cids": s2c,
+        "block_of_sid": np.array(
+            [el.prefix_block_id(s[:3]) for s in surfaces], dtype=np.int64
+        ),
+    }
+    csr = el.concept_block_state(state, np.ones(len(surfaces), dtype=np.int64))
+    blk = csr["blk_ids"]
+    assert np.array_equal(blk, np.sort(np.unique(blk)))
+    assert csr["offsets"][0] == 0 and csr["offsets"][-1] == csr["n_rows"] == 5
+    got = set()
+    for i in range(len(blk)):
+        lo, hi = csr["offsets"][i], csr["offsets"][i + 1]
+        for sid, cid in zip(csr["values_sid"][lo:hi], csr["values_cid"][lo:hi]):
+            assert state["block_of_sid"][sid] == blk[i]
+            got.add((int(sid), int(cid)))
+    want = {
+        (i, c) for i, s in enumerate(surfaces) for c in s2c[s]
+    }
+    assert got == want
