@@ -8,10 +8,12 @@ num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line::
     {"metric": "...", "value": <headline sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N, ...}
 
-``--scaling``: runs the headline pipeline twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input (the sandbox stand-in for
-N- vs 4N-node clusters) and prints both throughputs plus the scaling
-efficiency; results are recorded in BASELINE.md.
+``--scaling``: runs the headline pipeline in FRESH processes at two
+parallelism levels N and 4N CPUs on the same input (the sandbox stand-in
+for N- vs 4N-node clusters; default 4 vs 16 so neither leg saturates the
+box — see run_scaling for the rationale, SCEL_SCALING_LO/HI to override)
+and prints both throughputs plus the scaling efficiency; results are
+recorded in BASELINE.md alongside the matching ``--calibrate`` ceiling.
 
 This script OWNS its Ray session (init+shutdown); the library never does.
 """
@@ -147,14 +149,16 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # N vs 4N parallelism levels (default 8 vs 32). SCEL_SCALING_LO/HI
-    # override for the unsaturated-leg variant (e.g. 4 vs 16, which keeps
-    # BOTH legs under half the box so per-core memory bandwidth is
-    # comparable between legs — the closer single-box analogue of an
-    # N→4N-NODE cluster, where per-node conditions are identical by
-    # construction).
-    lo = int(os.environ.get("SCEL_SCALING_LO", "8"))
-    hi = int(os.environ.get("SCEL_SCALING_HI", "32"))
+    # N vs 4N parallelism levels. DEFAULT 4 vs 16: both legs stay ≤ half
+    # the 32-core box, so per-core resources (memory bandwidth, object
+    # store) are comparable between legs — the faithful single-box
+    # analogue of an N→4N-NODE cluster, where per-node conditions are
+    # identical in both legs by construction. SCEL_SCALING_LO/HI=8/32
+    # selects the box-saturating stand-in; BASELINE.md records BOTH
+    # configurations with their same-window spin calibrations
+    # (`--calibrate`) — the 8→32 ratio is capped ~0.83 by the box itself.
+    lo = int(os.environ.get("SCEL_SCALING_LO", "4"))
+    hi = int(os.environ.get("SCEL_SCALING_HI", "16"))
     # Best-of-2 per leg: the sandbox host carries an invisible external
     # load (load avg 14-16 with zero local processes) that hits the
     # 32-CPU leg hardest — identical-code scaling runs measured 0.596 and
@@ -213,8 +217,8 @@ def run_calibration() -> dict:
     stand-in."""
     import multiprocessing as mp
 
-    lo = int(os.environ.get("SCEL_SCALING_LO", "8"))
-    hi = int(os.environ.get("SCEL_SCALING_HI", "32"))
+    lo = int(os.environ.get("SCEL_SCALING_LO", "4"))
+    hi = int(os.environ.get("SCEL_SCALING_HI", "16"))
     reps = int(os.environ.get("SCEL_SCALING_REPS", "2"))
 
     def level(n: int) -> dict:
