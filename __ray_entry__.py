@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "simhash_buckets": dedup.q_simhash_buckets,
         "embedding_neardup_pairs": dedup.q_embedding_neardup_pairs,
+        "winnow_dups": dedup.q_winnow_dups,
         # similarity search family
         "cosine_topk": vectors.q_cosine_topk,
         "cosine_topk_ivf": vectors.q_cosine_topk_ivf,
@@ -163,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
             "llm_ner",
             "approx_users",
             "bm25_topk",
+            "winnow_dups",
         )
     }
 

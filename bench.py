@@ -107,6 +107,7 @@ def run_bench() -> dict:
     timed("embedding_neardup_pairs", dedup.q_embedding_neardup_pairs)
     timed("cosine_topk", vectors.q_cosine_topk)
     timed("dedup_exact", dedup.q_dedup_exact)
+    timed("winnow_dups", dedup.q_winnow_dups)
     timed("doc_freq", text.q_doc_freq)
     timed("approx_users", relational.q_approx_users)
     timed("bm25_topk", text.q_bm25_topk)

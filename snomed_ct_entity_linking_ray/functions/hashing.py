@@ -96,6 +96,36 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+WINNOW_BASE = np.uint64(1099511628211)  # FNV-64 prime as polynomial base
+
+
+def winnow_fingerprints(
+    text: str, window: int = 12, mod_bits: int = 4
+) -> np.ndarray:
+    """Vectorized winnowing document fingerprints (the MOSS scheme,
+    Schleimer et al. 2003, public): base-WINNOW_BASE polynomial rolling
+    hash of every ``window``-byte window (wrapping mod 2^64), keep the
+    hashes ≡ 0 (mod 2^mod_bits), deduped ascending; deterministic
+    fallback to ``[min window hash]`` when the filter selects nothing.
+    All-numpy (sliding_window_view × power vector, uint64 wraparound) —
+    property-tested bit-equal to the plain per-window Horner loop
+    (tests/test_properties.py), which is also the independent oracle's
+    implementation."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    if n == 0:
+        return np.zeros(1, dtype=np.uint64)
+    w = min(window, n)
+    exps = np.arange(w - 1, -1, -1, dtype=np.uint64)
+    powers = np.power(np.full(w, WINNOW_BASE, dtype=np.uint64), exps)
+    wins = np.lib.stride_tricks.sliding_window_view(b, w)
+    h = (wins * powers).sum(axis=1, dtype=np.uint64)
+    sel = h[(h & np.uint64((1 << mod_bits) - 1)) == np.uint64(0)]
+    if len(sel) == 0:
+        sel = np.array([h.min()], dtype=np.uint64)
+    return np.unique(sel)
+
+
 def rolling_fingerprints(text: str, window: int = 16, mod_bits: int = 6) -> list[int]:
     """Winnowing-style document fingerprints (Schleimer et al., 2003, public):
     crc32 of each window, keep hashes ≡ 0 (mod 2^mod_bits)."""

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 6  # r3: + approx_users HLL, bm25_topk oracles
+ORACLE_VERSION = 7  # r3: + approx_users HLL, bm25_topk, winnow_dups oracles
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -87,6 +87,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "llm_ner": lambda: _llm_ner(fdir, docs),
         "approx_users": lambda: _approx_users(sf_dir),
         "bm25_topk": lambda: _bm25_topk(sf_dir),
+        "winnow_dups": lambda: _winnow_dups(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -709,5 +710,56 @@ def _bm25_topk(sf_dir: str, k: int = 10) -> pa.Table:
         {
             "doc_id": pa.array([r[0] for r in rows], pa.int64()),
             "score_q": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _winnow_dups(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """Winnowing fingerprint near-dup oracle: plain per-window Horner-loop
+    fingerprints (the spec the vectorized kernel is property-tested
+    against), python-set Jaccard over all docs sharing any fingerprint.
+    Same float policy as the pipeline: one exact-int division per pair."""
+    B = 1099511628211
+    M = 1 << 64
+
+    def plain_fps(text: str, window: int = 12, mod_bits: int = 4) -> set[int]:
+        enc = text.encode("utf-8")
+        if not enc:
+            return {0}
+        w = min(window, len(enc))
+        hs = []
+        for i in range(len(enc) - w + 1):
+            h = 0
+            for c in enc[i : i + w]:
+                h = (h * B + c) % M
+            hs.append(h)
+        sel = {h for h in hs if (h & ((1 << mod_bits) - 1)) == 0}
+        return sel or {min(hs)}
+
+    t = _read(sf_dir, "documents")
+    doc_ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    fps = {d: plain_fps(s) for d, s in zip(doc_ids, texts)}
+    by_fp: dict[int, list[int]] = {}
+    for d in sorted(fps):
+        for h in fps[d]:
+            by_fp.setdefault(h, []).append(d)
+    cand: set[tuple[int, int]] = set()
+    for members in by_fp.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                cand.add((members[i], members[j]))
+    rows = []
+    for a, b in sorted(cand):
+        ns = len(fps[a] & fps[b])
+        jac = ns / (len(fps[a]) + len(fps[b]) - ns)
+        if jac >= threshold:
+            rows.append((a, b, ns, jac))
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "n_shared": pa.array([r[2] for r in rows], pa.int64()),
+            "fp_jaccard": pa.array([r[3] for r in rows], pa.float64()),
         }
     )

@@ -338,6 +338,190 @@ def q_minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     return j.map_batches(verify, batch_format="pandas")
 
 
+def q_winnow_dups(sf_dir: str, threshold: float = 0.5,
+                  block_cap: int = BLOCK_CAP,
+                  max_broadcast_docs: int = 4_000_000):
+    """Winnowing-fingerprint near-dup pairs (the MOSS document-
+    fingerprinting scheme): per-doc winnow fingerprints → groupby(fp)
+    (single-int64 shuffle key) → per-fp doc pairs → SHARED-COUNT
+    aggregation per pair → exact fingerprint-set Jaccard filter.
+
+    Scale shape: text never re-attaches anywhere — the verify metric is
+    the fp-set Jaccard ``n_shared / (|A| + |B| - n_shared)``, computed
+    from the aggregated shared counts plus a per-doc fingerprint-count
+    table. That table is 12 B/doc: broadcast under
+    ``max_broadcast_docs`` (the documented threshold), hash join above
+    it. Hot fingerprints are capped at ``block_cap`` members with a
+    logged drop (same discipline as every pairwise block here)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fps(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list[np.ndarray] = []
+        vals: list[np.ndarray] = []
+        for d, t in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            u = hashing.winnow_fingerprints(t)
+            ids.append(np.full(len(u), d, dtype=np.int64))
+            vals.append(u.astype(np.int64))  # two's-complement carrier
+        if not ids:
+            return pd.DataFrame({"fp": pd.Series([], dtype=np.int64),
+                                 "doc_id": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame(
+            {"fp": np.concatenate(vals), "doc_id": np.concatenate(ids)}
+        )
+
+    # Materialized stage boundary: the fingerprint table feeds BOTH the
+    # pair branch and the per-doc-count branch (16 B/row, spillable) —
+    # same discipline as the LSH signature table.
+    fp_rows = ds.map_batches(fps, batch_format="pandas").materialize()
+
+    # Pair generation groups by HASH BUCKET of fp, not by fp itself: a
+    # groupby("fp") would pay per-group Python on one group per DISTINCT
+    # fingerprint (~40/doc, overwhelmingly singletons — measured 10 s of
+    # pure group dispatch at 5k docs). Inside a bucket the singleton fps
+    # are eliminated with one vectorized duplicated() mask and only the
+    # genuinely shared fps (rare) reach the per-group pair loop.
+    n_fp_buckets = 128
+
+    def add_fbucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_fb"] = (
+            df["fp"].to_numpy(np.uint64) % np.uint64(n_fp_buckets)
+        ).astype(np.int64)
+        return df
+
+    def fp_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated("fp", keep=False)]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for _fp, grp in g.groupby("fp", sort=False):
+            ids = _cap_block(grp, "doc_id", "winnow_fp", block_cap)[
+                "doc_id"
+            ].to_numpy(np.int64)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
+    shared = (
+        fp_rows.map_batches(add_fbucket, batch_format="pandas")
+        .groupby("_fb")
+        .map_groups(fp_pairs, batch_format="pandas")
+    )
+
+    # aggregate the per-fp pair rows into n_shared per distinct pair:
+    # map-side partial count, then a hash-bucketed single-int64 combine
+    # (the grouped_sums discipline — no multi-key sort aggregation)
+    n_pair_buckets = 64
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).size()
+        g = g.rename(columns={"size": "n_shared"})
+        da = g["doc_a"].to_numpy(np.uint64)
+        db = g["doc_b"].to_numpy(np.uint64)
+        pkey = (da * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            db * np.uint64(0xC2B2AE3D27D4EB4F)
+        )
+        g["_pb"] = (pkey % np.uint64(n_pair_buckets)).astype(np.int64)
+        g["n_shared"] = g["n_shared"].astype(np.int64)
+        return g
+
+    def pair_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["doc_a", "doc_b"], as_index=False)["n_shared"].sum()
+        out["n_shared"] = out["n_shared"].astype(np.int64)
+        return out
+
+    pairs = (
+        shared.map_batches(pair_partial, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(pair_combine, batch_format="pandas")
+    )
+
+    # per-doc fingerprint counts: per-batch partial + bucketed sum combine
+    # (a doc's fp rows can split across downstream batch boundaries, so
+    # counts MUST be sum-combined — the grouped_sums discipline)
+    from .common import grouped_sums, tree_to_pandas
+
+    counts = grouped_sums(fp_rows, ["doc_id"], sums={}, count_as="n_fp")
+
+    n_docs_hint = ds.count()  # parquet metadata count, no data scan
+    if n_docs_hint <= max_broadcast_docs:
+        cp = tree_to_pandas(
+            counts,
+            lambda df: df.groupby("doc_id", as_index=False)["n_fp"].sum(),
+            n_blocks_hint=64,
+        )
+        ids = cp["doc_id"].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ref = broadcast((ids[order], cp["n_fp"].to_numpy(np.int64)[order]))
+
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame(
+                    {"doc_a": pd.Series([], dtype=np.int64),
+                     "doc_b": pd.Series([], dtype=np.int64),
+                     "n_shared": pd.Series([], dtype=np.int64),
+                     "fp_jaccard": pd.Series([], dtype=np.float64)}
+                )
+            ids_s, nf = ray.get(ref)
+            na = nf[np.searchsorted(ids_s, df["doc_a"].to_numpy(np.int64))]
+            nb = nf[np.searchsorted(ids_s, df["doc_b"].to_numpy(np.int64))]
+            ns = df["n_shared"].to_numpy(np.int64)
+            jac = ns / (na + nb - ns)
+            keep = jac >= threshold
+            return pd.DataFrame(
+                {
+                    "doc_a": df["doc_a"].to_numpy(np.int64)[keep],
+                    "doc_b": df["doc_b"].to_numpy(np.int64)[keep],
+                    "n_shared": ns[keep],
+                    "fp_jaccard": jac[keep],
+                }
+            )
+
+        return pairs.map_batches(verify, batch_format="pandas")
+
+    # 100-TB path: two bounded hash joins attach the counts
+    n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    j = pairs.join(counts.materialize(), "inner", num_partitions=n_part,
+                   on=("doc_a",), right_on=("doc_id",))
+    j = j.map_batches(
+        lambda df: df.rename(columns={"n_fp": "n_fp_a"}).drop(
+            columns=[c for c in ("doc_id",) if c in df.columns]
+        ),
+        batch_format="pandas",
+    )
+    j = j.join(counts.materialize(), "inner", num_partitions=n_part,
+               on=("doc_b",), right_on=("doc_id",))
+
+    def verify_join(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=np.int64),
+                 "doc_b": pd.Series([], dtype=np.int64),
+                 "n_shared": pd.Series([], dtype=np.int64),
+                 "fp_jaccard": pd.Series([], dtype=np.float64)}
+            )
+        ns = df["n_shared"].to_numpy(np.int64)
+        jac = ns / (
+            df["n_fp_a"].to_numpy(np.int64) + df["n_fp"].to_numpy(np.int64) - ns
+        )
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": df["doc_a"].to_numpy(np.int64)[keep],
+                "doc_b": df["doc_b"].to_numpy(np.int64)[keep],
+                "n_shared": ns[keep],
+                "fp_jaccard": jac[keep],
+            }
+        )
+
+    return j.map_batches(verify_join, batch_format="pandas")
+
+
 def q_simhash_buckets(sf_dir: str, prefix_bits: int = 12):
     """SimHash near-dup blocking: 64-bit simhash over word tokens, bucketed
     by the top ``prefix_bits`` bits (rotation-table variants are a natural

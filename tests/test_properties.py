@@ -118,3 +118,31 @@ def test_stratified_mixer_bit_exact_vs_duckdb(ids):
         params=[list(map(int, ids))],
     ).fetchnumpy()["h"]
     assert mine.tolist() == got.tolist()
+
+
+@given(st.text(min_size=0, max_size=120))
+@settings(max_examples=150, deadline=None)
+def test_winnow_fingerprints_bit_equal_plain_loop(s):
+    """The vectorized winnowing kernel is bit-equal to the plain
+    per-window Horner loop (the oracle's implementation)."""
+    from snomed_ct_entity_linking_ray.functions.hashing import (
+        WINNOW_BASE,
+        winnow_fingerprints,
+    )
+
+    def plain(text, window=12, mod_bits=4):
+        enc = text.encode("utf-8")
+        if not enc:
+            return [0]
+        w = min(window, len(enc))
+        B, M = int(WINNOW_BASE), 1 << 64
+        hs = []
+        for i in range(len(enc) - w + 1):
+            h = 0
+            for c in enc[i : i + w]:
+                h = (h * B + c) % M
+            hs.append(h)
+        sel = sorted({h for h in hs if (h & ((1 << mod_bits) - 1)) == 0})
+        return sel or [min(hs)]
+
+    assert winnow_fingerprints(s).tolist() == plain(s)
