@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search family
         "cosine_topk": vectors.q_cosine_topk,
         "cosine_topk_ivf": vectors.q_cosine_topk_ivf,
+        "cosine_topk_lsh": vectors.q_cosine_topk_lsh,
         "encoder_topk": vectors.q_encoder_topk,
         # dictionary-training aggregates (G2/G5/G7; fixture-backed rows-only)
         "dict_majority": dict_train.q_dict_majority,
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
             "approx_users",
             "bm25_topk",
             "winnow_dups",
+            "cosine_topk_lsh",
         )
     }
 

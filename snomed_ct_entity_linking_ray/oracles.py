@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 7  # r3: + approx_users HLL, bm25_topk, winnow_dups oracles
+ORACLE_VERSION = 8  # r3: + HLL, bm25, winnow_dups, cosine_topk_lsh oracles
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -88,6 +88,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "approx_users": lambda: _approx_users(sf_dir),
         "bm25_topk": lambda: _bm25_topk(sf_dir),
         "winnow_dups": lambda: _winnow_dups(sf_dir),
+        "cosine_topk_lsh": lambda: _cosine_topk_lsh(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -761,5 +762,69 @@ def _winnow_dups(sf_dir: str, threshold: float = 0.5) -> pa.Table:
             "doc_b": pa.array([r[1] for r in rows], pa.int64()),
             "n_shared": pa.array([r[2] for r in rows], pa.int64()),
             "fp_jaccard": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _cosine_topk_lsh(sf_dir: str, k: int = 5) -> pa.Table:
+    """Random-hyperplane LSH top-k oracle: same scheme parameters as the
+    pipeline (hyperplane construction + quantization grid are the scheme,
+    like MinHash coefficients), independent plain-loop dataflow. Bucket
+    codes are exact int64 dot products, so bucket membership is bitwise
+    layout-independent by construction; cosine ranking follows the same
+    (cos desc, match_id asc) contract as the IVF oracle."""
+    from .pipelines.vectors import (
+        LSH_BITS,
+        LSH_QUANT,
+        LSH_SEED,
+        LSH_TABLES,
+        N_QUERIES as NQ,
+    )
+
+    t = _read(sf_dir, "embeddings").select(["vec_id", "embedding"])
+    vid = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+    is_q = vid < NQ
+    Q, qids = E[is_q], vid[is_q]
+    order = np.argsort(qids)
+    Q, qids = Q[order], qids[order]
+    C, cids = E[~is_q], vid[~is_q]
+
+    rs = np.random.RandomState(LSH_SEED)
+    H = (rs.randint(0, 2, size=(LSH_TABLES, LSH_BITS, E.shape[1])) * 2 - 1)
+
+    def codes_of(v: np.ndarray) -> list[int]:
+        vq = np.rint(v * LSH_QUANT).astype(np.int64)
+        out = []
+        for tb in range(LSH_TABLES):
+            c = 0
+            for b in range(LSH_BITS):
+                if int(vq @ H[tb, b]) > 0:
+                    c |= 1 << b
+            out.append(c)
+        return out
+
+    qc = [codes_of(Q[i]) for i in range(len(qids))]
+    cc = [codes_of(C[i]) for i in range(len(cids))]
+    rows = []
+    for qi in range(len(qids)):
+        m = np.array(
+            [any(qc[qi][tb] == cc[ci][tb] for tb in range(LSH_TABLES))
+             for ci in range(len(cids))],
+            dtype=bool,
+        )
+        if not m.any():
+            continue
+        sims = C[m] @ Q[qi]
+        sel = cids[m]
+        order = np.lexsort((sel, -sims))[: min(k, len(sel))]
+        for rank, j in enumerate(order, start=1):
+            rows.append((int(qids[qi]), int(sel[j]), rank))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "match_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
         }
     )

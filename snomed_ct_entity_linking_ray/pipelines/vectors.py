@@ -292,3 +292,106 @@ def q_cosine_topk_ivf(sf_dir: str, k: int = 5, nprobe: int = 3):
         )
 
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+LSH_TABLES = 8     # hyperplane tables (OR-combined candidate sets)
+LSH_BITS = 10      # hyperplanes per table (bucket = 10-bit sign code)
+LSH_SEED = 11      # deterministic hyperplane construction (shared with the
+                   # oracle the way MinHash coefficients are — the scheme's
+                   # parameters, not its dataflow)
+LSH_QUANT = 1_000_000  # embedding quantization grid for exact-int codes
+
+
+def lsh_hyperplanes(dim: int) -> np.ndarray:
+    """±1 hyperplanes [LSH_TABLES, LSH_BITS, dim] (random-hyperplane LSH,
+    Charikar 2002, public construction). ±1 entries + 1e-6-grid-quantized
+    embeddings make every bucket code an EXACT int64 dot product —
+    bitwise identical across batch layouts, processes and the oracle (no
+    float sign at the boundary)."""
+    rs = np.random.RandomState(LSH_SEED)
+    return (rs.randint(0, 2, size=(LSH_TABLES, LSH_BITS, dim)) * 2 - 1).astype(
+        np.int64
+    )
+
+
+def lsh_codes(E: np.ndarray, H: np.ndarray) -> np.ndarray:
+    """Bucket codes [LSH_TABLES, n] for L2-normalized embeddings E [n, dim]:
+    quantize to the LSH_QUANT integer grid, exact int64 sign per
+    hyperplane, pack sign bits into one int64 per table."""
+    Eq = np.rint(E * LSH_QUANT).astype(np.int64)          # [n, dim]
+    weights = (np.int64(1) << np.arange(H.shape[1], dtype=np.int64))
+    codes = np.empty((H.shape[0], len(Eq)), dtype=np.int64)
+    for t in range(H.shape[0]):
+        signs = (Eq @ H[t].T) > 0                          # [n, bits] exact
+        codes[t] = signs.astype(np.int64) @ weights
+    return codes
+
+
+def q_cosine_topk_lsh(sf_dir: str, k: int = 5):
+    """LSH-bucketed approximate cosine top-k (the second scale path next
+    to IVF): a candidate is scored for a query iff they share a bucket in
+    ANY of the LSH_TABLES sign tables. The hyperplanes + the 16 query
+    codes broadcast once; each batch computes its own candidate codes and
+    scores only the bucket-matched pairs — at 10^12 rows the matmul sees
+    the ~n/2^LSH_BITS-per-table expected candidates instead of the corpus.
+    Rank-only output (same tie discipline as q_encoder_topk: full
+    (-cos, match_id) lexsort, exact ties between duplicate embeddings are
+    bitwise equal)."""
+    qids, Q = _query_matrix(sf_dir)
+    H = lsh_hyperplanes(Q.shape[1])
+    qcodes = lsh_codes(Q, H)                               # [L, nq]
+    ref = broadcast((qids, Q, H, qcodes))
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    class Score:
+        def __init__(self):
+            self.qids, self.Q, self.H, self.qcodes = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            cand = df[df["vec_id"] >= N_QUERIES]
+            if len(cand) == 0:
+                return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                     "match_id": pd.Series([], dtype=np.int64),
+                                     "cos": pd.Series([], dtype=np.float64)})
+            C = np.stack(cand["embedding"].to_numpy()).astype(np.float64)
+            C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+            ccodes = lsh_codes(C, self.H)                  # [L, nc]
+            # [nq, nc]: bucket match in ANY table
+            mask = np.zeros((len(self.qids), len(C)), dtype=bool)
+            for t in range(self.H.shape[0]):
+                mask |= self.qcodes[t][:, None] == ccodes[t][None, :]
+            if not mask.any():
+                return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                     "match_id": pd.Series([], dtype=np.int64),
+                                     "cos": pd.Series([], dtype=np.float64)})
+            ids = cand["vec_id"].to_numpy()
+            sims = np.where(mask, self.Q @ C.T, -np.inf)
+            nq, nc = sims.shape
+            kk = min(k, nc)
+            idx = np.lexsort(
+                (np.broadcast_to(ids, sims.shape), -sims), axis=-1
+            )[:, :kk]
+            rows = np.repeat(np.arange(nq), kk)
+            cols = idx.ravel()
+            keep = sims[rows, cols] > -np.inf
+            return pd.DataFrame(
+                {
+                    "query_id": self.qids[rows[keep]].astype(np.int64),
+                    "match_id": ids[cols[keep]].astype(np.int64),
+                    "cos": sims[rows[keep], cols[keep]],
+                }
+            )
+
+    partial = ds.map_batches(Score, batch_format="pandas", concurrency=(1, 4))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "match_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype(np.int64),
+                "match_id": g["match_id"].astype(np.int64),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")

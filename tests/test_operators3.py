@@ -231,3 +231,60 @@ def test_torch_encoder_slot():
     a = enc.NumpyEncoder().encode(texts)
     b = enc.TorchEncoder().encode(texts)
     np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+
+
+def test_lsh_codes_layout_independent():
+    """Bucket codes are exact int64 dot products: any batch split of the
+    embedding matrix yields bitwise-identical codes (the property that
+    makes LSH bucket membership deterministic across block layouts)."""
+    import numpy as np
+
+    from snomed_ct_entity_linking_ray.pipelines.vectors import (
+        lsh_codes,
+        lsh_hyperplanes,
+    )
+
+    rs = np.random.RandomState(5)
+    E = rs.normal(size=(37, 16)).astype(np.float64)
+    E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+    H = lsh_hyperplanes(16)
+    full = lsh_codes(E, H)
+    parts = np.concatenate(
+        [lsh_codes(E[i : i + 7], H) for i in range(0, 37, 7)], axis=1
+    )
+    assert np.array_equal(full, parts)
+
+
+def test_lsh_topk_invariants(ray_session):
+    """LSH top-k structural contract on the fixture: per-query ranks are
+    contiguous from 1, and every returned match genuinely shares an LSH
+    bucket with its query (recomputed locally from the scheme). Recall vs
+    exact top-k is data-dependent (random embeddings have low bucket
+    collision rates by design) and is NOT asserted — the oracle compare
+    checks exactness of the approximate contract itself."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from snomed_ct_entity_linking_ray.pipelines import vectors
+
+    sf = "/root/testdata/sf0.001"
+    lsh = vectors.q_cosine_topk_lsh(sf, k=5).to_pandas()
+    assert len(lsh) > 0
+    for _q, g in lsh.groupby("query_id"):
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+
+    spec_dir = sf
+    t = pq.read_table(os.path.join(spec_dir, "embeddings.parquet"))
+    vid = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+    H = vectors.lsh_hyperplanes(E.shape[1])
+    codes = vectors.lsh_codes(E, H)  # [L, n]
+    pos = {int(v): i for i, v in enumerate(vid)}
+    for r in lsh.itertuples():
+        qi, ci = pos[int(r.query_id)], pos[int(r.match_id)]
+        assert any(
+            codes[t_][qi] == codes[t_][ci] for t_ in range(H.shape[0])
+        ), (r.query_id, r.match_id)
