@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_buckets": dedup.q_simhash_buckets,
         "embedding_neardup_pairs": dedup.q_embedding_neardup_pairs,
         "winnow_dups": dedup.q_winnow_dups,
+        "dup_clusters": dedup.q_dup_clusters,
         # similarity search family
         "cosine_topk": vectors.q_cosine_topk,
         "cosine_topk_ivf": vectors.q_cosine_topk_ivf,
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
             "bm25_topk",
             "winnow_dups",
             "cosine_topk_lsh",
+            "dup_clusters",
         )
     }
 

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 8  # r3: + HLL, bm25, winnow_dups, cosine_topk_lsh oracles
+ORACLE_VERSION = 9  # r3: + winnow_dups, cosine_topk_lsh, dup_clusters oracles
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -89,6 +89,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "bm25_topk": lambda: _bm25_topk(sf_dir),
         "winnow_dups": lambda: _winnow_dups(sf_dir),
         "cosine_topk_lsh": lambda: _cosine_topk_lsh(sf_dir),
+        "dup_clusters": lambda: _dup_clusters(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -826,5 +827,34 @@ def _cosine_topk_lsh(sf_dir: str, k: int = 5) -> pa.Table:
             "query_id": pa.array([r[0] for r in rows], pa.int64()),
             "match_id": pa.array([r[1] for r in rows], pa.int64()),
             "rank": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _dup_clusters(sf_dir: str) -> pa.Table:
+    """Duplicate-cluster oracle: plain union-find over the oracle's own
+    MinHash+LSH pair table (same edge contract), min-id labels, singletons
+    label themselves."""
+    pairs = _minhash_lsh_pairs(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+            parent.setdefault(lo, lo)
+    t = _read(sf_dir, "documents").select(["doc_id"])
+    ids = t["doc_id"].to_pylist()
+    return pa.table(
+        {
+            "doc_id": pa.array([int(d) for d in ids], pa.int64()),
+            "cluster_id": pa.array([find(int(d)) for d in ids], pa.int64()),
         }
     )

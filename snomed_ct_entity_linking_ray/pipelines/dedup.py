@@ -566,3 +566,46 @@ def q_embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35,
         )
 
     return ds.groupby("label").map_groups(pairs, batch_format="pandas")
+
+
+def q_dup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTERS: distributed connected components over the
+    MinHash+LSH verified pair edges, every document labeled with the min
+    doc_id of its component (singletons label themselves). This is the
+    dedup endgame a training-data pipeline actually consumes — keep one
+    doc per cluster — and it exercises ``stages/components.py`` (the
+    tree-reduce union-find) end-to-end under the driver's oracle gate.
+
+    Scale shape: the component stage sees ONLY the verified duplicate
+    edges (a tiny fraction of the corpus); the resulting label map is
+    bounded by the number of documents that HAVE a duplicate, so it
+    broadcasts, and the full corpus gets labeled in one map pass."""
+    from ..stages.components import connected_components
+
+    edges = q_minhash_lsh_pairs(sf_dir).map_batches(
+        lambda df: pd.DataFrame(
+            {"u": df["doc_a"].to_numpy(np.int64),
+             "v": df["doc_b"].to_numpy(np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    labels = connected_components(edges, n_blocks_hint=8).to_pandas()
+    # label map bounded by #docs-with-a-duplicate; broadcast it
+    ids = labels["node"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    ref = broadcast((ids[order], labels["label"].to_numpy(np.int64)[order]))
+
+    ds = read(sf_dir, "documents", ["doc_id"])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        ids_s, lab = ray.get(ref)
+        d = df["doc_id"].to_numpy(np.int64)
+        if len(ids_s):
+            pos = np.clip(np.searchsorted(ids_s, d), 0, len(ids_s) - 1)
+            hit = ids_s[pos] == d
+            cluster = np.where(hit, lab[pos], d)
+        else:
+            cluster = d
+        return pd.DataFrame({"doc_id": d, "cluster_id": cluster.astype(np.int64)})
+
+    return ds.map_batches(attach, batch_format="pandas")
