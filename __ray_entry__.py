@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         multimodal,
         relational,
         text,
+        training,
         vectors,
     )
 
@@ -72,6 +73,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": text.q_bm25_topk,
         "len_quantiles": text.q_len_quantiles,
         "sample_stratified": text.q_sample_stratified,
+        # training-data preparation family
+        "pack_sequences": training.q_pack_sequences,
+        "decontaminate": training.q_decontaminate,
+        "tfidf_topk": training.q_tfidf_topk,
+        "novel_docs": training.q_novel_docs,
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
@@ -381,6 +387,55 @@ def oracle_sql() -> dict[str, str]:
                         ' ') || ' [/INST]' AS prompt,
                    CAST(least({_PCHUNK}, len(ws) - chunk_id*{_PCHUNK}) AS BIGINT) AS n_tokens
             FROM c
+        """,
+        "pack_sequences": """
+            WITH t AS (SELECT doc_id,
+                    CAST(length(text) - length(replace(text,' ','')) + 1 AS BIGINT)
+                        AS n_tokens
+                FROM documents),
+            s AS (SELECT doc_id, n_tokens,
+                    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens AS BIGINT) AS token_start
+                  FROM t)
+            SELECT doc_id, n_tokens, token_start,
+                   token_start // 256 AS first_window,
+                   (token_start + n_tokens - 1) // 256 AS last_window
+            FROM s
+        """,
+        "decontaminate": """
+            WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+            g AS (SELECT doc_id, unnest(range(1, len(ws)-1)) AS i, ws FROM w),
+            ng AS (SELECT doc_id,
+                          array_to_string(ws[CAST(i AS BIGINT):CAST(i+2 AS BIGINT)], ' ')
+                              AS gram
+                   FROM g),
+            ev AS (SELECT DISTINCT gram FROM ng WHERE doc_id % 97 = 0)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+            FROM ng JOIN ev USING (gram)
+            WHERE doc_id % 97 <> 0 GROUP BY doc_id
+        """,
+        "tfidf_topk": """
+            WITH tf AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
+                        FROM documents),
+            tfc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+                    FROM tf GROUP BY 1, 2),
+            dfc AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM tf GROUP BY 1)
+            SELECT doc_id, word, tf, df, score, rank FROM (
+                SELECT t.doc_id, t.word, t.tf, d.df,
+                       CAST(t.tf AS DOUBLE) / d.df AS score,
+                       CAST(row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY CAST(t.tf AS DOUBLE)/d.df DESC, t.word)
+                            AS BIGINT) AS rank
+                FROM tfc t JOIN dfc d USING (word)
+            ) WHERE rank <= 3
+        """,
+        "novel_docs": """
+            SELECT doc_id FROM documents
+            WHERE source <> 'src0'
+              AND md5(lower(text)) NOT IN
+                  (SELECT md5(lower(text)) FROM documents WHERE source = 'src0')
         """,
         "term_match_first": """
             SELECT d.doc_id, t.term, CAST(strpos(d.text, t.term) - 1 AS BIGINT) AS start

@@ -124,12 +124,15 @@ def distinct_column(ds: rd.Dataset, col: str, n_buckets: int | None = None) -> r
     if n_buckets is None:
         n_buckets = default_buckets()
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pa.Table:
         g = df[[col]].drop_duplicates()
         h = pd.util.hash_pandas_object(g[col], index=False).to_numpy()
         g = g.copy()
         g["_kb"] = (h % np.uint64(n_buckets)).astype(np.int64)
-        return g
+        # Arrow output: empty string columns in pandas blocks trip Ray's
+        # sampling size estimator (pandas_block.py vectorize-on-size-0
+        # warning); Arrow blocks size exactly.
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(subset=[col]).drop(columns=["_kb"])

@@ -1,0 +1,281 @@
+"""Training-data preparation operator family over the ``documents`` table.
+
+Engine additions (build brief: "operations a large-scale training-data
+pipeline would need") beyond the dedup/similarity families in dedup.py /
+vectors.py:
+
+- ``q_pack_sequences``  — concat-and-chunk sequence packing (the GPT-style
+  pretraining layout): a DISTRIBUTED PREFIX SCAN assigns every document its
+  global token offset and context-window span without any driver-side pass
+  over the corpus.
+- ``q_decontaminate``   — train/eval n-gram decontamination (the GPT-3
+  appendix-C / Dolma pattern): eval-set n-grams are computed distributively,
+  collected bounded, broadcast once, and matched per batch.
+- ``q_tfidf_topk``      — per-document top-k salient terms by tf/df with a
+  bit-exact cross-engine score (single IEEE division of two int64s).
+- ``q_novel_docs``      — incremental-crawl content dedup: an anti-join of
+  the new crawl against a reference corpus on content hash, bucketed by
+  hash(fp) so neither side is ever driver-resident.
+
+All outputs are exact types (int64 / string / one single-division double),
+so the driver's value-hash compare vs DuckDB is deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+from ..functions.hashing import md5_hex
+from .common import broadcast, default_buckets, distinct_column, grouped_sums, read
+
+# --------------------------------------------------------------------------
+# sequence packing (distributed prefix scan)
+# --------------------------------------------------------------------------
+
+PACK_WINDOW = 256       # context-window size in tokens
+PACK_PART_DOCS = 65_536  # docs per range partition of the scan
+
+
+def q_pack_sequences(sf_dir: str, window: int = PACK_WINDOW):
+    """Concat-and-chunk sequence packing: documents are laid out in doc_id
+    order as one global token stream and cut into fixed ``window``-token
+    training contexts; each doc gets its global ``token_start`` and the
+    window span [first_window, last_window] it lands in.
+
+    Scale shape — a textbook two-pass distributed prefix scan:
+      1. slim count pass: map_batches → (doc_id, n_tokens, part) where
+         part = doc_id // PACK_PART_DOCS (range partition on the dense
+         int key; for sparse keys substitute a sort-based range
+         partitioner). ``grouped_sums`` reduces it to ONE row per part.
+      2. the driver turns the per-part sums (n_docs/PACK_PART_DOCS rows —
+         bounded; grow PACK_PART_DOCS with corpus size to keep it so) into
+         exclusive prefix offsets, broadcast once.
+      3. second streaming pass: groupby(part) co-locates each range, a
+         vectorized in-group cumsum + the part offset yields the global
+         position. The shuffle moves only (doc_id, n_tokens, part) — the
+         text never leaves the count stage.
+
+    Both passes stream; nothing corpus-sized is materialized."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        n = (df["text"].str.count(" ") + 1).astype(np.int64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_tokens": n.to_numpy(),
+                "part": ids // PACK_PART_DOCS,
+            }
+        )
+
+    slim = ds.map_batches(counts, batch_format="pandas")
+    part_sums = (
+        grouped_sums(slim, ["part"], sums={"part_tokens": "n_tokens"})
+        .to_pandas()  # one row per part — driver-bounded by construction
+        .sort_values("part")
+    )
+    totals = part_sums["part_tokens"].to_numpy(np.int64)
+    offsets = dict(
+        zip(
+            part_sums["part"].to_numpy(np.int64).tolist(),
+            (np.cumsum(totals) - totals).tolist(),
+        )
+    )
+    ref = broadcast(offsets)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(ref)[int(g["part"].iloc[0])]
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy(np.int64)
+        start = off + np.cumsum(n) - n
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "n_tokens": n,
+                "token_start": start,
+                "first_window": start // window,
+                "last_window": (start + n - 1) // window,
+            }
+        )
+
+    return slim.groupby("part").map_groups(assign, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# train/eval decontamination
+# --------------------------------------------------------------------------
+
+# Eval split: every 97th doc_id is "benchmark" data. Real pipelines match
+# 8-13-gram overlaps (GPT-3 appendix C uses 13); the fixture vocabulary is
+# ~50 words, so 3-grams are the discriminative size at test scale. The
+# operator shape is n-independent.
+DECONTAM_N = 3
+DECONTAM_EVAL_MOD = 97
+
+
+def _ngrams(df: pd.DataFrame, n: int) -> pd.DataFrame:
+    """Vectorized word n-grams of a batch: one flat word array + boundary
+    mask; the join is n-1 object-array adds (C loop over PyObject concat —
+    no Python-level per-row iteration)."""
+    words = df["text"].str.split(" ")
+    lens = words.str.len().to_numpy(np.int64)
+    if len(df) == 0 or lens.sum() == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "gram": pd.Series([], dtype=object)})
+    flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
+    doc = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+    # position within its doc; a gram starting at p is valid iff p+n <= len
+    pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    valid = pos <= np.repeat(lens, lens) - n
+    idx = np.flatnonzero(valid)
+    gram = flat[idx]
+    for j in range(1, n):
+        gram = gram + " "
+        gram = gram + flat[idx + j]
+    return pd.DataFrame({"doc_id": doc[idx], "gram": gram})
+
+
+def q_decontaminate(sf_dir: str, n: int = DECONTAM_N):
+    """Benchmark decontamination: count, per training doc, the n-gram
+    positions whose gram also occurs anywhere in the eval split
+    (doc_id % 97 == 0); emit only contaminated docs.
+
+    Scale shape: the eval side (a ~1% split) is reduced to its DISTINCT
+    grams distributively (``distinct_column`` — per-batch dedup + bucketed
+    combine; the driver only ever holds the distinct-gram result), then
+    broadcast once via ray.put and probed per batch with a vectorized isin.
+    At 100 TB the broadcast set becomes a Bloom filter over 128-bit gram
+    hashes (same dataflow, ~10 bits/gram); matches then get one exact
+    verify pass — the shape here is the exact small-side case."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def eval_grams(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % DECONTAM_EVAL_MOD == 0]
+        return _ngrams(df, n)[["gram"]].drop_duplicates()
+
+    ev = distinct_column(
+        ds.map_batches(eval_grams, batch_format="pandas"), "gram"
+    ).to_pandas()
+    ref = broadcast(frozenset(ev["gram"].tolist()))
+
+    class Probe:
+        def __init__(self):
+            self.grams = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["doc_id"] % DECONTAM_EVAL_MOD != 0]
+            g = _ngrams(df, n)
+            hits = g[g["gram"].isin(self.grams)]
+            vc = hits.groupby("doc_id", sort=False).size()
+            return pd.DataFrame(
+                {
+                    "doc_id": vc.index.to_numpy(np.int64),
+                    "n_contaminated": vc.to_numpy(np.int64),
+                }
+            )
+
+    return ds.map_batches(Probe, batch_format="pandas", concurrency=(1, 4))
+
+
+# --------------------------------------------------------------------------
+# tf/df salient terms
+# --------------------------------------------------------------------------
+
+
+def q_tfidf_topk(sf_dir: str, k: int = 3):
+    """Per-document top-k salient terms ranked by tf/df (idf ∝ 1/df with N
+    constant, so the ranking equals tf·idf ranking without a transcendental
+    in the contract). ``score = CAST(tf AS DOUBLE)/df`` is ONE IEEE-754
+    division of two exact int64s — correctly rounded and therefore
+    bit-identical in numpy and DuckDB, so the driver hash-compares the
+    double directly. Ties break on the word.
+
+    Scale shape: df comes from the ``q_doc_freq`` combine (one slim
+    shuffle, vocabulary-bounded output), is collected bounded and broadcast
+    once; the scoring pass is embarrassingly parallel — each doc is one row,
+    so tf and the per-doc top-k complete inside the batch."""
+    from .text import q_doc_freq
+
+    dfm = q_doc_freq(sf_dir).to_pandas()  # vocabulary-bounded
+    ref = broadcast(dict(zip(dfm["word"], dfm["df"].to_numpy(np.int64).tolist())))
+
+    class Score:
+        def __init__(self):
+            self.df = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.reset_index(drop=True)
+            ex = df["text"].str.split(" ").explode()
+            tf = (
+                ex.groupby([ex.index, ex]).size().rename("tf").reset_index()
+            )
+            tf.columns = ["row", "word", "tf"]
+            dfv = tf["word"].map(self.df).to_numpy(np.int64)
+            tfv = tf["tf"].to_numpy(np.int64)
+            out = pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(np.int64)[tf["row"]],
+                    "word": tf["word"],
+                    "tf": tfv,
+                    "df": dfv,
+                    "score": tfv.astype(np.float64) / dfv,
+                }
+            )
+            out = out.sort_values(
+                ["doc_id", "score", "word"], ascending=[True, False, True]
+            )
+            out["rank"] = out.groupby("doc_id", sort=False).cumcount() + 1
+            return out[out["rank"] <= k].reset_index(drop=True)
+
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        Score, batch_format="pandas", concurrency=(1, 4)
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental-crawl content anti-join
+# --------------------------------------------------------------------------
+
+
+def q_novel_docs(sf_dir: str):
+    """New-crawl dedup against a reference corpus: docs outside source
+    'src0' whose content hash (md5 of lowercased text) never occurs in the
+    'src0' reference corpus.
+
+    Scale shape: BOTH sides reduce to slim (fp, is_ref, doc_id) rows inside
+    map_batches, then one hash(fp)-bucketed shuffle co-locates every copy
+    of a hash; the anti-join is a vectorized isin inside each bucket task.
+    Neither corpus is driver-resident or broadcast — this is the
+    over-threshold branch of ``semi_anti_filter`` specialized to a
+    content-hash key it derives itself."""
+    ds = read(sf_dir, "documents", ["doc_id", "text", "source"])
+    n_buckets = default_buckets()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        fp = np.array([md5_hex(t.lower()) for t in df["text"]], dtype=object)
+        h = pd.util.hash_pandas_object(pd.Series(fp), index=False).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "fp": fp,
+                "is_ref": (df["source"] == "src0").to_numpy(),
+                "_fb": (h % np.uint64(n_buckets)).astype(np.int64),
+            }
+        )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        ref_fps = g.loc[g["is_ref"], "fp"]
+        keep = ~g["is_ref"] & ~g["fp"].isin(set(ref_fps))
+        return pd.DataFrame({"doc_id": g.loc[keep, "doc_id"].to_numpy(np.int64)})
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_fb")
+        .map_groups(anti, batch_format="pandas")
+    )

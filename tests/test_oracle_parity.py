@@ -35,6 +35,13 @@ ORACLE_BACKED = [
     "llm_ner",
     "approx_users",
     "bm25_topk",
+    "winnow_dups",
+    "cosine_topk_lsh",
+    "dup_clusters",
+    "pack_sequences",
+    "decontaminate",
+    "tfidf_topk",
+    "novel_docs",
 ]
 
 
