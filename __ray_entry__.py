@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": training.q_decontaminate,
         "tfidf_topk": training.q_tfidf_topk,
         "novel_docs": training.q_novel_docs,
+        "quality_score": training.q_quality_score,
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
@@ -175,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
             "winnow_dups",
             "cosine_topk_lsh",
             "dup_clusters",
+            "quality_score",
         )
     }
 

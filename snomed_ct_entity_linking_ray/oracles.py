@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 9  # r3: + winnow_dups, cosine_topk_lsh, dup_clusters oracles
+ORACLE_VERSION = 10  # r3b: + quality_score oracle
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -90,6 +90,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "winnow_dups": lambda: _winnow_dups(sf_dir),
         "cosine_topk_lsh": lambda: _cosine_topk_lsh(sf_dir),
         "dup_clusters": lambda: _dup_clusters(sf_dir),
+        "quality_score": lambda: _quality_score(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -856,5 +857,47 @@ def _dup_clusters(sf_dir: str) -> pa.Table:
         {
             "doc_id": pa.array([int(d) for d in ids], pa.int64()),
             "cluster_id": pa.array([find(int(d)) for d in ids], pa.int64()),
+        }
+    )
+
+
+def _quality_score(sf_dir: str) -> pa.Table:
+    """Quality-classifier oracle: plain per-doc Python loop over word
+    bigrams, Python-int accumulation of the quantized weights (exact; no
+    numpy scatter, no batching). Shares only the ``feature_ids`` hash
+    kernel with the engine (the documented shared-kernel exception)."""
+    from .functions.quality import (
+        build_quality_weights,
+        ensure_quality_artifact,
+        feature_ids,
+    )
+    from .state.artifacts import load_state
+
+    st = load_state(ensure_quality_artifact())
+    assert st is not None, "quality artifact unreadable"
+    w_q = [int(x) for x in st["w_q"]]
+    b_q = int(st["b_q"])
+    # the artifact on disk must be the deterministic build (guards against
+    # a stale /tmp artifact from an older seed)
+    fresh = build_quality_weights()
+    assert [int(x) for x in fresh["w_q"]] == w_q and int(fresh["b_q"]) == b_q
+
+    t = _read(sf_dir, "documents")
+    doc_ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    out_scores = []
+    for text in texts:
+        ws = text.split(" ")
+        grams = [ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)]
+        s = b_q
+        if grams:
+            for f in feature_ids(grams):
+                s += w_q[int(f)]
+        out_scores.append(s)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(d) for d in doc_ids], pa.int64()),
+            "score_q": pa.array(out_scores, pa.int64()),
+            "keep": pa.array([1 if s >= 0 else 0 for s in out_scores], pa.int64()),
         }
     )

@@ -239,6 +239,57 @@ def q_tfidf_topk(sf_dir: str, k: int = 3):
 
 
 # --------------------------------------------------------------------------
+# quality-classifier scoring (real-weights actor pool)
+# --------------------------------------------------------------------------
+
+
+def q_quality_score(sf_dir: str):
+    """fastText-style quality filter: a linear classifier over hashed
+    word-bigram features scores every document; ``keep = score_q >= 0``.
+
+    The A2/A3 real-weights shape: the quantized weights live in an on-disk
+    artifact; every scoring actor loads them ONCE in ``__init__`` (swap the
+    numpy scatter for a GPU forward and ``num_cpus`` for ``num_gpus`` on a
+    real cluster — the plumbing is identical). Scores are exact int64
+    (integer-quantized weights), so the driver hash-compares them against
+    the independent single-process oracle with no float-order caveat.
+
+    Embarrassingly parallel: no shuffle; per batch one vectorized bigram
+    explode + one hashed scatter-add."""
+    from ..functions.quality import QualityModel, ensure_quality_artifact, feature_ids
+
+    ensure_quality_artifact()
+
+    class Scorer:
+        def __init__(self):
+            self.model = QualityModel()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.reset_index(drop=True)
+            ids = df["doc_id"].to_numpy(np.int64)
+            g = _ngrams(df, 2)
+            order = np.argsort(ids)
+            row = order[np.searchsorted(ids[order], g["doc_id"].to_numpy(np.int64))]
+            feat = (
+                feature_ids(g["gram"].to_numpy())
+                if len(g)
+                else np.array([], dtype=np.int64)
+            )
+            s = self.model.score(row, feat, len(df))
+            return pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "score_q": s,
+                    "keep": (s >= 0).astype(np.int64),
+                }
+            )
+
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        Scorer, batch_format="pandas", concurrency=(1, 4)
+    )
+
+
+# --------------------------------------------------------------------------
 # incremental-crawl content anti-join
 # --------------------------------------------------------------------------
 

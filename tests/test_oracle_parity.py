@@ -42,6 +42,7 @@ ORACLE_BACKED = [
     "decontaminate",
     "tfidf_topk",
     "novel_docs",
+    "quality_score",
 ]
 
 

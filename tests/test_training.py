@@ -1,0 +1,121 @@
+"""Training-data prep family: unit + property tests beyond the driver-gate
+parity checks in test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from snomed_ct_entity_linking_ray.functions.quality import (
+    QUALITY_DIM,
+    QualityModel,
+    build_quality_weights,
+    ensure_quality_artifact,
+    feature_ids,
+)
+from snomed_ct_entity_linking_ray.pipelines.training import (
+    PACK_PART_DOCS,
+    _ngrams,
+    q_pack_sequences,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _naive_ngrams(texts, ids, n):
+    rows = []
+    for i, t in zip(ids, texts):
+        ws = t.split(" ")
+        for j in range(len(ws) - n + 1):
+            rows.append((i, " ".join(ws[j : j + n])))
+    return rows
+
+
+@pytest.mark.parametrize("n", [2, 3, 5])
+def test_ngrams_matches_naive(n):
+    texts = [
+        "a b c d e",
+        "x",                      # shorter than n
+        "p q",                    # boundary at n=2
+        "m m m m m m m m",
+        "",                       # single empty token
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    got = _ngrams(df, n)
+    want = _naive_ngrams(texts, df["doc_id"], n)
+    assert list(zip(got["doc_id"], got["gram"])) == want
+
+
+def test_ngrams_empty_batch():
+    df = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                       "text": pd.Series([], dtype=object)})
+    out = _ngrams(df, 3)
+    assert len(out) == 0 and list(out.columns) == ["doc_id", "gram"]
+
+
+def test_feature_ids_deterministic_and_bounded():
+    grams = ["a b", "b c", "a b", "zz yy"]
+    f1, f2 = feature_ids(grams), feature_ids(grams)
+    assert (f1 == f2).all()
+    assert f1[0] == f1[2]  # same gram → same feature
+    assert ((f1 >= 0) & (f1 < QUALITY_DIM)).all()
+
+
+def test_quality_model_scatter_matches_loop():
+    ensure_quality_artifact()
+    m = QualityModel()
+    w = build_quality_weights()
+    assert (m.w_q == w["w_q"]).all() and m.b_q == w["b_q"]
+    rng = np.random.default_rng(7)
+    row = rng.integers(0, 5, size=40).astype(np.int64)
+    feat = rng.integers(0, QUALITY_DIM, size=40).astype(np.int64)
+    got = m.score(row, feat, 5)
+    want = np.full(5, m.b_q, dtype=np.int64)
+    for r, f in zip(row, feat):
+        want[r] += m.w_q[f]
+    assert (got == want).all()
+
+
+def test_pack_sequences_prefix_scan_invariants(ray_session):
+    out = q_pack_sequences(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # global layout: each doc starts exactly where the previous one ended
+    start = out["token_start"].to_numpy()
+    n = out["n_tokens"].to_numpy()
+    assert start[0] == 0
+    assert (start[1:] == start[:-1] + n[:-1]).all()
+    # window spans consistent with the 256-token grid
+    assert (out["first_window"] == start // 256).all()
+    assert (out["last_window"] == (start + n - 1) // 256).all()
+    # every doc in exactly one range partition of the scan
+    assert out["doc_id"].is_unique
+    assert (n >= 1).all()
+
+
+def test_pack_sequences_spans_multiple_parts(ray_session, tmp_path):
+    """Force >1 scan partition: synthetic docs crossing PACK_PART_DOCS."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = np.array([0, 1, PACK_PART_DOCS, PACK_PART_DOCS + 1, 2 * PACK_PART_DOCS],
+                   dtype=np.int64)
+    texts = ["w " * (i + 1) for i in range(len(ids))]
+    texts = [t.strip() for t in texts]
+    pq.write_table(
+        pa.table({"doc_id": ids, "text": texts,
+                  "lang": ["en"] * 5, "source": ["s"] * 5,
+                  "n_chars": [len(t) for t in texts]}),
+        tmp_path / "documents.parquet",
+    )
+    out = (
+        q_pack_sequences(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc_id order defines the stream even across partitions
+    start = out["token_start"].to_numpy()
+    n = out["n_tokens"].to_numpy()
+    assert start[0] == 0 and (start[1:] == start[:-1] + n[:-1]).all()
+    assert (n == np.arange(1, 6)).all()
