@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": training.q_tfidf_topk,
         "novel_docs": training.q_novel_docs,
         "quality_score": training.q_quality_score,
+        "repetition_stats": training.q_repetition_stats,
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
@@ -432,6 +433,26 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) AS rank
                 FROM tfc t JOIN dfc d USING (word)
             ) WHERE rank <= 3
+        """,
+        "repetition_stats": """
+            WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+            g AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM w),
+            bg AS (SELECT doc_id,
+                          ws[CAST(i AS BIGINT)] || ' ' || ws[CAST(i+1 AS BIGINT)] AS gram
+                   FROM g),
+            bgtop AS (
+                SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
+                FROM (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+                GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(len(w.ws) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(w.ws)) AS BIGINT) AS n_distinct_words,
+                   CAST(len(w.ws) - 1 AS BIGINT) AS n_bigrams,
+                   coalesce(b.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+                   coalesce(b.top_bigram_count, 0) AS top_bigram_count
+            FROM documents d JOIN w ON d.doc_id = w.doc_id
+            LEFT JOIN bgtop b ON d.doc_id = b.doc_id
         """,
         "novel_docs": """
             SELECT doc_id FROM documents

@@ -64,6 +64,7 @@ def run_bench() -> dict:
         entity_link,
         relational,
         text,
+        training,
         vectors,
     )
 
@@ -111,6 +112,10 @@ def run_bench() -> dict:
     timed("doc_freq", text.q_doc_freq)
     timed("approx_users", relational.q_approx_users)
     timed("bm25_topk", text.q_bm25_topk)
+    timed("pack_sequences", training.q_pack_sequences)
+    timed("decontaminate", training.q_decontaminate)
+    timed("quality_score", training.q_quality_score)
+    timed("novel_docs", training.q_novel_docs)
 
     result = {
         "metric": "entity_link_e2e",

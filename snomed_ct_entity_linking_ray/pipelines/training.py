@@ -58,7 +58,9 @@ def q_pack_sequences(sf_dir: str, window: int = PACK_WINDOW):
          position. The shuffle moves only (doc_id, n_tokens, part) — the
          text never leaves the count stage.
 
-    Both passes stream; nothing corpus-sized is materialized."""
+    The text is read and tokenized ONCE (the slim counts table — 24 B/doc —
+    is pinned and consumed by both the part-sum and the scan pass); nothing
+    corpus-sized is materialized."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
     def counts(df: pd.DataFrame) -> pd.DataFrame:
@@ -72,7 +74,11 @@ def q_pack_sequences(sf_dir: str, window: int = PACK_WINDOW):
             }
         )
 
-    slim = ds.map_batches(counts, batch_format="pandas")
+    # Materialize the SLIM counts (24 B/doc ≈ 0.03% of corpus bytes): both
+    # the per-part sum and the scan pass consume it, and without pinning it
+    # each consumption would re-read + re-tokenize the full text. This is a
+    # bounded intermediate, not a corpus materialization.
+    slim = ds.map_batches(counts, batch_format="pandas").materialize()
     part_sums = (
         grouped_sums(slim, ["part"], sums={"part_tokens": "n_tokens"})
         .to_pandas()  # one row per part — driver-bounded by construction
@@ -236,6 +242,51 @@ def q_tfidf_topk(sf_dir: str, k: int = 3):
     return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         Score, batch_format="pandas", concurrency=(1, 4)
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition stats
+# --------------------------------------------------------------------------
+
+
+def q_repetition_stats(sf_dir: str):
+    """Within-document repetition signals (the Gopher/MassiveText quality
+    rules: duplicate-n-gram and top-n-gram fractions — Rae et al. 2021
+    §A1.1): exact integer numerators/denominators per doc, so the
+    downstream filter computes its own thresholds and the driver compare
+    has no float in it.
+
+    Embarrassingly parallel: each doc is one row; one vectorized explode +
+    two grouped counts per batch. No shuffle."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        words = df["text"].str.split(" ")
+        n_words = words.str.len().to_numpy(np.int64)
+        ex = words.explode()
+        n_dw = (
+            ex.groupby([ex.index, ex]).size().groupby(level=0).size()
+            .reindex(df.index, fill_value=0).to_numpy(np.int64)
+        )
+        bg = _ngrams(df, 2)
+        bgc = bg.groupby(["doc_id", "gram"], sort=False).size()
+        per_doc = bgc.groupby(level=0)
+        n_db = per_doc.size()
+        top = per_doc.max()
+        ids = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_words": n_words,
+                "n_distinct_words": n_dw,
+                "n_bigrams": n_words - 1,
+                "n_distinct_bigrams": n_db.reindex(ids, fill_value=0).to_numpy(np.int64),
+                "top_bigram_count": top.reindex(ids, fill_value=0).to_numpy(np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------

@@ -43,6 +43,7 @@ ORACLE_BACKED = [
     "tfidf_topk",
     "novel_docs",
     "quality_score",
+    "repetition_stats",
 ]
 
 
