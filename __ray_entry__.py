@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novel_docs": training.q_novel_docs,
         "quality_score": training.q_quality_score,
         "repetition_stats": training.q_repetition_stats,
+        "vocab_topk": training.q_vocab_topk,
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
@@ -433,6 +434,16 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) AS rank
                 FROM tfc t JOIN dfc d USING (word)
             ) WHERE rank <= 3
+        """,
+        "vocab_topk": """
+            SELECT CAST(row_number() OVER (ORDER BY n DESC, word) - 1 AS BIGINT)
+                       AS token_id,
+                   word, n
+            FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM (SELECT unnest(string_split(text, ' ')) AS word
+                        FROM documents)
+                  GROUP BY 1)
+            ORDER BY n DESC, word LIMIT 1000
         """,
         "repetition_stats": """
             WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),

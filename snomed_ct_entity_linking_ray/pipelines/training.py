@@ -245,6 +245,40 @@ def q_tfidf_topk(sf_dir: str, k: int = 3):
 
 
 # --------------------------------------------------------------------------
+# tokenizer-vocabulary construction
+# --------------------------------------------------------------------------
+
+
+def q_vocab_topk(sf_dir: str, k: int = 1000):
+    """Tokenizer vocabulary: the k most frequent corpus words, assigned
+    contiguous token ids by (count desc, word asc) — the id table a
+    word-level tokenizer trains from.
+
+    Scale shape: corpus counts come from the ``q_unigrams`` combine
+    (partials per batch, one slim bucketed shuffle, output bounded by
+    vocabulary size); each count block then emits its OWN top-k partial
+    (sort+head inside map_batches — the ``cosine_topk`` discipline), so
+    the final driver-side head(k) sees at most k rows per block, never the
+    vocabulary."""
+    from .text import q_unigrams
+
+    counts = q_unigrams(sf_dir)
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "word"], ascending=[False, True]).head(k)
+
+    top = (
+        counts.map_batches(partial_topk, batch_format="pandas")
+        .to_pandas()  # ≤ k rows per count block
+        .sort_values(["n", "word"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["token_id"] = np.arange(len(top), dtype=np.int64)
+    return top[["token_id", "word", "n"]]
+
+
+# --------------------------------------------------------------------------
 # Gopher-style repetition stats
 # --------------------------------------------------------------------------
 

@@ -44,6 +44,7 @@ ORACLE_BACKED = [
     "novel_docs",
     "quality_score",
     "repetition_stats",
+    "vocab_topk",
 ]
 
 
