@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_ner": llm.q_llm_ner,
         # multimodal plumbing (stubbed decode, real Ray plumbing)
         "media_inventory": multimodal.q_media_inventory,
+        "span_stats": multimodal.q_span_stats,
+        "media_bucket_pairs": multimodal.q_media_bucket_pairs,
         "frame_samples": multimodal.q_frame_samples,
         # flagship record-linkage pipeline (fixture-backed; rows-only check,
         # full oracle comparison lives in tests/test_entity_link.py)
@@ -182,8 +184,30 @@ def oracle_sql() -> dict[str, str]:
         )
     }
 
+    docs_tbl = _duck_path(f"{fdir}/docs.parquet")
+
     return {
         **oracle_backed,
+        "span_stats": f"""
+            SELECT doc_id,
+                   CAST(len(spans) AS BIGINT) AS n_spans,
+                   CAST(len(list_filter(spans, s -> s.kind = 'text')) AS BIGINT)
+                       AS n_text,
+                   CAST(len(list_filter(spans, s -> s.kind = 'media')) AS BIGINT)
+                       AS n_media,
+                   CAST(coalesce(
+                        list_sum(list_transform(spans, s -> length(s.text))), 0)
+                        AS BIGINT) AS text_chars
+            FROM read_parquet('{docs_tbl}')
+        """,
+        "media_bucket_pairs": f"""
+            WITH m AS (
+                SELECT DISTINCT substring(s.media_ref, 9, 2) AS bucket, doc_id
+                FROM read_parquet('{docs_tbl}'), unnest(spans) AS u(s)
+                WHERE s.kind = 'media')
+            SELECT a.bucket, a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM m a JOIN m b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
         "compose_pipeline": """
             SELECT doc_id,
                    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)

@@ -123,6 +123,109 @@ class FrameSampler:
         )
 
 
+def q_span_stats(sf_dir: str):
+    """Per-document interleaved-layout stats straight off the nested
+    ``spans`` column (the BASELINE.json input_hint schema): span counts by
+    kind and total text chars — all via zero-copy Arrow list/struct
+    kernels (list_value_length, struct field flatten, boolean masks) with
+    the per-row sums done by exact cumsum-difference segment arithmetic.
+    Embarrassingly parallel; only the columns the kernels touch are read."""
+    import pyarrow.compute as pc
+
+    fdir = fixtures.fixture_dir(fixtures.spec_for_sf_dir(sf_dir))
+    docs = rd.read_parquet(f"{fdir}/docs.parquet")
+
+    def stats(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        n_spans = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+        flat = spans.flatten()
+        offs = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]  # slice-safe
+        is_text = (
+            pc.equal(flat.field("kind"), "text")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        chars = (
+            pc.utf8_length(flat.field("text"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+
+        def seg_sum(v: np.ndarray) -> np.ndarray:
+            c = np.concatenate(([0], np.cumsum(v)))
+            return c[offs[1:]] - c[offs[:-1]]
+
+        n_text = seg_sum(is_text)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_spans": pa.array(n_spans.astype(np.int64), pa.int64()),
+                "n_text": pa.array(n_text, pa.int64()),
+                "n_media": pa.array(n_spans - n_text, pa.int64()),
+                "text_chars": pa.array(seg_sum(chars), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def q_media_bucket_pairs(sf_dir: str, bucket_cap: int = 4096):
+    """Media near-dup candidate pairs by perceptual-hash bucket — the
+    media-column analogue of SimHash prefix blocking: docs whose media land
+    in the same hash bucket are candidate duplicates for a (stubbed here)
+    byte-level verify. The bucket is the leading byte of the media content
+    hash (``media://<hex>`` → first two hex chars).
+
+    Scale shape: explode media spans (Arrow kernels), slim per-batch
+    (bucket, doc_id) dedup, ONE groupby(bucket) shuffle of 2-char+id rows,
+    in-bucket pair generation over DISTINCT doc ids capped at
+    ``bucket_cap`` (keep-lowest-id, the ``_cap_block`` discipline) so a
+    hot bucket can't go O(n²)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    rows = media_rows(sf_dir)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "bucket": pc.utf8_slice_codeunits(batch["media_ref"], 8, 10),
+                "doc_id": batch["doc_id"],
+            }
+        )
+        return t.group_by(["bucket", "doc_id"]).aggregate([])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())  # sorted distinct
+        ids = ids[:bucket_cap]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype=object),
+                    "doc_a": pd.Series([], dtype=object),
+                    "doc_b": pd.Series([], dtype=object),
+                }
+            )
+        ia, ib = np.triu_indices(n, k=1)
+        return pd.DataFrame(
+            {
+                "bucket": g["bucket"].iloc[0],
+                "doc_a": ids[ia],
+                "doc_b": ids[ib],
+            }
+        )
+
+    return (
+        rows.map_batches(slim, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
 def q_media_inventory(sf_dir: str):
     """Decoded-media inventory: one row per media span with fake-decoded
     metadata. Small batches + bounded pool per the memory-aware rule."""

@@ -45,6 +45,8 @@ ORACLE_BACKED = [
     "quality_score",
     "repetition_stats",
     "vocab_topk",
+    "span_stats",
+    "media_bucket_pairs",
 ]
 
 
