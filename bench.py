@@ -116,6 +116,9 @@ def run_bench() -> dict:
     timed("decontaminate", training.q_decontaminate)
     timed("quality_score", training.q_quality_score)
     timed("novel_docs", training.q_novel_docs)
+    from snomed_ct_entity_linking_ray.pipelines import multimodal
+
+    timed("span_stats", multimodal.q_span_stats)
 
     result = {
         "metric": "entity_link_e2e",
