@@ -27,14 +27,55 @@ def stable_u64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
 
 
+def _crc32_window_tables(k: int) -> tuple[np.ndarray, int]:
+    """Per-position crc32 contribution tables for k-byte windows.
+
+    crc32 is AFFINE over GF(2): crc(m) = c ⊕ L(m) with L linear, so for a
+    fixed window length k, crc(m) = (⊕_j T[j][m_j]) ⊕ ((k+1) % 2) · c
+    where T[j][v] = crc32 of the k-zero-byte message with byte j set to v
+    and c = crc32(0^k). This turns all sliding-window crc32s of a buffer
+    into k vectorized table lookups + XOR (verified bit-equal to
+    zlib.crc32 in tests/test_properties.py)."""
+    c = zlib.crc32(b"\x00" * k)
+    T = np.zeros((k, 256), dtype=np.uint32)
+    m = bytearray(k)
+    for j in range(k):
+        for v in range(256):
+            m[j] = v
+            T[j, v] = zlib.crc32(bytes(m))
+        m[j] = 0
+    return T, (c if (k + 1) % 2 else 0)
+
+
+_SHINGLE_TABLES: dict[int, tuple[np.ndarray, int]] = {}
+
+
+def crc32_windows(buf: np.ndarray, k: int) -> np.ndarray:
+    """zlib.crc32 of every k-byte sliding window of ``buf`` (uint8 array),
+    fully vectorized — no per-window Python."""
+    if k not in _SHINGLE_TABLES:
+        _SHINGLE_TABLES[k] = _crc32_window_tables(k)
+    T, corr = _SHINGLE_TABLES[k]
+    n = len(buf) - k + 1
+    acc = T[0][buf[:n]].copy()
+    for j in range(1, k):
+        acc ^= T[j][buf[j : j + n]]
+    if corr:
+        acc ^= np.uint32(corr)
+    return acc
+
+
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """crc32 hashes of the k-shingles (character shingles of the normalized
-    text); returns unique uint64 values."""
+    text); returns unique uint64 values. Identical values to the original
+    per-window ``zlib.crc32`` set build (MinHash consumes the min per
+    permutation, so uniqueness order is irrelevant), but computed with the
+    vectorized table-lookup kernel — the per-doc cost drops from
+    O(len) Python crc calls to a handful of numpy ops."""
     if len(text) < k:
         return np.array([zlib.crc32(text.encode())], dtype=np.uint64)
-    enc = text.encode("utf-8")
-    vals = {zlib.crc32(enc[i : i + k]) for i in range(len(enc) - k + 1)}
-    return np.fromiter(vals, dtype=np.uint64, count=len(vals))
+    enc = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    return np.unique(crc32_windows(enc, k)).astype(np.uint64)
 
 
 class MinHasher:
@@ -54,6 +95,58 @@ class MinHasher:
         x = shingles[None, :]
         vals = (self.a[:, None] * x + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
+
+    _PERM_CHUNK = 16
+    _SLICE_HASHES = 1 << 16  # 64k hashes → 8 MB scratch rows, 1-time touch
+
+    def signatures_batch(self, flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """[n_docs, num_perm] signatures for a whole batch at once:
+        ``flat`` is the concatenation of every doc's shingle hashes,
+        ``offsets`` ([n_docs+1], strictly increasing — shingle_hashes never
+        yields an empty set) the doc boundaries. Bit-identical to calling
+        ``signature`` per doc (uint64 min is exact); ``np.minimum.reduceat``
+        over doc-aligned slices replaces n_docs Python-level matrix setups.
+
+        All temporaries live in ONE fixed-size pre-touched scratch buffer
+        per MinHasher (= per actor): fresh large allocations on this host
+        class pay throttled first-touch page zeroing (measured 38 MB ≈ 7 s
+        first touch, 8 ms warm), so the work is sliced into doc-aligned
+        groups of ≤ _SLICE_HASHES hashes that fit the buffer."""
+        n_docs = len(offsets) - 1
+        if n_docs == 0:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
+        offsets = np.asarray(offsets, dtype=np.int64)
+        if not (np.diff(offsets) > 0).all():
+            raise ValueError("signatures_batch requires non-empty segments")
+        buf = getattr(self, "_buf", None)
+        if buf is None:
+            buf = np.empty((self._PERM_CHUNK, self._SLICE_HASHES), dtype=np.uint64)
+            buf.fill(0)  # pre-touch once per actor
+            self._buf = buf
+        out = np.empty((n_docs, self.num_perm), dtype=np.uint64)
+        d0 = 0
+        while d0 < n_docs:
+            # largest doc group whose shingles fit the scratch slice
+            d1 = int(
+                np.searchsorted(offsets, offsets[d0] + self._SLICE_HASHES, "right") - 1
+            )
+            if d1 <= d0:  # one huge doc: fall back to the per-doc path
+                out[d0] = self.signature(flat[offsets[d0] : offsets[d0 + 1]])
+                d0 += 1
+                continue
+            lo, hi = offsets[d0], offsets[d1]
+            n = int(hi - lo)
+            x = flat[None, lo:hi]
+            seg = offsets[d0:d1] - lo
+            for j0 in range(0, self.num_perm, self._PERM_CHUNK):
+                j1 = min(j0 + self._PERM_CHUNK, self.num_perm)
+                v = buf[: j1 - j0, :n]
+                np.multiply(self.a[j0:j1, None], x, out=v)
+                np.add(v, self.b[j0:j1, None], out=v)
+                np.mod(v, _MERSENNE, out=v)
+                out[d0:d1, j0:j1] = np.minimum.reduceat(v, seg, axis=1).T
+            d0 = d1
+        return out
 
     def band_keys(self, sig: np.ndarray, bands: int) -> list[str]:
         """LSH band bucket keys: hash of each band's rows."""

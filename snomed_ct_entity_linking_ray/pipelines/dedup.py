@@ -195,10 +195,19 @@ def q_minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
             self.mh = hashing.MinHasher(num_perm=num_perm)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            sigb = [
-                self.mh.signature(hashing.shingle_hashes(t)).tobytes()
-                for t in df["text"]
-            ]
+            # vectorized two-step: table-lookup crc shingles per doc (numpy
+            # kernels inside), then ONE batched minhash over the
+            # concatenated hashes (bit-equal to per-doc, tested)
+            hs = [hashing.shingle_hashes(t) for t in df["text"]]
+            if hs:
+                flat = np.concatenate(hs)
+                offs = np.concatenate(
+                    ([0], np.cumsum([len(h) for h in hs]))
+                ).astype(np.int64)
+                sigs = self.mh.signatures_batch(flat, offs)
+                sigb = [s.tobytes() for s in sigs]
+            else:
+                sigb = []
             return pd.DataFrame(
                 {"doc_id": df["doc_id"].to_numpy(np.int64), "sigb": sigb}
             )

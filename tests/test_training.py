@@ -119,3 +119,36 @@ def test_pack_sequences_spans_multiple_parts(ray_session, tmp_path):
     n = out["n_tokens"].to_numpy()
     assert start[0] == 0 and (start[1:] == start[:-1] + n[:-1]).all()
     assert (n == np.arange(1, 6)).all()
+
+
+def test_crc32_windows_bit_equal_zlib():
+    import zlib
+    from snomed_ct_entity_linking_ray.functions.hashing import crc32_windows
+
+    rng = np.random.default_rng(5)
+    for k in (3, 4, 5, 8):
+        buf = rng.integers(0, 256, size=300, dtype=np.uint8)
+        got = crc32_windows(buf, k)
+        raw = buf.tobytes()
+        want = [zlib.crc32(raw[i : i + k]) for i in range(len(raw) - k + 1)]
+        assert got.tolist() == want
+
+
+def test_signatures_batch_bit_equal_per_doc():
+    from snomed_ct_entity_linking_ray.functions.hashing import (
+        MinHasher,
+        shingle_hashes,
+    )
+
+    rng = np.random.default_rng(6)
+    mh = MinHasher()
+    texts = [
+        "".join(rng.choice(list("abcdef "), size=int(n)))
+        for n in rng.integers(1, 200, size=500)
+    ]
+    hs = [shingle_hashes(t) for t in texts]
+    flat = np.concatenate(hs)
+    offs = np.concatenate(([0], np.cumsum([len(h) for h in hs]))).astype(np.int64)
+    got = mh.signatures_batch(flat, offs)
+    want = np.stack([mh.signature(h) for h in hs])
+    assert (got == want).all()
