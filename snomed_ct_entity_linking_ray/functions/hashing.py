@@ -189,6 +189,50 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+class SimHasher:
+    """Batched SimHash, bit-equal to ``simhash64`` (property-tested):
+    per-batch np.unique collapses the token stream to its vocabulary, a
+    per-instance (= per-actor) cache bounds the md5 token hashing to
+    NEW vocabulary (Zipf makes this the dominant saving at corpus scale),
+    and the ±1 bit sums are one reduceat over the whole batch — no
+    per-token or per-bit Python in the hot path."""
+
+    _CACHE_MAX = 1 << 20  # ~8 MB of uint64 values; plenty for any vocab here
+
+    def __init__(self):
+        self._cache: dict[str, int] = {}
+        self._bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+
+    def _token_hashes(self, uniq: np.ndarray) -> np.ndarray:
+        c = self._cache
+        miss = [t for t in uniq if t not in c]
+        if miss:
+            if len(c) + len(miss) > self._CACHE_MAX:
+                c.clear()
+            for t in miss:
+                c[t] = stable_u64(t)
+        return np.fromiter((c[t] for t in uniq), dtype=np.uint64, count=len(uniq))
+
+    def batch(self, tokens_flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """[n_docs] uint64 simhashes; ``tokens_flat`` is the concatenated
+        token stream, ``offsets`` [n_docs+1] the doc boundaries (strictly
+        increasing — a split of any string yields ≥1 token)."""
+        n_docs = len(offsets) - 1
+        if n_docs == 0:
+            return np.empty(0, dtype=np.uint64)
+        offsets = np.asarray(offsets, dtype=np.int64)
+        if not (np.diff(offsets) > 0).all():
+            raise ValueError("SimHasher.batch requires non-empty segments")
+        uniq, inv = np.unique(tokens_flat, return_inverse=True)
+        h = self._token_hashes(uniq)[inv]  # [n_tok]
+        bits = ((h[:, None] & self._bitcols) != 0).astype(np.int32)  # [n_tok, 64]
+        pm = 2 * bits - 1
+        sums = np.add.reduceat(pm, offsets[:-1], axis=0)  # [n_docs, 64]
+        return ((sums > 0).astype(np.uint64) * self._bitcols[0][None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+
+
 WINNOW_BASE = np.uint64(1099511628211)  # FNV-64 prime as polynomial base
 
 

@@ -537,19 +537,28 @@ def q_simhash_buckets(sf_dir: str, prefix_bits: int = 12):
     extension; this emits the bucketed docs for downstream verify)."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        hs = np.array(
-            [hashing.simhash64(t.split(" ")) for t in df["text"]], dtype=np.uint64
-        )
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "simhash": hs.astype(np.int64),  # two's-complement carrier
-                "bucket": (hs >> np.uint64(64 - prefix_bits)).astype(np.int64),
-            }
-        )
+    class Fn:
+        """Actor (not task) stage so the SimHasher token-hash cache
+        persists across batches."""
 
-    return ds.map_batches(fn, batch_format="pandas")
+        def __init__(self):
+            self.sh = hashing.SimHasher()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            toks = df["text"].str.split(" ")
+            lens = toks.str.len().to_numpy(np.int64)
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            hs = self.sh.batch(flat, offs)
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"],
+                    "simhash": hs.astype(np.int64),  # two's-complement carrier
+                    "bucket": (hs >> np.uint64(64 - prefix_bits)).astype(np.int64),
+                }
+            )
+
+    return ds.map_batches(Fn, batch_format="pandas", concurrency=(1, 8))
 
 
 def q_embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35,

@@ -152,3 +152,22 @@ def test_signatures_batch_bit_equal_per_doc():
     got = mh.signatures_batch(flat, offs)
     want = np.stack([mh.signature(h) for h in hs])
     assert (got == want).all()
+
+
+def test_simhasher_batch_bit_equal_per_doc():
+    from snomed_ct_entity_linking_ray.functions.hashing import SimHasher, simhash64
+
+    rng = np.random.default_rng(8)
+    vocab = ["a", "bb", "ccc", "dd d", "ee", "zz", ""]
+    docs = [
+        [vocab[i] for i in rng.integers(0, len(vocab), size=int(n))]
+        for n in rng.integers(1, 50, size=300)
+    ]
+    flat = np.array([t for d in docs for t in d], dtype=object)
+    offs = np.concatenate(([0], np.cumsum([len(d) for d in docs])))
+    sh = SimHasher()
+    got = sh.batch(flat, offs)
+    want = np.array([simhash64(d) for d in docs], dtype=np.uint64)
+    assert (got == want).all()
+    # second call exercises the warm cache path
+    assert (sh.batch(flat, offs) == want).all()
