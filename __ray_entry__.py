@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": training.q_quality_score,
         "repetition_stats": training.q_repetition_stats,
         "vocab_topk": training.q_vocab_topk,
+        "sample_topk_hash": training.q_sample_topk_hash,
+        "heavy_hitters": training.q_heavy_hitters,
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
@@ -458,6 +460,21 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) AS rank
                 FROM tfc t JOIN dfc d USING (word)
             ) WHERE rank <= 3
+        """,
+        "heavy_hitters": """
+            WITH c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM (SELECT unnest(string_split(text, ' ')) AS word
+                             FROM documents)
+                       GROUP BY 1)
+            SELECT word, n FROM c
+            WHERE n * 30 > (SELECT SUM(n) FROM c)
+            ORDER BY word
+        """,
+        "sample_topk_hash": """
+            SELECT doc_id, lang, n_chars,
+                   ((doc_id % 1000003) * 2654435761) % 1000000007 AS rk
+            FROM documents
+            ORDER BY rk, doc_id LIMIT 100
         """,
         "vocab_topk": """
             SELECT CAST(row_number() OVER (ORDER BY n DESC, word) - 1 AS BIGINT)

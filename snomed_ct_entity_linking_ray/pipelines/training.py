@@ -245,6 +245,36 @@ def q_tfidf_topk(sf_dir: str, k: int = 3):
 
 
 # --------------------------------------------------------------------------
+# deterministic fixed-size global sample
+# --------------------------------------------------------------------------
+
+
+def q_sample_topk_hash(sf_dir: str, k: int = 100):
+    """Deterministic uniform k-sample of the corpus: the k docs with the
+    smallest value of the same integer mixer ``q_sample_stratified`` uses
+    (RNG-free, resumable — re-running any partition reproduces the same
+    sample; the eval-subset selection a training pipeline pins down).
+
+    Scale shape: per-block partial top-k (sort+head inside map_batches),
+    driver-side final head over ≤ k rows per block — the ``cosine_topk``
+    discipline; no shuffle, no reservoir state."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        df = df.assign(rk=((ids % 1000003) * 2654435761) % 1000000007)
+        return df.sort_values(["rk", "doc_id"]).head(k)
+
+    return (
+        read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["rk", "doc_id"])
+        .head(k)
+        .reset_index(drop=True)[["doc_id", "lang", "n_chars", "rk"]]
+        .astype({"rk": np.int64})
+    )
+
+
+# --------------------------------------------------------------------------
 # tokenizer-vocabulary construction
 # --------------------------------------------------------------------------
 
@@ -276,6 +306,80 @@ def q_vocab_topk(sf_dir: str, k: int = 1000):
     )
     top["token_id"] = np.arange(len(top), dtype=np.int64)
     return top[["token_id", "word", "n"]]
+
+
+# --------------------------------------------------------------------------
+# heavy hitters (Misra-Gries sketch + exact verify)
+# --------------------------------------------------------------------------
+
+HH_K = 30  # report words with count > n_tokens/HH_K (k < fixture vocab of 31,
+          # so the MG merge actually compresses; 16 hitters at sf0.01)
+
+
+def q_heavy_hitters(sf_dir: str, k: int = HH_K):
+    """Corpus heavy hitters: every word with count > n_tokens/k, with its
+    EXACT count — the two-pass Misra-Gries plan (Misra & Gries 1982;
+    mergeable-summaries merge rule, Agarwal et al. 2012):
+
+      1. candidate pass: per-batch exact counts (bounded by batch
+         vocabulary) tree-merged with MG compression — add counters,
+         subtract the k-th largest, drop ≤0 — so every intermediate holds
+         < k counters yet provably contains every item with true frequency
+         > n/k. The driver sees < k candidate words, NEVER the vocabulary:
+         this is the top-words plan for a corpus whose vocabulary itself
+         is too big to shuffle (where ``q_vocab_topk`` stops scaling).
+      2. verify pass: exact counts for the < k broadcast candidates plus
+         the exact total, one tiny combine; filter count·k > total.
+
+    The sketch is deterministic (exact integer sums, fixed threshold), so
+    the result is exact and matches plain SQL."""
+    from .common import tree_to_pandas
+
+    ds = read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ").explode()
+        vc = words.value_counts()
+        return pd.DataFrame(
+            {"word": vc.index, "c": vc.to_numpy().astype(np.int64)}
+        )
+
+    def mg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word", sort=False)["c"].sum()
+        if len(g) >= k:
+            thr = np.partition(g.to_numpy(), len(g) - k)[len(g) - k]
+            g = g - thr
+            g = g[g > 0]
+        return pd.DataFrame({"word": g.index, "c": g.to_numpy().astype(np.int64)})
+
+    cand = tree_to_pandas(
+        ds.map_batches(partial, batch_format="pandas"), mg_merge
+    )
+    cand = mg_merge(cand)  # final compression: < k candidates
+    ref = broadcast(frozenset(cand["word"].tolist()))
+
+    class Recount:
+        def __init__(self):
+            self.cand = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            words = df["text"].str.split(" ").explode()
+            vc = words[words.isin(self.cand)].value_counts()
+            out = pd.DataFrame(
+                {"word": vc.index, "n": vc.to_numpy().astype(np.int64)}
+            )
+            out.loc[len(out)] = ["\x00total", np.int64(len(words))]
+            return out
+
+    counts = tree_to_pandas(
+        ds.map_batches(Recount, batch_format="pandas", concurrency=(1, 4)),
+        lambda df: df.groupby("word", as_index=False, sort=False)["n"].sum(),
+    )
+    counts = counts.groupby("word", as_index=False, sort=False)["n"].sum()
+    total = int(counts.loc[counts["word"] == "\x00total", "n"].iloc[0])
+    out = counts[counts["word"] != "\x00total"]
+    out = out[out["n"] * k > total].reset_index(drop=True)
+    return out.sort_values("word").reset_index(drop=True)[["word", "n"]]
 
 
 # --------------------------------------------------------------------------

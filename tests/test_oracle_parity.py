@@ -47,6 +47,8 @@ ORACLE_BACKED = [
     "vocab_topk",
     "span_stats",
     "media_bucket_pairs",
+    "sample_topk_hash",
+    "heavy_hitters",
 ]
 
 
