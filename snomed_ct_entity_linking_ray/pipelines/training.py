@@ -168,7 +168,9 @@ def q_decontaminate(sf_dir: str, n: int = DECONTAM_N):
     ev = distinct_column(
         ds.map_batches(eval_grams, batch_format="pandas"), "gram"
     ).to_pandas()
-    ref = broadcast(frozenset(ev["gram"].tolist()))
+    # a fully-empty Dataset collects to a column-less frame
+    grams = ev["gram"].tolist() if "gram" in ev.columns else []
+    ref = broadcast(frozenset(grams))
 
     class Probe:
         def __init__(self):

@@ -171,3 +171,53 @@ def test_simhasher_batch_bit_equal_per_doc():
     assert (got == want).all()
     # second call exercises the warm cache path
     assert (sh.batch(flat, offs) == want).all()
+
+
+def test_decontaminate_empty_eval_split(ray_session, tmp_path):
+    """No doc_id % 97 == 0 docs → empty broadcast set → zero rows, no error."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from snomed_ct_entity_linking_ray.pipelines.training import q_decontaminate
+
+    ids = np.array([1, 2, 3, 98, 99], dtype=np.int64)  # none divisible by 97
+    pq.write_table(
+        pa.table({"doc_id": ids, "text": ["a b c d"] * 5,
+                  "lang": ["en"] * 5, "source": ["s"] * 5,
+                  "n_chars": [7] * 5}),
+        tmp_path / "documents.parquet",
+    )
+    out = q_decontaminate(str(tmp_path)).to_pandas()
+    assert len(out) == 0
+
+
+def test_heavy_hitters_skewed(ray_session, tmp_path):
+    """A genuinely skewed corpus: one word holds >1/30 of tokens and must
+    surface with its exact count despite MG compression en route."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from snomed_ct_entity_linking_ray.pipelines.training import q_heavy_hitters
+
+    rng = np.random.default_rng(4)
+    texts = []
+    for i in range(200):
+        toks = [f"w{int(x)}" for x in rng.integers(0, 120, size=50)]
+        if i % 2 == 0:
+            toks[:10] = ["hot"] * 10  # 'hot' ≈ 10% of all tokens
+        texts.append(" ".join(toks))
+    ids = np.arange(200, dtype=np.int64)
+    pq.write_table(
+        pa.table({"doc_id": ids, "text": texts, "lang": ["en"] * 200,
+                  "source": ["s"] * 200, "n_chars": [len(t) for t in texts]}),
+        tmp_path / "documents.parquet",
+    )
+    out = q_heavy_hitters(str(tmp_path))
+    out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    # exact ground truth
+    from collections import Counter
+    c = Counter(t for s in texts for t in s.split(" "))
+    total = sum(c.values())
+    want = sorted((w, n) for w, n in c.items() if n * 30 > total)
+    assert list(zip(out["word"], out["n"])) == want
+    assert ("hot", c["hot"]) in want
