@@ -25,6 +25,10 @@ def main() -> None:
     ap.add_argument("--checkpoint-root", default="/tmp/scel_ckpt")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="default: all visible CPUs")
+    ap.add_argument("--query", default=None,
+                    help="run a named __ray_entry__.queries() pipeline "
+                         "instead of the checkpointed flagship; prints "
+                         "row count + wall time as JSON")
     args = ap.parse_args()
 
     import ray
@@ -42,14 +46,26 @@ def main() -> None:
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    from snomed_ct_entity_linking_ray.pipelines.entity_link import (
-        run_entity_link_checkpointed,
-    )
-
     t0 = time.time()
-    metrics = run_entity_link_checkpointed(args.sf_dir, args.checkpoint_root)
+    if args.query:
+        import __ray_entry__ as entrymod
+
+        qs = entrymod.queries()
+        if args.query not in qs:
+            raise SystemExit(
+                f"unknown query {args.query!r}; one of: {', '.join(sorted(qs))}"
+            )
+        res = qs[args.query](args.sf_dir)
+        n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
+        metrics = {"query": args.query, "rows": int(n)}
+    else:
+        from snomed_ct_entity_linking_ray.pipelines.entity_link import (
+            run_entity_link_checkpointed,
+        )
+
+        metrics = run_entity_link_checkpointed(args.sf_dir, args.checkpoint_root)
+        metrics["checkpoint_root"] = args.checkpoint_root
     metrics["total_wall_s"] = round(time.time() - t0, 3)
-    metrics["checkpoint_root"] = args.checkpoint_root
     print(json.dumps(metrics))
     ray.shutdown()
 
