@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": relational.q_orders_by_segment,
         "customers_per_region": relational.q_customers_per_region,
         "top_orders": relational.q_top_orders,
+        "rollup_summary": relational.q_rollup_summary,
         "latest_order_before_event": relational.q_latest_order_before_event,
         "hourly_user_activity": relational.q_hourly_user_activity,
         "sessionize": relational.q_sessionize,
@@ -301,6 +302,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round(l_discount*100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM lineitem GROUP BY 1, 2
+        """,
+        "rollup_summary": """
+            SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+                   coalesce(l_linestatus, '(all)') AS l_linestatus,
+                   CAST(SUM(CAST(round(l_quantity*100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   CAST(SUM(CAST(round(l_discount*100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "orders_by_segment": """
             SELECT c_mktsegment,

@@ -93,6 +93,29 @@ def q_pricing_summary(sf_dir: str):
     )
 
 
+def q_rollup_summary(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) — multi-level OLAP
+    aggregate. One corpus pass computes the finest level (the
+    ``grouped_sums`` combine); every coarser level re-aggregates the
+    BOUNDED finest-level result (group-count-sized, not corpus-sized), so
+    the rollup costs one extra tiny pandas pass, not extra shuffles.
+    NULL group levels carry the '(all)' sentinel so the value-hash compare
+    is string-typed at every level."""
+    fine = q_pricing_summary(sf_dir).to_pandas()  # bounded: one row per group
+
+    sums = ["sum_qty_cents", "sum_price_cents", "sum_disc_cents", "n_rows"]
+    mid = fine.groupby("l_returnflag", as_index=False)[sums].sum()
+    mid["l_linestatus"] = "(all)"
+    top = fine[sums].sum().to_frame().T
+    top["l_returnflag"] = "(all)"
+    top["l_linestatus"] = "(all)"
+    cols = ["l_returnflag", "l_linestatus", *sums]
+    out = pd.concat([fine[cols], mid[cols], top[cols]], ignore_index=True)
+    return out.astype({c: np.int64 for c in sums}).sort_values(
+        ["l_returnflag", "l_linestatus"]
+    ).reset_index(drop=True)
+
+
 # --- broadcast hash joins --------------------------------------------------
 
 def q_orders_by_segment(sf_dir: str):

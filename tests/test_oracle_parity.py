@@ -49,13 +49,15 @@ ORACLE_BACKED = [
     "media_bucket_pairs",
     "sample_topk_hash",
     "heavy_hitters",
+    "rollup_summary",
 ]
 
 
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ["documents", "embeddings"]:
+    for t in ["documents", "embeddings", "lineitem", "orders", "customer",
+              "events", "part", "region", "nation"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
