@@ -29,6 +29,10 @@ def main() -> None:
                     help="run a named __ray_entry__.queries() pipeline "
                          "instead of the checkpointed flagship; prints "
                          "row count + wall time as JSON")
+    ap.add_argument("--output", default=None,
+                    help="with --query: write the result as parquet to this "
+                         "directory (Dataset results stream straight to a "
+                         "multi-file partitioned write; never one giant file)")
     args = ap.parse_args()
 
     import ray
@@ -56,8 +60,21 @@ def main() -> None:
                 f"unknown query {args.query!r}; one of: {', '.join(sorted(qs))}"
             )
         res = qs[args.query](args.sf_dir)
-        n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
-        metrics = {"query": args.query, "rows": int(n)}
+        metrics = {"query": args.query}
+        if args.output and isinstance(res, ray.data.Dataset):
+            res.write_parquet(args.output)  # streaming multi-file sink
+            metrics["output"] = args.output
+        elif args.output:
+            import os
+
+            os.makedirs(args.output, exist_ok=True)
+            out = os.path.join(args.output, "part-0.parquet")
+            res.to_parquet(out, index=False)
+            metrics["output"] = out
+            metrics["rows"] = int(len(res))
+        else:
+            n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
+            metrics["rows"] = int(n)
     else:
         from snomed_ct_entity_linking_ray.pipelines.entity_link import (
             run_entity_link_checkpointed,
