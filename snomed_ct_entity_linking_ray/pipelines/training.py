@@ -147,39 +147,121 @@ def _ngrams(df: pd.DataFrame, n: int) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": doc[idx], "gram": gram})
 
 
-def q_decontaminate(sf_dir: str, n: int = DECONTAM_N):
+# Two independent SipHash keys (pandas hash_key: 16 chars) for the Bloom
+# double-hashing scheme h_i = h1 + i*h2 (Kirsch & Mitzenmacher 2006).
+_BLOOM_KEY1 = "0123456789123456"
+_BLOOM_KEY2 = "fedcba9876543210"
+BLOOM_BITS_PER_KEY = 16
+BLOOM_N_HASH = 8
+# Above this many distinct eval grams the exact broadcast set gives way to
+# the Bloom plan (same MAX_BROADCAST_KEYS rationale as semi_anti_filter).
+DECONTAM_MAX_BROADCAST = 2_000_000
+
+
+def _bloom_build(grams: pd.Series, m_bits: int) -> np.ndarray:
+    """OR the grams into a packed uint64[m_bits/64] Bloom bit array."""
+    bits = np.zeros(m_bits // 64, dtype=np.uint64)
+    if len(grams) == 0:
+        return bits
+    h1 = pd.util.hash_pandas_object(grams, index=False, hash_key=_BLOOM_KEY1).to_numpy()
+    h2 = pd.util.hash_pandas_object(grams, index=False, hash_key=_BLOOM_KEY2).to_numpy()
+    for i in range(BLOOM_N_HASH):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    return bits
+
+
+def _bloom_probe(grams: pd.Series, bits: np.ndarray) -> np.ndarray:
+    """Vectorized all-k-bits-set membership test (no false negatives)."""
+    if len(grams) == 0:
+        return np.zeros(0, dtype=bool)
+    m_bits = np.uint64(len(bits) * 64)
+    h1 = pd.util.hash_pandas_object(grams, index=False, hash_key=_BLOOM_KEY1).to_numpy()
+    h2 = pd.util.hash_pandas_object(grams, index=False, hash_key=_BLOOM_KEY2).to_numpy()
+    hit = np.ones(len(grams), dtype=bool)
+    for i in range(BLOOM_N_HASH):
+        pos = (h1 + np.uint64(i) * h2) % m_bits
+        word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+    return hit
+
+
+def q_decontaminate(
+    sf_dir: str, n: int = DECONTAM_N, max_broadcast: int = DECONTAM_MAX_BROADCAST
+):
     """Benchmark decontamination: count, per training doc, the n-gram
     positions whose gram also occurs anywhere in the eval split
     (doc_id % 97 == 0); emit only contaminated docs.
 
-    Scale shape: the eval side (a ~1% split) is reduced to its DISTINCT
-    grams distributively (``distinct_column`` — per-batch dedup + bucketed
-    combine; the driver only ever holds the distinct-gram result), then
-    broadcast once via ray.put and probed per batch with a vectorized isin.
-    At 100 TB the broadcast set becomes a Bloom filter over 128-bit gram
-    hashes (same dataflow, ~10 bits/gram); matches then get one exact
-    verify pass — the shape here is the exact small-side case."""
+    Scale shape, two documented plans on the eval side (a ~1% split whose
+    DISTINCT grams are always computed distributively — ``distinct_column``;
+    the driver never holds more than the distinct result):
+
+    - ``≤ max_broadcast`` distinct grams: broadcast the exact frozenset
+      once, probe per batch with a vectorized isin. EXACT — the plan the
+      driver's oracle gate runs.
+    - above it: fold the distinct grams into a BLOOM FILTER
+      (BLOOM_BITS_PER_KEY bits/gram, BLOOM_N_HASH double-hashed probes —
+      ~0.06% false-positive rate) built by a distributed bitwise-OR
+      tree-reduce of per-batch partial bit arrays, broadcast the packed
+      bits (~2 MB per million grams vs ~60 MB of strings), probe per batch
+      with the vectorized all-bits-set test. NO false negatives (every
+      true contamination is reported — the guarantee that matters for
+      decontamination); false positives only ever ADD a spurious
+      contaminated row (tests/test_training.py pins both properties)."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
     def eval_grams(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["doc_id"] % DECONTAM_EVAL_MOD == 0]
         return _ngrams(df, n)[["gram"]].drop_duplicates()
 
-    ev = distinct_column(
+    distinct = distinct_column(
         ds.map_batches(eval_grams, batch_format="pandas"), "gram"
-    ).to_pandas()
-    # a fully-empty Dataset collects to a column-less frame
-    grams = ev["gram"].tolist() if "gram" in ev.columns else []
-    ref = broadcast(frozenset(grams))
+    ).materialize()
+    n_grams = distinct.count()
+
+    if n_grams <= max_broadcast:
+        ev = distinct.to_pandas()
+        # a fully-empty Dataset collects to a column-less frame
+        grams = ev["gram"].tolist() if "gram" in ev.columns else []
+        payload, exact = frozenset(grams), True
+    else:
+        m_bits = 1 << int(np.ceil(np.log2(max(n_grams * BLOOM_BITS_PER_KEY, 64))))
+
+        def partial_bloom(df: pd.DataFrame) -> pd.DataFrame:
+            bits = _bloom_build(df["gram"], m_bits)
+            return pd.DataFrame({"bits": [bits.tobytes()]})
+
+        def or_combine(df: pd.DataFrame) -> pd.DataFrame:
+            acc = np.zeros(m_bits // 64, dtype=np.uint64)
+            for blob in df["bits"]:
+                acc |= np.frombuffer(blob, dtype=np.uint64)
+            return pd.DataFrame({"bits": [acc.tobytes()]})
+
+        from .common import tree_to_pandas
+
+        folded = tree_to_pandas(
+            distinct.map_batches(partial_bloom, batch_format="pandas"), or_combine
+        )
+        acc = np.zeros(m_bits // 64, dtype=np.uint64)
+        for blob in folded["bits"]:
+            acc |= np.frombuffer(blob, dtype=np.uint64)
+        payload, exact = acc, False
+    ref = broadcast((payload, exact))
 
     class Probe:
         def __init__(self):
-            self.grams = ray.get(ref)
+            self.payload, self.exact = ray.get(ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             df = df[df["doc_id"] % DECONTAM_EVAL_MOD != 0]
             g = _ngrams(df, n)
-            hits = g[g["gram"].isin(self.grams)]
+            if self.exact:
+                mask = g["gram"].isin(self.payload).to_numpy()
+            else:
+                mask = _bloom_probe(g["gram"], self.payload)
+            hits = g[mask]
             vc = hits.groupby("doc_id", sort=False).size()
             return pd.DataFrame(
                 {

@@ -221,3 +221,43 @@ def test_heavy_hitters_skewed(ray_session, tmp_path):
     want = sorted((w, n) for w, n in c.items() if n * 30 > total)
     assert list(zip(out["word"], out["n"])) == want
     assert ("hot", c["hot"]) in want
+
+
+def test_decontaminate_bloom_branch_superset(ray_session):
+    """Force the Bloom plan (max_broadcast=0): no false negatives — every
+    exact contamination row appears with the SAME count (Bloom can only
+    add spurious rows / inflate counts, never lose one)."""
+    from snomed_ct_entity_linking_ray.pipelines.training import q_decontaminate
+
+    exact = (
+        q_decontaminate(SF)
+        .to_pandas()
+        .set_index("doc_id")["n_contaminated"]
+        .sort_index()
+    )
+    bloom = (
+        q_decontaminate(SF, max_broadcast=0)
+        .to_pandas()
+        .set_index("doc_id")["n_contaminated"]
+        .sort_index()
+    )
+    assert set(exact.index) <= set(bloom.index)
+    joined = bloom.reindex(exact.index)
+    assert (joined >= exact).all()
+    # at 16 bits/key + 8 probes the FP rate is ~6e-4: expect near-identity
+    extra = len(bloom) - len(exact)
+    assert extra <= max(5, len(exact) // 10), f"too many Bloom FPs: {extra}"
+
+
+def test_bloom_kernels_roundtrip():
+    from snomed_ct_entity_linking_ray.pipelines.training import (
+        _bloom_build,
+        _bloom_probe,
+    )
+
+    grams = pd.Series([f"g{i} h{i} k{i}" for i in range(1000)], dtype=object)
+    bits = _bloom_build(grams, 1 << 15)
+    assert _bloom_probe(grams, bits).all()  # zero false negatives
+    other = pd.Series([f"x{i} y{i} z{i}" for i in range(5000)], dtype=object)
+    fp = _bloom_probe(other, bits).mean()
+    assert fp < 0.05, fp
