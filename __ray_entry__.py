@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_value": relational.q_rolling_user_value,
         "top_orders_per_segment": relational.q_top_orders_per_segment,
         "approx_users": relational.q_approx_users,
+        "grouped_median": relational.q_grouped_median,
+        "customer_event_summary": relational.q_customer_event_summary,
         # declarative Stage composition surface (§2.10), driver-verified
         "compose_pipeline": compose.q_compose_pipeline,
         # text analysis family
@@ -302,6 +304,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round(l_discount*100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM lineitem GROUP BY 1, 2
+        """,
+        "grouped_median": """
+            SELECT event_type,
+                   CAST(percentile_disc(0.5) WITHIN GROUP (
+                        ORDER BY CAST(round(value*100, 0) AS BIGINT)) AS BIGINT)
+                       AS p50_value_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+        "customer_event_summary": """
+            SELECT c.c_custkey, CAST(COUNT(e.event_id) AS BIGINT) AS n_events
+            FROM customer c LEFT JOIN events e ON e.user_id = c.c_custkey
+            GROUP BY 1
         """,
         "rollup_summary": """
             SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,

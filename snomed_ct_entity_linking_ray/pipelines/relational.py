@@ -551,3 +551,78 @@ def q_approx_users(sf_dir: str):
     return pd.DataFrame(
         {"approx_users": np.array([sketches.hll_estimate(final)], dtype=np.int64)}
     )
+
+
+def q_grouped_median(sf_dir: str):
+    """Per-group exact median (percentile_disc 0.5) of event value cents —
+    the GROUPED variant of the ``len_quantiles`` histogram plan, fully
+    distributed: per-batch (event_type, value_cents) value-count partials,
+    ONE ``grouped_sums`` combine (the shuffle moves one row per distinct
+    (group, value) per batch), then groupby(event_type).map_groups walks
+    each group's BOUNDED histogram (distinct-value-sized, not row-sized) —
+    the walk itself runs inside the cluster, not on the driver."""
+    ds = read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"event_type": df["event_type"], "v": cents(df["value"])}
+        )
+        g = out.groupby(["event_type", "v"], as_index=False, sort=False).size()
+        return g.rename(columns={"size": "n"})
+
+    hist = grouped_sums(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "v"],
+        sums={"n": "n"},
+    )
+
+    def median_walk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        k = max(1, -(-total // 2))  # ceil(0.5 * total), percentile_disc
+        idx = int(np.searchsorted(cum, k, side="left"))
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50_value_cents": np.array([g["v"].iloc[idx]], dtype=np.int64),
+                "n": np.array([total], dtype=np.int64),
+            }
+        )
+
+    return hist.groupby("event_type").map_groups(median_walk, batch_format="pandas")
+
+
+def q_customer_event_summary(sf_dir: str):
+    """Left join with zero-fill: every customer with their event count
+    (customers without events keep 0). The fact side reduces to a
+    dictionary-bounded (user_id, n) map via ``grouped_sums``; it ships
+    once as a broadcast sorted-array lookup and the dimension side streams
+    through a searchsorted attach — no shuffle of either full table."""
+    counts = grouped_sums(
+        read(sf_dir, "events", ["user_id"]),
+        ["user_id"],
+        sums={},
+        count_as="n_events",
+    ).to_pandas()  # bounded by distinct users
+    ids = counts["user_id"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    ref = broadcast((ids[order], counts["n_events"].to_numpy(np.int64)[order]))
+
+    class Attach:
+        def __init__(self):
+            self.ids, self.n = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            keys = df["c_custkey"].to_numpy(np.int64)
+            pos = np.searchsorted(self.ids, keys)
+            pos = np.clip(pos, 0, max(0, len(self.ids) - 1))
+            hit = (self.ids[pos] == keys) if len(self.ids) else np.zeros(len(keys), bool)
+            n = np.where(hit, self.n[pos] if len(self.ids) else 0, 0)
+            return pd.DataFrame(
+                {"c_custkey": keys, "n_events": n.astype(np.int64)}
+            )
+
+    return read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        Attach, batch_format="pandas", concurrency=(1, 4)
+    )

@@ -50,6 +50,8 @@ ORACLE_BACKED = [
     "sample_topk_hash",
     "heavy_hitters",
     "rollup_summary",
+    "grouped_median",
+    "customer_event_summary",
 ]
 
 
