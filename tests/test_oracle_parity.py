@@ -52,6 +52,7 @@ ORACLE_BACKED = [
     "rollup_summary",
     "grouped_median",
     "customer_event_summary",
+    "json_field_sum",
 ]
 
 
