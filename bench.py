@@ -87,12 +87,20 @@ def run_bench() -> dict:
         return n
 
     # headline: the flagship record-linkage pipeline end-to-end, with
-    # per-stage instrumentation (no duplicate passes)
+    # per-stage instrumentation (no duplicate passes). Min-of-N reps
+    # (default 2) per the BASELINE.md host-noise methodology — a single
+    # sample on this host can read 2x off (±50% external noise).
     n_docs = fixtures.spec_for_sf_dir(sf_dir).n_docs
-    stage: dict = {}
-    t0 = time.time()
-    n_linked = entity_link.run_entity_link(sf_dir, timings=stage).count()
-    headline = round(time.time() - t0, 3)
+    reps = int(os.environ.get("SCEL_HEADLINE_REPS", "2"))
+    headline, stage, n_linked, raw = float("inf"), {}, 0, []
+    for _ in range(max(1, reps)):
+        st: dict = {}
+        t0 = time.time()
+        n_linked = entity_link.run_entity_link(sf_dir, timings=st).count()
+        dt = round(time.time() - t0, 3)
+        raw.append(dt)
+        if dt < headline:
+            headline, stage = dt, st
     queries["entity_link"] = headline
     n_pairs = stage.get("n_candidate_pairs", 0)
     t_score = max(1e-9, stage.get("t_block_score", 0.0))
@@ -132,6 +140,7 @@ def run_bench() -> dict:
         "docs_per_sec": round(n_docs / headline, 1),
         "n_candidate_pairs": n_pairs,
         "pairs_per_sec": round(n_pairs / t_score, 1),
+        "headline_reps": raw,  # min-of-N estimator; raw samples recorded
         "stages": stage,
     }
     ray.shutdown()
