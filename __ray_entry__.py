@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_median": relational.q_grouped_median,
         "customer_event_summary": relational.q_customer_event_summary,
         "json_field_sum": relational.q_json_field_sum,
+        "cohort_retention": relational.q_cohort_retention,
         # declarative Stage composition surface (§2.10), driver-verified
         "compose_pipeline": compose.q_compose_pipeline,
         # text analysis family
@@ -305,6 +306,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round(l_discount*100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM lineitem GROUP BY 1, 2
+        """,
+        "cohort_retention": """
+            WITH f AS (SELECT user_id,
+                         CAST(CAST(epoch(date_trunc('week', MIN(ts))) AS BIGINT)
+                              // 86400 AS BIGINT) AS cohort_day
+                       FROM events GROUP BY 1),
+            e AS (SELECT DISTINCT user_id,
+                         CAST(CAST(epoch(date_trunc('week', ts)) AS BIGINT)
+                              // 86400 AS BIGINT) AS active_day
+                  FROM events)
+            SELECT f.cohort_day, e.active_day,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM f JOIN e USING (user_id) GROUP BY 1, 2
         """,
         "json_field_sum": """
             SELECT event_type,

@@ -655,3 +655,56 @@ def q_json_field_sum(sf_dir: str):
         sums={"sum_k": "k"},
         count_as="n",
     )
+
+
+def q_cohort_retention(sf_dir: str, n_buckets: int = 64):
+    """Cohort retention: users per (first-event week, active week) — the
+    product-analytics matrix. Weeks are exact int64 Monday-truncated
+    epoch-days (``d - ((d + 3) % 7)``, verified bit-equal to DuckDB
+    date_trunc('week'); the ADVICE-r2 unit pin: int64 epoch arithmetic,
+    never raw datetime64 assumptions).
+
+    Fully distributed, no broadcast (users may be corpus-scale): one
+    map_batches pass emits slim per-batch partials of BOTH relations —
+    (user, min-week) candidates and distinct (user, active-week) rows —
+    tagged and hash-bucketed by user in ONE shuffle; each bucket task
+    finishes the per-user min, joins locally, and emits (cohort, active)
+    pairs; a final ``grouped_sums`` counts users per cell."""
+    ds = read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        d = us // (86400 * 10**6)
+        wk = d - ((d + 3) % 7)
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64), "wk": wk})
+        # batch-local combine: per-user min candidate + distinct active wks
+        f = out.groupby("user_id", as_index=False)["wk"].min()
+        f["kind"] = np.int64(0)
+        e = out.drop_duplicates()
+        e["kind"] = np.int64(1)
+        both = pd.concat([f, e], ignore_index=True)
+        both["_ub"] = (
+            both["user_id"].to_numpy(np.uint64) * _PB % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return both
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        f = g[g["kind"] == 0].groupby("user_id")["wk"].min()
+        e = g[g["kind"] == 1].drop_duplicates(subset=["user_id", "wk"])
+        cohort = e["user_id"].map(f).to_numpy(np.int64)
+        cells = (
+            pd.DataFrame({"cohort_day": cohort, "active_day": e["wk"].to_numpy()})
+            .groupby(["cohort_day", "active_day"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return cells
+
+    partials = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(bucket_join, batch_format="pandas")
+    )
+    return grouped_sums(
+        partials, ["cohort_day", "active_day"], sums={"n_users": "n"}
+    )

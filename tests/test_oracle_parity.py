@@ -53,6 +53,7 @@ ORACLE_BACKED = [
     "grouped_median",
     "customer_event_summary",
     "json_field_sum",
+    "cohort_retention",
 ]
 
 
