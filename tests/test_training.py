@@ -261,3 +261,51 @@ def test_bloom_kernels_roundtrip():
     other = pd.Series([f"x{i} y{i} z{i}" for i in range(5000)], dtype=object)
     fp = _bloom_probe(other, bits).mean()
     assert fp < 0.05, fp
+
+
+def test_week_truncation_formula_matches_duckdb():
+    """The int64 Monday-truncation used by cohort_retention is bit-equal
+    to DuckDB date_trunc('week') across positive epoch days."""
+    import duckdb
+
+    rng = np.random.default_rng(9)
+    us = rng.integers(0, 2_000_000_000, size=500).astype("int64") * 10**6
+    df = pd.DataFrame({"ts": pd.Series(us.astype("datetime64[us]"))})
+    d = us // (86400 * 10**6)
+    got = d - ((d + 3) % 7)
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT CAST(CAST(epoch(date_trunc('week', ts)) AS BIGINT) // 86400 "
+        "AS BIGINT) AS t FROM df",
+    ).df()["t"]
+    assert (got == want.to_numpy()).all()
+
+
+def test_grouped_median_single_value_groups(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from snomed_ct_entity_linking_ray.pipelines.relational import q_grouped_median
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": np.arange(3, dtype=np.int64),
+                "ts": pd.to_datetime(["2024-01-01"] * 3).astype("datetime64[us]"),
+                "user_id": np.array([1, 2, 3], dtype=np.int64),
+                "event_type": ["a", "a", "b"],
+                "value": [1.0, 3.0, 5.0],
+                "props": ['{"k": 1}'] * 3,
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    out = (
+        q_grouped_median(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    # percentile_disc(0.5) of {100, 300} -> 100 (k = ceil(0.5*2) = 1)
+    assert out["p50_value_cents"].tolist() == [100, 500]
+    assert out["n"].tolist() == [2, 1]
