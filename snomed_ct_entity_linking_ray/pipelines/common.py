@@ -174,7 +174,9 @@ def semi_anti_filter(
     dk = distinct_column(key_source, key_col).materialize()
     n_keys = dk.count()
     if n_keys <= max_broadcast:
-        keys = set(dk.to_pandas()[key_col].tolist())
+        # a fully-empty distinct Dataset collects to a column-less frame
+        p = dk.to_pandas()
+        keys = set(p[key_col].tolist()) if key_col in p.columns else set()
         ref = ray.put(keys)
 
         class Filt:

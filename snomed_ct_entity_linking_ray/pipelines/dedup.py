@@ -545,6 +545,12 @@ def q_simhash_buckets(sf_dir: str, prefix_bits: int = 12):
             self.sh = hashing.SimHasher()
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:  # Ray Data can emit empty pandas blocks
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype=np.int64),
+                     "simhash": pd.Series([], dtype=np.int64),
+                     "bucket": pd.Series([], dtype=np.int64)}
+                )
             toks = df["text"].str.split(" ")
             lens = toks.str.len().to_numpy(np.int64)
             flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])

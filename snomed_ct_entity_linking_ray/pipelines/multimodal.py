@@ -19,6 +19,7 @@ batch × concurrency fits worker heaps (guide: memory-aware batch sizing).
 
 from __future__ import annotations
 
+import logging
 import zlib
 
 import numpy as np
@@ -27,6 +28,8 @@ import pyarrow as pa
 import ray.data as rd
 
 from .. import fixtures
+
+logger = logging.getLogger(__name__)
 
 
 def media_rows(sf_dir: str) -> rd.Dataset:
@@ -200,7 +203,16 @@ def q_media_bucket_pairs(sf_dir: str, bucket_cap: int = 4096):
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(g["doc_id"].to_numpy())  # sorted distinct
-        ids = ids[:bucket_cap]
+        if len(ids) > bucket_cap:
+            # logged drop (the _cap_block discipline). NOTE: the DuckDB
+            # oracle generates UNCAPPED pairs — an over-cap bucket diverges
+            # from it by design; no fixture bucket reaches the cap.
+            logger.warning(
+                "media bucket %s over cap: %d members, dropping %d "
+                "(keep-lowest-id)",
+                g["bucket"].iloc[0], len(ids), len(ids) - bucket_cap,
+            )
+            ids = ids[:bucket_cap]
         n = len(ids)
         if n < 2:
             return pd.DataFrame(
