@@ -162,7 +162,7 @@ def test_pair_plans_agree():
         SF, emit_sections=False, fuse_freq=True
     )
     mentions = mentions.materialize()
-    freq_n = ray.get(state["freq_sink"].totals.remote())
+    freq_n = el.freq_totals(state, mentions)
 
     bc_pairs, plan = el.candidate_pairs_auto(mentions, state, freq_n)
     assert plan == "broadcast"
