@@ -808,3 +808,258 @@ def q_cohort_retention(sf_dir: str, n_buckets: int | None = None):
     return grouped_sums(
         partials, ["cohort_day", "active_day"], sums={"n_users": "n"}
     )
+
+
+# --- lag/lead window (streaming-shaped, §2.9) -------------------------------
+
+def q_event_gaps(sf_dir: str):
+    """LAG window op: per user, microseconds since the SAME user's previous
+    event (ordered by ts, event_id); each user's first event is excluded so
+    only exact int64 values cross the oracle boundary.
+
+    Same scale shape as ``q_sessionize``: ONE hash-bucketed-by-user shuffle
+    carrying (event_id, user_id, ts:int64); each bucket sorts once by
+    (user, ts, event_id) and computes every user's gaps in one shifted
+    subtraction masked at segment starts — no per-user Python dispatch."""
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    n_buckets = default_buckets()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": u,
+                "ts": df["ts"].astype("datetime64[us]"),
+                "_ub": _user_bucket(u, n_buckets),
+            }
+        )
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_id": pd.Series([], dtype=np.int64),
+             "user_id": pd.Series([], dtype=np.int64),
+             "gap_us": pd.Series([], dtype=np.int64)}
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        n = len(g)
+        first = np.arange(n, dtype=np.int64) == _run_starts(u)
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        keep = ~first
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64)[keep],
+                "user_id": u[keep],
+                "gap_us": gap[keep],
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(gaps, batch_format="pandas")
+    )
+
+
+# --- multi-join OLAP pipelines (TPC-H Q3/Q5 shapes) -------------------------
+
+def q_shipping_priority(sf_dir: str, k: int = 10):
+    """TPC-H Q3 shape: top-k pending-revenue orders for one market segment.
+
+    Scale plan: the customer segment filter is a broadcast semi-join
+    (dimension-sized key set ships once); orders and lineitem are BOTH
+    date-pruned at the read boundary inside map_batches; the orders ⋈
+    lineitem step is a FACT-FACT hash join (``Dataset.join``, partitioned
+    by order key — neither fact is ever driver-resident or broadcast);
+    revenue combines via ``grouped_sums`` and a per-batch partial top-k
+    bounds the final sort at k rows per block."""
+    cut = _dt.datetime(1998, 1, 1)
+    cust = read_arrow(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    bld = np.sort(
+        cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy(np.int64)
+    )
+    keys_ref = broadcast(bld)
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    class FilterOrders:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            d = df[df["o_orderdate"] < cut]
+            ck = d["o_custkey"].to_numpy(np.int64)
+            if len(self.keys):
+                pos = np.searchsorted(self.keys, ck)
+                pos[pos == len(self.keys)] = 0
+                hit = self.keys[pos] == ck
+            else:  # empty key set: empty semi-join (ADVICE r3 crash class)
+                hit = np.zeros(len(ck), dtype=bool)
+            d = d[hit]
+            return pd.DataFrame(
+                {
+                    "o_orderkey": d["o_orderkey"].to_numpy(np.int64),
+                    "o_orderdate": d["o_orderdate"].astype("datetime64[us]"),
+                }
+            )
+
+    o_f = orders.map_batches(FilterOrders, batch_format="pandas", concurrency=(1, 4))
+
+    li = read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def prep_li(df: pd.DataFrame) -> pd.DataFrame:
+        # exact integer revenue in cent-hundredths: price_cents x
+        # (100 - disc_cents). Rounding the FLOAT product lands exactly on
+        # .5 for 2-decimal prices/discounts, where numpy (half-even) and
+        # DuckDB round() (half-away) disagree — so no float ever crosses
+        # the oracle boundary here.
+        d = df[df["l_shipdate"] > cut]
+        return pd.DataFrame(
+            {
+                "l_orderkey": d["l_orderkey"].to_numpy(np.int64),
+                "rev_cc": cents(d["l_extendedprice"])
+                * (100 - cents(d["l_discount"])),
+            }
+        )
+
+    li_f = li.map_batches(prep_li, batch_format="pandas")
+    n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    j = li_f.join(o_f, "inner", num_partitions=n_part,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = grouped_sums(
+        j, ["l_orderkey", "o_orderdate"], sums={"revenue_ccents": "rev_cc"}
+    )
+
+    def ptop(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_ccents", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True],
+        ).head(k)
+
+    return (
+        agg.map_batches(ptop, batch_format="pandas")
+        .sort(["revenue_ccents", "o_orderdate", "l_orderkey"],
+              descending=[True, False, False])
+        .limit(k)
+    )
+
+
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: revenue by nation where the lineitem's supplier and
+    the order's customer share a nation inside one region, over one order
+    year.
+
+    Scale plan: nation/region are true dimensions (broadcast name maps);
+    orders ⋈ customer and lineitem ⋈ (orders⋈customer) are FACT-FACT hash
+    joins (``Dataset.join``) — customer is fact-sized in this schema, so
+    it is NOT broadcast; the supplier side at TPC-H scale is 10× smaller
+    than customer and ships as a broadcast int-array lookup with the hash
+    join as the documented fallback above ~100M suppliers."""
+    nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = read_arrow(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nat = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    nat = nat[nat["r_name"] == "ASIA"]
+    nat_keys = np.sort(nat["n_nationkey"].to_numpy(np.int64))
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    supp = read_arrow(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    s_keys = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    s_nat = supp.set_index("s_suppkey").loc[s_keys, "s_nationkey"].to_numpy(np.int64)
+    supp_ref = broadcast((s_keys, s_nat))
+    nat_ref = broadcast((nat_keys, name_of))
+
+    lo = _dt.datetime(1997, 1, 1)
+    hi = _dt.datetime(1998, 1, 1)
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep_orders(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
+        return pd.DataFrame(
+            {
+                "o_orderkey": d["o_orderkey"].to_numpy(np.int64),
+                "o_custkey": d["o_custkey"].to_numpy(np.int64),
+            }
+        )
+
+    o_f = orders.map_batches(prep_orders, batch_format="pandas")
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    class PrepCust:
+        def __init__(self):
+            self.nat_keys, _ = ray.get(nat_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            nk = df["c_nationkey"].to_numpy(np.int64)
+            if len(self.nat_keys):
+                pos = np.searchsorted(self.nat_keys, nk)
+                pos[pos == len(self.nat_keys)] = 0
+                hit = self.nat_keys[pos] == nk
+            else:
+                hit = np.zeros(len(nk), dtype=bool)
+            d = df[hit]
+            return pd.DataFrame(
+                {
+                    "c_custkey": d["c_custkey"].to_numpy(np.int64),
+                    "c_nationkey": d["c_nationkey"].to_numpy(np.int64),
+                }
+            )
+
+    c_f = cust.map_batches(PrepCust, batch_format="pandas", concurrency=(1, 4))
+    n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    oc = o_f.join(c_f, "inner", num_partitions=n_part,
+                  on=("o_custkey",), right_on=("c_custkey",))
+
+    li = read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def prep_li(df: pd.DataFrame) -> pd.DataFrame:
+        # exact integer cent-hundredths (see q_shipping_priority)
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                "rev_cc": cents(df["l_extendedprice"])
+                * (100 - cents(df["l_discount"])),
+            }
+        )
+
+    li_f = li.map_batches(prep_li, batch_format="pandas")
+    j = li_f.join(oc, "inner", num_partitions=n_part,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+
+    class AttachSupp:
+        def __init__(self):
+            self.s_keys, self.s_nat = ray.get(supp_ref)
+            _, self.name_of = ray.get(nat_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            sk = df["l_suppkey"].to_numpy(np.int64)
+            if len(self.s_keys):
+                pos = np.searchsorted(self.s_keys, sk)
+                pos[pos == len(self.s_keys)] = 0
+                ok = self.s_keys[pos] == sk
+                snat = np.where(ok, self.s_nat[pos], np.int64(-1))
+            else:
+                ok = np.zeros(len(sk), dtype=bool)
+                snat = np.full(len(sk), -1, dtype=np.int64)
+            keep = ok & (snat == df["c_nationkey"].to_numpy(np.int64))
+            d = df[keep]
+            return pd.DataFrame(
+                {
+                    "n_name": pd.Series(snat[keep]).map(self.name_of).to_numpy(object),
+                    "rev_cc": d["rev_cc"].to_numpy(np.int64),
+                }
+            )
+
+    attached = j.map_batches(AttachSupp, batch_format="pandas", concurrency=(1, 4))
+    return grouped_sums(attached, ["n_name"], sums={"revenue_ccents": "rev_cc"})

@@ -411,3 +411,151 @@ def q_bm25_topk(sf_dir: str, k: int = 10):
         .reset_index(drop=True)
     )
     return final
+
+
+REDACT_TERMS = ["spark", "merge"]  # shared with the oracle SQL regex
+
+
+def q_redact_terms(sf_dir: str):
+    """PII-scrub-shaped redaction: replace every word-bounded occurrence of
+    the blacklist terms with the ``<RED>`` placeholder and count the
+    redactions per doc. The regex is compiled once per process by pandas'
+    C-backed str kernels; the pattern class (word-bounded alternation) is
+    the exact shape a real email/phone scrubber uses — the corpus here is
+    synthetic words, so the blacklist plays the PII-pattern role."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    pat = r"\b(" + "|".join(REDACT_TERMS) + r")\b"
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "clean_text": df["text"].str.replace(pat, "<RED>", regex=True),
+                "n_redacted": df["text"].str.count(pat).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_quality_filter(sf_dir: str):
+    """C4/Gopher-style rule-stack document filter: keep docs with
+    20 <= n_words <= 80, stopword ratio >= 10%, and mean word length
+    <= 4.8 chars. Every predicate is CROSS-MULTIPLIED INTEGER arithmetic
+    (n_stopwords*10 >= n_words etc.) so no float ever crosses the oracle
+    boundary; signals ride along for downstream mixing decisions.
+    Embarrassingly parallel — one vectorized map_batches, no shuffle."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        n_chars = df["text"].str.len().astype(np.int64)
+        n_spaces = df["text"].str.count(" ").astype(np.int64)
+        n_words = (n_spaces + 1).to_numpy()
+        wchars = (n_chars - n_spaces).to_numpy()
+        ex = df["text"].str.split(" ").explode()
+        n_stop = (
+            ex.isin(STOPWORDS)
+            .groupby(level=0)
+            .sum()
+            .astype(np.int64)
+            .reindex(df.index, fill_value=0)
+            .to_numpy()
+        )
+        keep = (
+            (n_words >= 20)
+            & (n_words <= 80)
+            & (n_stop * 10 >= n_words)
+            & (wchars * 10 <= n_words * 48)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+                "n_words": n_words[keep],
+                "n_stopwords": n_stop[keep],
+                "total_word_chars": wchars[keep],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_bigram_lift(sf_dir: str, k: int = 20):
+    """Collocation mining: top-k corpus bigrams by lift
+    = n_ab * n_tokens / (n_a * n_b).
+
+    Scale shape: bigram counts via the ``grouped_sums`` map-side combine
+    (shuffle moves one row per distinct in-batch bigram); unigram counts
+    are VOCABULARY-BOUNDED, so they collect once and broadcast as a
+    lookup (the ``vocab_topk`` discipline — a join would move the
+    corpus-sized bigram table instead). The lift score is one double
+    expression, (n_ab·T)/(n_a·n_b), identical IEEE evaluation order in
+    both engines; counts stay int64 so ranking ties break exactly."""
+    ds = read(sf_dir, "documents", ["text"])
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ").explode()
+        vc = words.value_counts()
+        return pd.DataFrame({"word": vc.index, "n": vc.to_numpy().astype(np.int64)})
+
+    uni = grouped_sums(
+        ds.map_batches(uni_partial, batch_format="pandas"), ["word"], sums={"n": "n"}
+    ).to_pandas()  # vocabulary-bounded
+    n_total = int(uni["n"].sum())
+    uni_ref = broadcast(dict(zip(uni["word"], uni["n"].astype(np.int64))))
+
+    def bg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        w1s: list[np.ndarray] = []
+        w2s: list[np.ndarray] = []
+        for t in df["text"]:
+            ws = np.array(t.split(" "), dtype=object)
+            if len(ws) > 1:
+                w1s.append(ws[:-1])
+                w2s.append(ws[1:])
+        if not w1s:
+            return pd.DataFrame(
+                {"w1": pd.Series([], dtype=object), "w2": pd.Series([], dtype=object),
+                 "n_ab": pd.Series([], dtype=np.int64)}
+            )
+        g = pd.DataFrame({"w1": np.concatenate(w1s), "w2": np.concatenate(w2s)})
+        g = g.groupby(["w1", "w2"], as_index=False, sort=False).size()
+        return g.rename(columns={"size": "n_ab"}).astype({"n_ab": np.int64})
+
+    bg = grouped_sums(
+        ds.map_batches(bg_partial, batch_format="pandas"), ["w1", "w2"],
+        sums={"n_ab": "n_ab"},
+    )
+
+    class Score:
+        def __init__(self):
+            self.uni = ray.get(uni_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame(
+                    {"w1": pd.Series([], dtype=object), "w2": pd.Series([], dtype=object),
+                     "n_ab": pd.Series([], dtype=np.int64),
+                     "n_a": pd.Series([], dtype=np.int64),
+                     "n_b": pd.Series([], dtype=np.int64),
+                     "lift": pd.Series([], dtype=np.float64)}
+                )
+            n_a = df["w1"].map(self.uni).to_numpy(np.int64)
+            n_b = df["w2"].map(self.uni).to_numpy(np.int64)
+            n_ab = df["n_ab"].to_numpy(np.int64)
+            lift = (n_ab.astype(np.float64) * np.float64(n_total)) / (
+                n_a.astype(np.float64) * n_b.astype(np.float64)
+            )
+            out = pd.DataFrame(
+                {"w1": df["w1"], "w2": df["w2"], "n_ab": n_ab,
+                 "n_a": n_a, "n_b": n_b, "lift": lift}
+            )
+            # map-side partial top-k bounds the final sort at k rows/batch
+            return out.sort_values(
+                ["lift", "w1", "w2"], ascending=[False, True, True]
+            ).head(k)
+
+    return (
+        bg.map_batches(Score, batch_format="pandas", concurrency=(1, 4))
+        .sort(["lift", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )

@@ -54,6 +54,14 @@ ORACLE_BACKED = [
     "customer_event_summary",
     "json_field_sum",
     "cohort_retention",
+    # r4 additions + the prefix-filter ngram_jaccard rewrite
+    "event_gaps",
+    "shipping_priority",
+    "local_supplier_volume",
+    "redact_terms",
+    "quality_filter",
+    "bigram_lift",
+    "ngram_jaccard_pairs",
 ]
 
 
@@ -61,7 +69,7 @@ ORACLE_BACKED = [
 def duck():
     con = duckdb.connect()
     for t in ["documents", "embeddings", "lineitem", "orders", "customer",
-              "events", "part", "region", "nation"]:
+              "events", "part", "region", "nation", "supplier"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
