@@ -122,11 +122,27 @@ def run_bench() -> dict:
     timed("bm25_topk", text.q_bm25_topk)
     timed("pack_sequences", training.q_pack_sequences)
     timed("decontaminate", training.q_decontaminate)
+    # same op with the broadcast plan DISABLED so the 100-TB Bloom-filter
+    # path (distributed OR-tree build + packed-bits probe) gets a measured
+    # number next to the exact plan (VERDICT r3 #8)
+    timed(
+        "decontaminate_bloom",
+        lambda d: training.q_decontaminate(d, max_broadcast=0),
+    )
     timed("quality_score", training.q_quality_score)
     timed("novel_docs", training.q_novel_docs)
     from snomed_ct_entity_linking_ray.pipelines import multimodal
 
     timed("span_stats", multimodal.q_span_stats)
+    # r4 additions: multi-join OLAP, lag window, scrub/filter/collocation,
+    # and the prefix-filtered set-similarity join
+    timed("shipping_priority", relational.q_shipping_priority)
+    timed("local_supplier_volume", relational.q_local_supplier_volume)
+    timed("event_gaps", relational.q_event_gaps)
+    timed("redact_terms", text.q_redact_terms)
+    timed("quality_filter", text.q_quality_filter)
+    timed("bigram_lift", text.q_bigram_lift)
+    timed("ngram_jaccard_pairs", dedup.q_ngram_jaccard_pairs)
 
     result = {
         "metric": "entity_link_e2e",

@@ -97,3 +97,35 @@ def test_tree_reduce_chain():
     want = _reference_labels(edges)
     got = _labels_of(connected_components(_edge_ds(edges, n_blocks=6), n_blocks_hint=6))
     assert got == want
+
+
+def test_propagate_negative_ids_raise():
+    """The documented contract (VERDICT r3 #8): -1 is the internal
+    label-carrier sentinel, so negative node ids must fail LOUDLY at the
+    edge explode instead of silently mis-propagating."""
+    edges = [(-1, 2), (2, 3)]
+    with pytest.raises(Exception, match="non-negative"):
+        connected_components_propagate(
+            _edge_ds(edges, n_blocks=1), max_rounds=4, num_partitions=2
+        )
+
+
+def test_propagate_random_graphs_match_reference():
+    """Property-style sweep: seeded random graphs (including isolated-ish
+    sparse ones) agree with the single-process union-find on both paths."""
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        n = int(rng.integers(5, 60))
+        m = int(rng.integers(1, 3 * n))
+        edges = [
+            (int(rng.integers(0, n)), int(rng.integers(0, n))) for _ in range(m)
+        ]
+        want = _reference_labels(edges)
+        got_t = _labels_of(connected_components(_edge_ds(edges, n_blocks=3), n_blocks_hint=3))
+        assert got_t == want, f"tree-reduce trial {trial}"
+        got_p = _labels_of(
+            connected_components_propagate(
+                _edge_ds(edges, n_blocks=3), max_rounds=12, num_partitions=4
+            )
+        )
+        assert got_p == want, f"propagate trial {trial}"
