@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         dict_train,
         entity_link,
+        er,
         llm,
         multimodal,
         relational,
@@ -69,6 +70,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_terms": text.q_redact_terms,
         "quality_filter": text.q_quality_filter,
         "bigram_lift": text.q_bigram_lift,
+        # entity-resolution blocking family (new in r4)
+        "fuzzy_name_pairs": er.q_fuzzy_name_pairs,
+        "sorted_neighborhood_pairs": er.q_sorted_neighborhood_pairs,
+        "customer_order_distribution": relational.q_customer_order_distribution,
+        "sliding_activity": relational.q_sliding_activity,
         # relational operator family (SURVEY.md §2 S/J/G/T classes)
         "filter_revenue": relational.q_filter_revenue,
         "pricing_summary": relational.q_pricing_summary,
@@ -281,6 +287,38 @@ def oracle_sql() -> dict[str, str]:
                            / (CAST(a.n AS DOUBLE) * b.n) AS lift
                 FROM bc JOIN uc a ON bc.w1 = a.word JOIN uc b ON bc.w2 = b.word)
             ORDER BY lift DESC, w1, w2 LIMIT 20
+        """,
+        "fuzzy_name_pairs": """
+            WITH names AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b
+            FROM names a JOIN names b
+              ON substr(a.p_name,1,1) = substr(b.p_name,1,1)
+             AND abs(length(a.p_name) - length(b.p_name)) <= 3
+             AND a.p_name < b.p_name
+            WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8
+        """,
+        "sorted_neighborhood_pairs": """
+            WITH r AS (SELECT c_custkey,
+                              row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rk
+                       FROM customer)
+            SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+                   CAST(b.rk - a.rk AS BIGINT) AS rank_gap
+            FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 3
+        """,
+        "customer_order_distribution": """
+            SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers FROM (
+                SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+                FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey)
+            GROUP BY n_orders
+        """,
+        "sliding_activity": """
+            WITH h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+                       FROM events GROUP BY 1)
+            SELECT hr, CAST(SUM(n) OVER (ORDER BY hr
+                 RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_window
+            FROM h
         """,
         "span_stats": f"""
             SELECT doc_id,

@@ -143,6 +143,13 @@ def run_bench() -> dict:
     timed("quality_filter", text.q_quality_filter)
     timed("bigram_lift", text.q_bigram_lift)
     timed("ngram_jaccard_pairs", dedup.q_ngram_jaccard_pairs)
+    # r4b: ER blocking family + relational additions
+    from snomed_ct_entity_linking_ray.pipelines import er
+
+    timed("fuzzy_name_pairs", er.q_fuzzy_name_pairs)
+    timed("sorted_neighborhood_pairs", er.q_sorted_neighborhood_pairs)
+    timed("customer_order_distribution", relational.q_customer_order_distribution)
+    timed("sliding_activity", relational.q_sliding_activity)
 
     result = {
         "metric": "entity_link_e2e",

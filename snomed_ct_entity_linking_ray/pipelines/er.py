@@ -1,0 +1,286 @@
+"""Entity-resolution blocking + matching operators.
+
+The reference's linkage pipeline blocks candidate mentions by normalized
+surface keys and verifies with string similarity (1st Place/src/
+generate_annotations.py dictionary keys; SURVEY.md §2.8 scalar kernels).
+This module re-expresses the two classic ER *blocking* disciplines from
+the record-linkage literature as Ray Data pipelines over the fixture
+tables, each with an exact DuckDB oracle:
+
+- ``q_fuzzy_name_pairs`` — standard blocking: equi-key blocks
+  (first char × length band) + Jaro-Winkler verification. The blocked
+  join IS the operator semantics (the oracle blocks identically), the
+  textbook trade of recall for tractability.
+- ``q_sorted_neighborhood_pairs`` — sorted-neighborhood method
+  (Hernandez/Stolfo SIGMOD'95): total-order the records on a sort key,
+  emit every pair within a fixed rank window. Distributed as two slim
+  shuffles (value-range bucketing for global rank, then rank-block
+  co-location with boundary overlap) — the record payload never moves.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.similarity import jaro_winkler
+from .common import broadcast, default_buckets, distinct_column, grouped_sums, read
+from .dedup import _cap_block
+
+logger = logging.getLogger(__name__)
+
+FUZZY_BLOCK_CAP = 4096
+
+
+def q_fuzzy_name_pairs(
+    sf_dir: str,
+    threshold: float = 0.8,
+    max_len_diff: int = 3,
+    len_band: int = 4,
+    block_cap: int = FUZZY_BLOCK_CAP,
+):
+    """Blocked fuzzy self-join on distinct part names: pairs with the same
+    first character, length difference ≤ ``max_len_diff``, and
+    Jaro-Winkler ≥ ``threshold`` (bit-exact vs DuckDB's
+    ``jaro_winkler_similarity`` — property-pinned in
+    tests/test_similarity.py).
+
+    Blocking is exact w.r.t. the declared predicate: each name of length
+    L is emitted to length bands ``L // len_band`` and ``+1``; with
+    ``len_band > max_len_diff`` any pair within ``max_len_diff`` shares a
+    band (bands of two lengths ≤ 3 apart differ by ≤ 1), so there are NO
+    false negatives vs the oracle's equivalent inequality join. A pair
+    can surface in at most two shared bands → one distinct pass on the
+    canonical (name_a, name_b) key. Blocks over ``block_cap`` truncate
+    deterministically with a logged drop (the `_cap_block` discipline).
+
+    Scale shape: the shuffle carries (first-char, band, name) only —
+    names, not records; verification is per-pair inside vocabulary-
+    bounded blocks, and the JW kernel runs only on pairs that survive the
+    vectorized length filter.
+    """
+    if len_band <= max_len_diff:
+        raise ValueError("len_band must exceed max_len_diff for exact blocking")
+    names = distinct_column(read(sf_dir, "part", ["p_name"]), "p_name")
+
+    def keys(df: pd.DataFrame) -> pa.Table:
+        nm = df["p_name"].astype(str)
+        ln = nm.str.len().to_numpy(np.int64)
+        ch = nm.str[:1]
+        band = ln // len_band
+        out = pd.DataFrame(
+            {
+                "ch": pd.concat([ch, ch], ignore_index=True),
+                "band": np.concatenate([band, band + 1]),
+                "p_name": pd.concat([nm, nm], ignore_index=True),
+                "ln": np.concatenate([ln, ln]),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pair_schema = pa.schema([("name_a", pa.string()), ("name_b", pa.string())])
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        g = _cap_block(g, "p_name", "fuzzy_name", block_cap)
+        nm = g["p_name"].to_numpy(object)
+        ln = g["ln"].to_numpy(np.int64)
+        n = len(g)
+        a_out: list = []
+        b_out: list = []
+        if n >= 2:
+            ia, ib = np.triu_indices(n, k=1)
+            keep = np.abs(ln[ia] - ln[ib]) <= max_len_diff
+            for i, j in zip(ia[keep], ib[keep]):
+                if jaro_winkler(nm[i], nm[j]) >= threshold:
+                    a_out.append(nm[i])
+                    b_out.append(nm[j])
+        # Arrow output: empty pandas string blocks trip Ray's sampling
+        # size estimator (the distinct_column note in common.py)
+        return pa.Table.from_arrays(
+            [pa.array(a_out, pa.string()), pa.array(b_out, pa.string())],
+            schema=pair_schema,
+        )
+
+    cand = (
+        names.map_batches(keys, batch_format="pandas")
+        .groupby(["ch", "band"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return _distinct_name_pairs(cand)
+
+
+def _distinct_name_pairs(cand: rd.Dataset, n_buckets: int | None = None) -> rd.Dataset:
+    """Distinct canonical (name_a, name_b) string pairs — the
+    dedup_pairs_distinct shape on a string pair key (hash-bucketed
+    vectorized drop_duplicates; map-side combine first)."""
+    if n_buckets is None:
+        n_buckets = default_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        a = df["name_a"].astype(str)
+        b = df["name_b"].astype(str)
+        lo = np.where(a <= b, a, b)
+        hi = np.where(a <= b, b, a)
+        out = pd.DataFrame({"name_a": lo, "name_b": hi})
+        out = out.drop_duplicates()
+        h = pd.util.hash_pandas_object(
+            out["name_a"] + "\x00" + out["name_b"], index=False
+        ).to_numpy()
+        out["_pb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def bucket_dedup(g: pd.DataFrame) -> pa.Table:
+        out = g.drop_duplicates(subset=["name_a", "name_b"]).drop(columns=["_pb"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        cand.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(bucket_dedup, batch_format="pandas")
+    )
+
+
+SNM_WINDOW = 3
+
+
+def q_sorted_neighborhood_pairs(sf_dir: str, window: int = SNM_WINDOW):
+    """Sorted-neighborhood candidate pairs over customers: total-order by
+    (c_acctbal, c_custkey), emit every pair whose ranks differ by at most
+    ``window`` with the gap attached — the Hernandez/Stolfo SNM blocking
+    pass (the verify stage is pluggable; this emits the candidate set the
+    oracle can check exactly).
+
+    Scale shape — global rank without a global sort:
+      1. slim pass: (c_custkey, acctbal-cents) only; min/max of the sort
+         key from per-batch partials (driver sees #blocks rows).
+      2. value-range buckets on the key (deterministic width); ONE
+         groupby(bucket) co-locates each range. Per-bucket counts from a
+         ``grouped_sums`` pass turn into exclusive prefix offsets
+         (driver-bounded: one row per bucket), broadcast once; the bucket
+         task sorts its range vectorized and adds its offset → exact
+         global rank 0..n-1. The shuffle moves 16 B/row.
+      3. rank blocks of size B with the first ``window`` rows of each
+         block ALSO emitted to the previous block (boundary overlap);
+         within a block ranks are consecutive integers, so the window
+         pairs are pure position arithmetic (no per-row Python). A pair
+         is emitted only by its lower rank's home block → exact, no
+         dedup shuffle.
+
+    Skew note: value-range buckets inherit the key distribution; a
+    pathological single-value key (everyone the same balance) degrades to
+    one bucket — salt with the tiebreak key if a real corpus needs it
+    (the tiebreak (c_custkey) is already part of the total order).
+    """
+    ds = read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    n_buckets = default_buckets()
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.round(df["c_acctbal"].to_numpy(np.float64) * 100).astype(np.int64)
+        return pd.DataFrame(
+            {"c_custkey": df["c_custkey"].to_numpy(np.int64), "bal_c": v}
+        )
+
+    slim_ds = ds.map_batches(slim, batch_format="pandas").materialize()
+
+    # pass 1: key range (per-batch partials; driver sees #blocks rows)
+    def minmax(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"lo": pd.Series([], dtype=np.int64),
+                                 "hi": pd.Series([], dtype=np.int64)})
+        v = df["bal_c"].to_numpy(np.int64)
+        return pd.DataFrame({"lo": [v.min()], "hi": [v.max()]})
+
+    mm = slim_ds.map_batches(minmax, batch_format="pandas").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def add_vb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_vb"] = np.minimum(
+            (df["bal_c"].to_numpy(np.int64) - lo) // width, n_buckets - 1
+        ).astype(np.int64)
+        return df
+
+    keyed = slim_ds.map_batches(add_vb, batch_format="pandas").materialize()
+    counts = (
+        grouped_sums(keyed, ["_vb"], sums={}, count_as="n")
+        .to_pandas()
+        .sort_values("_vb")
+    )
+    nrow = counts["n"].to_numpy(np.int64)
+    offsets = dict(
+        zip(counts["_vb"].to_numpy(np.int64).tolist(),
+            (np.cumsum(nrow) - nrow).tolist())
+    )
+    n_total = int(nrow.sum())
+    off_ref = broadcast(offsets)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[int(g["_vb"].iloc[0])]
+        g = g.sort_values(["bal_c", "c_custkey"])
+        return pd.DataFrame(
+            {
+                "c_custkey": g["c_custkey"].to_numpy(np.int64),
+                "rank": off + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    ranked = keyed.groupby("_vb").map_groups(rank_bucket, batch_format="pandas")
+
+    # pass 3: rank-block pairing with boundary overlap
+    block = max(2 * window, -(-n_total // default_buckets()))
+
+    def emit_blocks(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["rank"].to_numpy(np.int64)
+        k = df["c_custkey"].to_numpy(np.int64)
+        home = r // block
+        borrow = (r % block < window) & (home > 0)
+        return pd.DataFrame(
+            {
+                "c_custkey": np.concatenate([k, k[borrow]]),
+                "rank": np.concatenate([r, r[borrow]]),
+                "_rb": np.concatenate([home, home[borrow] - 1]),
+            }
+        )
+
+    def window_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rb = int(g["_rb"].iloc[0])
+        g = g.sort_values("rank")
+        r = g["rank"].to_numpy(np.int64)
+        k = g["c_custkey"].to_numpy(np.int64)
+        a_out, b_out, gap_out = [], [], []
+        n = len(g)
+        for gp in range(1, window + 1):
+            if n <= gp:
+                break
+            ia = np.arange(0, n - gp)
+            # ranks are consecutive within the block's covered range, so
+            # position arithmetic IS rank arithmetic; keep home-row lows
+            keep = (r[ia] // block == rb) & (r[ia + gp] - r[ia] == gp)
+            a_out.append(k[ia[keep]])
+            b_out.append(k[ia[keep] + gp])
+            gap_out.append(np.full(int(keep.sum()), gp, dtype=np.int64))
+        if not a_out:
+            return pd.DataFrame(
+                {"cust_a": pd.Series([], dtype=np.int64),
+                 "cust_b": pd.Series([], dtype=np.int64),
+                 "rank_gap": pd.Series([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {
+                "cust_a": np.concatenate(a_out),
+                "cust_b": np.concatenate(b_out),
+                "rank_gap": np.concatenate(gap_out),
+            }
+        )
+
+    return (
+        ranked.map_batches(emit_blocks, batch_format="pandas")
+        .groupby("_rb")
+        .map_groups(window_pairs, batch_format="pandas")
+    )

@@ -1063,3 +1063,91 @@ def q_local_supplier_volume(sf_dir: str):
 
     attached = j.map_batches(AttachSupp, batch_format="pandas", concurrency=(1, 4))
     return grouped_sums(attached, ["n_name"], sums={"revenue_ccents": "rev_cc"})
+
+
+def q_customer_order_distribution(sf_dir: str):
+    """Order-count histogram (the TPC-H Q13 shape): per-customer order
+    counts via a left join with zero-fill, then the distribution of those
+    counts. Tests the outer-join + double-aggregation composition.
+
+    Scale shape: the fact side reduces to (custkey, n_orders) via
+    ``grouped_sums`` (distributed map-side combine; never the raw orders).
+    The per-customer table is customer-cardinality — the attach is the
+    broadcast-or-join dual plan of ``q_customer_event_summary``; here the
+    grouped counts table re-buckets straight into the second (tiny)
+    histogram combine, so the wide side moves once."""
+    counts = grouped_sums(
+        read(sf_dir, "orders", ["o_custkey"]), ["o_custkey"], sums={},
+        count_as="n_orders",
+    ).to_pandas()  # bounded by distinct ordering customers
+    keys = counts["o_custkey"].to_numpy(np.int64)
+    order = np.argsort(keys)
+    ref = broadcast((keys[order], counts["n_orders"].to_numpy(np.int64)[order]))
+
+    class Attach:
+        def __init__(self):
+            self.keys, self.n = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ck = df["c_custkey"].to_numpy(np.int64)
+            if len(self.keys):
+                pos = np.searchsorted(self.keys, ck)
+                pos[pos == len(self.keys)] = 0
+                hit = self.keys[pos] == ck
+                n = np.where(hit, self.n[pos], 0)
+            else:
+                n = np.zeros(len(ck), dtype=np.int64)
+            return pd.DataFrame({"n_orders": n.astype(np.int64)})
+
+    per_cust = read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        Attach, batch_format="pandas", concurrency=(1, 4)
+    )
+    return grouped_sums(per_cust, ["n_orders"], sums={}, count_as="n_customers")
+
+
+def q_sliding_activity(sf_dir: str, hours: int = 3):
+    """Sliding-window aggregate: per present hour, the event count over
+    the trailing ``hours``-hour window (DuckDB RANGE-frame semantics —
+    missing hours are NOT zero-filled; the window covers present hours in
+    (hr - hours, hr]).
+
+    Scale shape: the corpus-wide pass is ONE ``grouped_sums`` on the
+    int64 epoch-hour (the q_hourly_user_activity key discipline); the
+    sliding sum then runs vectorized (cumsum + searchsorted) over the
+    time-bounded hourly table — #rows = distinct hours, bounded by the
+    corpus time span, not its volume."""
+    ds = read(sf_dir, "events", ["ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "hour_idx": (
+                    df["ts"].astype("datetime64[us]").astype("int64")
+                    // (3600 * 10**6)
+                ).astype(np.int64),
+            }
+        )
+
+    hourly = (
+        grouped_sums(
+            ds.map_batches(prep, batch_format="pandas"), ["hour_idx"], sums={},
+            count_as="n",
+        )
+        .to_pandas()  # bounded by distinct hours (time span, not volume)
+        .sort_values("hour_idx")
+        .reset_index(drop=True)
+    )
+    h = hourly["hour_idx"].to_numpy(np.int64)
+    n = hourly["n"].to_numpy(np.int64)
+    cum = np.cumsum(n)
+    # window start: first present hour > hr - hours
+    start = np.searchsorted(h, h - (hours - 1), side="left")
+    n_win = cum - np.where(start > 0, cum[start - 1], 0)
+    return pd.DataFrame(
+        {
+            "hr": pd.Series(h * 3600 * 10**6, dtype="int64").astype(
+                "datetime64[us]"
+            ),
+            "n_window": n_win.astype(np.int64),
+        }
+    )

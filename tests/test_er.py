@@ -1,0 +1,82 @@
+"""ER blocking operators: invariants beyond the oracle-parity compare."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from snomed_ct_entity_linking_ray.pipelines import er
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_fuzzy_blocking_exactness():
+    """The dual-band emission loses no pair admitted by the declared
+    predicate: brute force over distinct names == pipeline output."""
+    import duckdb
+    from itertools import combinations
+
+    from snomed_ct_entity_linking_ray.functions.similarity import jaro_winkler
+
+    names = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT p_name FROM read_parquet('{SF}/part.parquet')"
+        ).fetchall()
+    )
+    exp = {
+        (a, b)
+        for a, b in combinations(names, 2)
+        if a[0] == b[0] and abs(len(a) - len(b)) <= 3 and jaro_winkler(a, b) >= 0.8
+    }
+    got = er.q_fuzzy_name_pairs(SF).to_pandas()
+    assert set(zip(got["name_a"], got["name_b"])) == exp
+    # distinct pass leaves no duplicates
+    assert not got.duplicated(["name_a", "name_b"]).any()
+
+
+def test_fuzzy_block_cap_logged_drop():
+    """Over-cap blocks truncate deterministically: capped output is a
+    subset and each (char, band) block contributes at most C(cap,2)."""
+    full = er.q_fuzzy_name_pairs(SF).to_pandas()
+    capped = er.q_fuzzy_name_pairs(SF, block_cap=3).to_pandas()
+    key = lambda df: set(zip(df["name_a"], df["name_b"]))
+    assert key(capped) <= key(full)
+    assert len(capped) < len(full)
+
+
+def test_fuzzy_len_band_guard():
+    with pytest.raises(ValueError, match="len_band"):
+        er.q_fuzzy_name_pairs(SF, max_len_diff=4, len_band=4)
+
+
+def test_snm_window_counts():
+    """Every rank-adjacent pair within the window appears exactly once:
+    pair count is sum_{g=1..w} (n - g) and gaps partition accordingly."""
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/customer.parquet')"
+    ).fetchone()[0]
+    w = 3
+    got = er.q_sorted_neighborhood_pairs(SF, window=w).to_pandas()
+    assert len(got) == sum(n - g for g in range(1, w + 1))
+    vc = got["rank_gap"].value_counts()
+    for g in range(1, w + 1):
+        assert vc[g] == n - g
+    assert not got.duplicated(["cust_a", "cust_b"]).any()
+
+
+def test_snm_neighbors_are_rank_adjacent():
+    """gap-1 pairs reproduce the exact sorted order of (acctbal, custkey)."""
+    import duckdb
+
+    df = duckdb.sql(
+        f"SELECT c_custkey, c_acctbal FROM read_parquet('{SF}/customer.parquet') "
+        "ORDER BY c_acctbal, c_custkey"
+    ).df()
+    order = df["c_custkey"].to_numpy(np.int64)
+    got = er.q_sorted_neighborhood_pairs(SF).to_pandas()
+    g1 = got[got["rank_gap"] == 1].sort_values("cust_a")
+    exp = set(zip(order[:-1], order[1:]))
+    assert set(zip(g1["cust_a"], g1["cust_b"])) == exp

@@ -120,27 +120,39 @@ def test_artifacts_s8(tmp_path):
 
 
 def test_dedup_block_cap_skew():
-    """Skew discipline: a block over BLOCK_CAP is truncated deterministically
-    (keep-lowest-id) with a logged drop — the pipeline completes and emits
-    exactly the capped subset's pairs (one giant (lang, source) block)."""
+    """Skew discipline under prefix-filter blocking: an over-cap
+    (lang, source, prefix-char) block is truncated deterministically
+    (keep-lowest-id, logged drop). At threshold 0 every doc emits ALL its
+    chars as prefix keys, so the expected capped output is exactly the
+    distinct union over (lang, source, char) groups of pairs among each
+    group's 4 lowest doc_ids — simulated independently here."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    import duckdb
+
     from snomed_ct_entity_linking_ray.pipelines import dedup
 
     sf = "/root/testdata/sf0.001"
     full = dedup.q_ngram_jaccard_pairs(sf, threshold=0.0).to_pandas()
-    assert len(full) > 0  # threshold 0 keeps every in-block pair
+    assert len(full) > 0  # threshold 0 keeps every verified pair
 
     capped = dedup.q_ngram_jaccard_pairs(sf, threshold=0.0, block_cap=4).to_pandas()
-    # every block contributes at most C(4,2)=6 pairs, from its 4 lowest ids
-    import duckdb
 
-    blocks = duckdb.sql(
-        f"SELECT lang, source, count(*) AS n FROM read_parquet('{sf}/documents.parquet') GROUP BY 1,2"
+    docs = duckdb.sql(
+        f"SELECT doc_id, text, lang, source FROM read_parquet('{sf}/documents.parquet')"
     ).df()
-    exp = int(sum(min(n, 4) * (min(n, 4) - 1) // 2 for n in blocks["n"]))
-    assert len(capped) == exp
+    groups: dict = defaultdict(list)
+    for did, t, lg, sc in zip(docs.doc_id, docs.text, docs.lang, docs.source):
+        for c in set(t):  # empty text emits no keys
+            groups[(lg, sc, c)].append(int(did))
+    exp_pairs = set()
+    for ids in groups.values():
+        exp_pairs.update(combinations(sorted(ids)[:4], 2))
+    key = lambda df: set(zip(df["doc_a"], df["doc_b"]))
+    assert key(capped) == exp_pairs
     assert len(capped) < len(full)
     # capped output is a subset of the uncapped pairs
-    key = lambda df: set(zip(df["doc_a"], df["doc_b"]))
     assert key(capped) <= key(full)
 
 

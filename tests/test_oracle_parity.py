@@ -62,6 +62,11 @@ ORACLE_BACKED = [
     "quality_filter",
     "bigram_lift",
     "ngram_jaccard_pairs",
+    # r4b: ER blocking family + relational additions
+    "fuzzy_name_pairs",
+    "sorted_neighborhood_pairs",
+    "customer_order_distribution",
+    "sliding_activity",
 ]
 
 
