@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood_pairs": er.q_sorted_neighborhood_pairs,
         "customer_order_distribution": relational.q_customer_order_distribution,
         "sliding_activity": relational.q_sliding_activity,
+        "kmeans_clusters": vectors.q_kmeans_clusters,
         # relational operator family (SURVEY.md §2 S/J/G/T classes)
         "filter_revenue": relational.q_filter_revenue,
         "pricing_summary": relational.q_pricing_summary,
@@ -201,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
             "cosine_topk_lsh",
             "dup_clusters",
             "quality_score",
+            "kmeans_clusters",
         )
     }
 

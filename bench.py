@@ -150,6 +150,7 @@ def run_bench() -> dict:
     timed("sorted_neighborhood_pairs", er.q_sorted_neighborhood_pairs)
     timed("customer_order_distribution", relational.q_customer_order_distribution)
     timed("sliding_activity", relational.q_sliding_activity)
+    timed("kmeans_clusters", vectors.q_kmeans_clusters)
 
     result = {
         "metric": "entity_link_e2e",

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 10  # r3b: + quality_score oracle
+ORACLE_VERSION = 11  # r4b: + kmeans_clusters oracle
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -91,6 +91,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "cosine_topk_lsh": lambda: _cosine_topk_lsh(sf_dir),
         "dup_clusters": lambda: _dup_clusters(sf_dir),
         "quality_score": lambda: _quality_score(sf_dir),
+        "kmeans_clusters": lambda: _kmeans_clusters(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -899,5 +900,41 @@ def _quality_score(sf_dir: str) -> pa.Table:
             "doc_id": pa.array([int(d) for d in doc_ids], pa.int64()),
             "score_q": pa.array(out_scores, pa.int64()),
             "keep": pa.array([1 if s >= 0 else 0 for s in out_scores], pa.int64()),
+        }
+    )
+
+
+def _kmeans_clusters(sf_dir: str, k: int = 8, n_iter: int = 5) -> pa.Table:
+    """Single-process integer k-means mirror of
+    pipelines.vectors.q_kmeans_clusters: same quantization (round(x*2^15)
+    to int64), same int64 distances with argmin-lowest ties, same
+    floor_divide centroid update, same init (k lowest vec_ids), same
+    n_iter + final labeling pass — computed in one flat numpy pass with
+    no Ray, no batching, no partial combines."""
+    t = _read(sf_dir, "embeddings")
+    df = t.select(["vec_id", "embedding"]).to_pandas().sort_values("vec_id")
+    ids = df["vec_id"].to_numpy(np.int64)
+    V = np.round(
+        np.stack(df["embedding"].to_numpy()).astype(np.float64) * (1 << 15)
+    ).astype(np.int64)
+
+    def assign(C: np.ndarray) -> np.ndarray:
+        diff = V[:, None, :] - C[None, :, :]
+        return np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
+
+    init = np.isin(ids, np.arange(k))
+    C = V[init][np.argsort(ids[init])]
+    for _ in range(n_iter):
+        a = assign(C)
+        C = C.copy()
+        for j in range(k):
+            m = a == j
+            if m.any():
+                C[j] = np.floor_divide(V[m].sum(axis=0), int(m.sum()))
+    a = assign(C)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids.tolist(), pa.int64()),
+            "cluster": pa.array(a.astype(np.int64).tolist(), pa.int64()),
         }
     )

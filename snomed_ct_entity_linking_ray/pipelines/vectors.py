@@ -395,3 +395,120 @@ def q_cosine_topk_lsh(sf_dir: str, k: int = 5):
         )
 
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# k-means clustering (training-data curation: cluster-then-sample / dedup)
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+KMEANS_SCALE = 1 << 15
+
+
+def q_kmeans_clusters(sf_dir: str, k: int = KMEANS_K, n_iter: int = KMEANS_ITERS):
+    """Distributed Lloyd's k-means over the embedding column, fully
+    INTEGER so the result is exact and accumulation-order-independent
+    (the quality_score / IVF quantization discipline):
+
+    - vectors quantize once to int64 (round(x * 2^15));
+    - distances are int64 ``sum((v - c)^2)`` (max 64·(2·2^15)^2 ≈ 2.7e11,
+      no overflow); argmin ties break to the lowest cluster id;
+    - the update is elementwise ``floor_divide(sum, count)`` on exact
+      int64 sums — no float ever enters, so combine order can't flip an
+      assignment;
+    - init = the quantized vectors of the k lowest vec_ids (predicate-
+      pushdown read, the _query_matrix discipline); an empty cluster
+      keeps its previous centroid.
+
+    Scale shape: the quantized (vec_id, qv) table materializes ONCE
+    (512 B/row) and each of the ``n_iter`` passes streams it through one
+    map_batches whose output is ≤ k rows per batch — (cluster, count,
+    int64 colsum) partials; the driver reduce sees k × n_blocks bounded
+    rows per pass and broadcasts the k×d centroid table back. The final
+    labeling is one more streamed pass. No shuffle anywhere — this is
+    the broadcast-iterate pattern, the same plan a parameter-server
+    k-means runs on a real cluster.
+    """
+    import os
+
+    import pyarrow.parquet as pq_
+
+    d = None  # inferred from the init read
+
+    init_t = pq_.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    )
+    init_df = init_t.to_pandas().sort_values("vec_id")
+    C = np.round(
+        np.stack(init_df["embedding"].to_numpy()).astype(np.float64) * KMEANS_SCALE
+    ).astype(np.int64)
+    d = C.shape[1]
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quantize(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # Ray Data can emit empty blocks
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                 "qv": pd.Series([], dtype=object)})
+        V = np.round(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64) * KMEANS_SCALE
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy(np.int64), "qv": list(V)}
+        )
+
+    slim = ds.map_batches(quantize, batch_format="pandas").materialize()
+
+    def _assign(V: np.ndarray, C_: np.ndarray) -> np.ndarray:
+        # int64 squared distances; np.argmin breaks ties to the lowest id
+        diff = V[:, None, :] - C_[None, :, :]
+        return np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
+
+    for _ in range(n_iter):
+        ref = broadcast(C)
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"cluster": pd.Series([], dtype=np.int64),
+                                     "n": pd.Series([], dtype=np.int64),
+                                     "s": pd.Series([], dtype=object)})
+            C_ = ray.get(ref)
+            V = np.stack(df["qv"].to_numpy())
+            a = _assign(V, C_)
+            rows_c, rows_n, rows_s = [], [], []
+            for j in np.unique(a):
+                m = a == j
+                rows_c.append(int(j))
+                rows_n.append(int(m.sum()))
+                rows_s.append(V[m].sum(axis=0))  # exact int64 colsums
+            return pd.DataFrame({"cluster": rows_c, "n": rows_n, "s": rows_s})
+
+        p = slim.map_batches(partials, batch_format="pandas").to_pandas()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, d), dtype=np.int64)
+        cj = p["cluster"].to_numpy(np.int64)
+        np.add.at(counts, cj, p["n"].to_numpy(np.int64))
+        np.add.at(sums, cj, np.stack(p["s"].to_numpy()))
+        nz = counts > 0
+        C = C.copy()
+        C[nz] = np.floor_divide(sums[nz], counts[nz, None])
+
+    final_ref = broadcast(C)
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                 "cluster": pd.Series([], dtype=np.int64)})
+        C_ = ray.get(final_ref)
+        V = np.stack(df["qv"].to_numpy())
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(np.int64),
+                "cluster": _assign(V, C_).astype(np.int64),
+            }
+        )
+
+    return slim.map_batches(label, batch_format="pandas")

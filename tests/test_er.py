@@ -80,3 +80,23 @@ def test_snm_neighbors_are_rank_adjacent():
     g1 = got[got["rank_gap"] == 1].sort_values("cust_a")
     exp = set(zip(order[:-1], order[1:]))
     assert set(zip(g1["cust_a"], g1["cust_b"])) == exp
+
+
+def test_kmeans_invariants():
+    """Integer k-means: every vector labeled once, ≤ k clusters,
+    two-run determinism (the order-independence contract), and clusters
+    are non-trivial (more than one distinct label on this fixture)."""
+    import duckdb
+
+    from snomed_ct_entity_linking_ray.pipelines import vectors
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/embeddings.parquet')"
+    ).fetchone()[0]
+    a = vectors.q_kmeans_clusters(SF).to_pandas().sort_values("vec_id")
+    b = vectors.q_kmeans_clusters(SF).to_pandas().sort_values("vec_id")
+    assert len(a) == n
+    assert a["vec_id"].is_unique
+    assert a["cluster"].between(0, 7).all()
+    assert a["cluster"].nunique() > 1
+    assert np.array_equal(a.to_numpy(), b.to_numpy())

@@ -67,6 +67,7 @@ ORACLE_BACKED = [
     "sorted_neighborhood_pairs",
     "customer_order_distribution",
     "sliding_activity",
+    "kmeans_clusters",
 ]
 
 
