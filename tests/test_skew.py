@@ -37,6 +37,42 @@ def skewed_dir(tmp_path_factory):
     return str(d), texts
 
 
+def _prefix_filter_simulation(texts, threshold, cap):
+    """Independent single-process mirror of the prefix-filtered blocking:
+    global char document frequencies → rarest-first prefix keys → per-key
+    keep-lowest-``cap`` ids → in-key all-pairs verify → distinct."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    df = Counter()
+    for t in texts:
+        df.update(set(t))
+    rank = {c: i for i, c in enumerate(sorted(df, key=lambda c: (df[c], c)))}
+    fr = Fraction(str(threshold))
+    groups = defaultdict(list)
+    for did, t in enumerate(texts):
+        s = set(t)
+        n = len(s)
+        if n == 0:
+            continue
+        req = -((-fr.numerator * n) // fr.denominator)  # exact ceil(t·n)
+        for c in sorted(s, key=rank.__getitem__)[: n - req + 1]:
+            groups[rank[c]].append(did)
+    pairs = set()
+    for ids in groups.values():
+        kept = sorted(ids)[:cap]
+        for x in range(len(kept)):
+            for y in range(x + 1, len(kept)):
+                sim = char_set_jaccard_batch(
+                    np.array([texts[kept[x]]], object),
+                    np.array([texts[kept[y]]], object),
+                )[0]
+                if sim >= threshold:
+                    pairs.add((kept[x], kept[y]))
+    over_cap = any(len(ids) > cap for ids in groups.values())
+    return pairs, over_cap
+
+
 def test_hot_block_is_capped_and_deterministic(ray_session, skewed_dir):
     d, texts = skewed_dir
     cap = 50
@@ -46,19 +82,16 @@ def test_hot_block_is_capped_and_deterministic(ray_session, skewed_dir):
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )
-    # drop policy: only the cap lowest doc_ids survive into pair generation
-    assert out["doc_a"].max() < cap and out["doc_b"].max() < cap
-    # exact parity with a naive all-pairs pass over the kept subset
-    kept = texts[:cap]
-    want = []
-    for i in range(cap):
-        for j in range(i + 1, cap):
-            if char_set_jaccard_batch(
-                np.array([kept[i]], object), np.array([kept[j]], object)
-            )[0] >= 0.6:
-                want.append((i, j))
-    got = list(zip(out["doc_a"], out["doc_b"]))
+    # exact parity with the independent prefix-filter + keep-lowest-id
+    # simulation, on a fixture where the cap genuinely bites
+    want, over_cap = _prefix_filter_simulation(texts, 0.6, cap)
+    assert over_cap  # the hot block exceeds the cap in at least one key
+    got = set(zip(out["doc_a"], out["doc_b"]))
     assert got == want and len(want) > 0
+    # capping dropped something vs the uncapped run
+    full = q_ngram_jaccard_pairs(d, threshold=0.6).to_pandas()
+    assert len(out) < len(full)
+    assert got <= set(zip(full["doc_a"], full["doc_b"]))
     # re-run: same capped result (deterministic under skew)
     out2 = (
         q_ngram_jaccard_pairs(d, threshold=0.6, block_cap=cap)
