@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": relational.q_customer_order_distribution,
         "sliding_activity": relational.q_sliding_activity,
         "kmeans_clusters": vectors.q_kmeans_clusters,
+        "order_event_window": relational.q_order_event_window,
+        "posting_lists": text.q_posting_lists,
         # relational operator family (SURVEY.md §2 S/J/G/T classes)
         "filter_revenue": relational.q_filter_revenue,
         "pricing_summary": relational.q_pricing_summary,
@@ -321,6 +323,24 @@ def oracle_sql() -> dict[str, str]:
                  RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)
                  AS BIGINT) AS n_window
             FROM h
+        """,
+        "order_event_window": """
+            SELECT o.o_orderkey,
+                   CAST(count(e.user_id) AS BIGINT) AS n_events
+            FROM orders o LEFT JOIN events e
+              ON e.user_id = o.o_custkey
+             AND e.ts > o.o_orderdate
+             AND e.ts <= o.o_orderdate + INTERVAL 7 DAY
+            GROUP BY o.o_orderkey
+        """,
+        "posting_lists": """
+            WITH td AS (SELECT DISTINCT doc_id, w AS term FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents))
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM td GROUP BY term
         """,
         "span_stats": f"""
             SELECT doc_id,

@@ -151,6 +151,8 @@ def run_bench() -> dict:
     timed("customer_order_distribution", relational.q_customer_order_distribution)
     timed("sliding_activity", relational.q_sliding_activity)
     timed("kmeans_clusters", vectors.q_kmeans_clusters)
+    timed("order_event_window", relational.q_order_event_window)
+    timed("posting_lists", text.q_posting_lists)
 
     result = {
         "metric": "entity_link_e2e",

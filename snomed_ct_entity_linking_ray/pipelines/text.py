@@ -559,3 +559,48 @@ def q_bigram_lift(sf_dir: str, k: int = 20):
         .sort(["lift", "w1", "w2"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def q_posting_lists(sf_dir: str):
+    """Inverted-index build: per term, document frequency + the sorted
+    posting list (comma-joined doc_ids — a string column so the oracle
+    compare is exact; a real index sink would keep the int64 list).
+
+    Scale shape: a doc lives in exactly one batch, so the per-batch
+    DISTINCT (term, doc_id) combine is globally duplicate-free; the
+    shuffle carries those slim pairs hash-bucketed by term, and each
+    bucket assembles its vocabulary-bounded slice of the index with one
+    sort + C-level groupby-join. The assembled index is
+    vocabulary-bounded, never corpus-bounded."""
+    from .common import default_buckets
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    n_buckets = default_buckets()
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.set_index("doc_id")["text"].str.split(" ").explode()
+        p = w.reset_index().drop_duplicates()
+        p.columns = ["doc_id", "term"]
+        h = pd.util.hash_pandas_object(p["term"], index=False).to_numpy()
+        p["_tb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return p
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", "doc_id"])
+        g["s"] = g["doc_id"].astype(str)
+        agg = g.groupby("term", sort=True).agg(
+            df=("doc_id", "size"), postings=("s", ",".join)
+        )
+        return pd.DataFrame(
+            {
+                "term": agg.index.to_numpy(object),
+                "df": agg["df"].to_numpy(np.int64),
+                "postings": agg["postings"].to_numpy(object),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("_tb")
+        .map_groups(assemble, batch_format="pandas")
+    )

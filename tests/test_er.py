@@ -100,3 +100,46 @@ def test_kmeans_invariants():
     assert a["cluster"].between(0, 7).all()
     assert a["cluster"].nunique() > 1
     assert np.array_equal(a.to_numpy(), b.to_numpy())
+
+
+def test_order_event_window_boundaries(tmp_path):
+    """Half-open window semantics (t_lo exclusive, t_hi inclusive), users
+    with zero events keep 0, and cross-user events never leak."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from snomed_ct_entity_linking_ray.pipelines import relational as R
+
+    d = str(tmp_path)
+    base = np.datetime64("2020-01-01T00:00:00", "us")
+    day = np.timedelta64(1, "D")
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([10, 10, 99], pa.int64()),
+            "o_orderdate": pa.array([base, base + 30 * day, base], pa.timestamp("us")),
+        }),
+        f"{d}/orders.parquet",
+    )
+    # events for user 10: at t0 (excluded), t0+7d exactly (included),
+    # t0+7d+1us (excluded), and one for user 20 inside the window
+    us = np.timedelta64(1, "us")
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(
+                [base, base + 7 * day, base + 7 * day + us, base + day],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([10, 10, 10, 20], pa.int64()),
+        }),
+        f"{d}/events.parquet",
+    )
+    got = (
+        R.q_order_event_window(d)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert got["o_orderkey"].tolist() == [1, 2, 3]
+    assert got["n_events"].tolist() == [1, 0, 0]

@@ -68,6 +68,8 @@ ORACLE_BACKED = [
     "customer_order_distribution",
     "sliding_activity",
     "kmeans_clusters",
+    "order_event_window",
+    "posting_lists",
 ]
 
 
