@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": vectors.q_kmeans_clusters,
         "order_event_window": relational.q_order_event_window,
         "posting_lists": text.q_posting_lists,
+        # rewritten in r4 (prefix-filtered blocking) → re-gate this round
+        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         # relational operator family (SURVEY.md §2 S/J/G/T classes)
         "filter_revenue": relational.q_filter_revenue,
         "pricing_summary": relational.q_pricing_summary,
@@ -125,7 +127,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": training.q_heavy_hitters,
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
-        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "simhash_buckets": dedup.q_simhash_buckets,
         "embedding_neardup_pairs": dedup.q_embedding_neardup_pairs,
