@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": vectors.q_kmeans_clusters,
         "order_event_window": relational.q_order_event_window,
         "posting_lists": text.q_posting_lists,
+        "funnel_conversion": relational.q_funnel_conversion,
         # rewritten in r4 (prefix-filtered blocking) → re-gate this round
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         # relational operator family (SURVEY.md §2 S/J/G/T classes)
@@ -342,6 +343,24 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(doc_id AS VARCHAR), ','
                               ORDER BY doc_id) AS postings
             FROM td GROUP BY term
+        """,
+        "funnel_conversion": """
+            WITH f AS (SELECT user_id,
+                              min(CASE WHEN event_type='view' THEN ts END) AS t1,
+                              min(CASE WHEN event_type='click' THEN ts END) AS t2,
+                              min(CASE WHEN event_type='purchase' THEN ts END) AS t3
+                       FROM events GROUP BY user_id)
+            SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+                   CAST(count(*) FILTER (WHERE t1 IS NOT NULL) AS BIGINT) AS n_users
+            FROM f
+            UNION ALL
+            SELECT 2, 'click',
+                   count(*) FILTER (WHERE t1 IS NOT NULL AND t2 > t1)
+            FROM f
+            UNION ALL
+            SELECT 3, 'purchase',
+                   count(*) FILTER (WHERE t1 IS NOT NULL AND t2 > t1 AND t3 > t2)
+            FROM f
         """,
         "span_stats": f"""
             SELECT doc_id,

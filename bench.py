@@ -153,6 +153,7 @@ def run_bench() -> dict:
     timed("kmeans_clusters", vectors.q_kmeans_clusters)
     timed("order_event_window", relational.q_order_event_window)
     timed("posting_lists", text.q_posting_lists)
+    timed("funnel_conversion", relational.q_funnel_conversion)
 
     result = {
         "metric": "entity_link_e2e",

@@ -168,12 +168,19 @@ def link_state_cached(fixture_path: str) -> dict:
     functions of the fixture."""
     cached = _LINK_STATE_CACHE.get(fixture_path)
     if cached is None:
-        cached = ray.get(_build_link_state_task.remote(fixture_path))
+        import copy as _copy
+
+        # ray.get returns plasma-backed READ-ONLY views; deep-copy into
+        # owned driver memory before caching (one-time cost, dictionary-
+        # bounded arrays). score/block refs are NOT pre-put here: they are
+        # created lazily at scoring time (score_pairs /
+        # candidate_pairs_auto) so nothing beyond the extraction dictionary
+        # is pinned in the object store through the extraction flood —
+        # pre-putting them at build time correlated with 2-3.5x slower,
+        # high-variance block+score in the 1M-doc ABAB campaign
+        # (BASELINE.md round 4).
+        cached = _copy.deepcopy(ray.get(_build_link_state_task.remote(fixture_path)))
         cached["vd_ref"] = ray.put(cached["vecdict"])
-        cached["block_ref"] = ray.put(cached["block_of_sid"])
-        cached["score_ref"] = ray.put(
-            (np.array(cached["surfaces"], dtype=object), cached["surface_emb"])
-        )
         _LINK_STATE_CACHE[fixture_path] = cached
     return dict(cached)
 

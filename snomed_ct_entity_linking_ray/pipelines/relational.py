@@ -1235,3 +1235,74 @@ def q_order_event_window(sf_dir: str, days: int = 7):
         )
 
     return both.groupby("_ub").map_groups(window_counts, batch_format="pandas")
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel_conversion(sf_dir: str, stages: tuple = FUNNEL_STAGES):
+    """Ordered funnel: per stage k, the users whose FIRST occurrences
+    satisfy first(s1) < first(s2) < ... < first(sk) — the product-analytics
+    conversion funnel over the event log (strict < on first timestamps;
+    deterministic because the comparison is on int64 epoch-µs).
+
+    Scale shape: per-batch conditional-min partials (one row per user per
+    batch, int64 sentinel for absent stages) → ONE user-bucket shuffle →
+    per-bucket vectorized min-combine + stage-flag cumprod → 3-int count
+    partials; the driver sums a bucket-count-bounded table. The event
+    payload never re-shuffles and no per-user Python runs anywhere (the
+    grouped_sums discipline)."""
+    ds = read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    n_buckets = default_buckets()
+    sent = np.int64(2**62)
+    k = len(stages)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        et = df["event_type"].to_numpy(object)
+        frame = pd.DataFrame({"user_id": u})
+        for i, s in enumerate(stages):
+            m = et == s
+            col = np.where(m, t, sent)
+            frame[f"t{i}"] = col
+        g = frame.groupby("user_id", sort=False).min().reset_index()
+        g["_ub"] = _user_bucket(g["user_id"].to_numpy(np.int64), n_buckets)
+        return g
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.drop(columns=["_ub"]).groupby("user_id", sort=False).min()
+        ok = np.ones(len(f), dtype=bool)
+        counts = []
+        prev = None
+        for i in range(k):
+            t = f[f"t{i}"].to_numpy(np.int64)
+            if prev is None:
+                ok &= t < sent
+            else:
+                ok &= (t < sent) & (t > prev)
+            counts.append(int(ok.sum()))
+            prev = np.where(ok, t, sent)  # non-converted users stay out
+        return pd.DataFrame(
+            {
+                "stage": np.arange(1, k + 1, dtype=np.int64),
+                "event_type": pd.Series(list(stages), dtype=object),
+                "n_users": pd.Series(counts, dtype=np.int64),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .to_pandas()  # ≤ k rows per bucket — bounded
+    )
+    agg = parts.groupby(["stage", "event_type"], sort=True)["n_users"].sum().reset_index()
+    agg = agg.sort_values("stage").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "stage": agg["stage"].astype(np.int64),
+            "event_type": agg["event_type"].astype(object),
+            "n_users": agg["n_users"].astype(np.int64),
+        }
+    )

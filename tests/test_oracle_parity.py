@@ -70,6 +70,7 @@ ORACLE_BACKED = [
     "kmeans_clusters",
     "order_event_window",
     "posting_lists",
+    "funnel_conversion",
 ]
 
 
