@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_event_window": relational.q_order_event_window,
         "posting_lists": text.q_posting_lists,
         "funnel_conversion": relational.q_funnel_conversion,
+        "match_patterns": er.q_match_patterns,
+        "golden_user_profile": er.q_golden_user_profile,
+        "name_clusters": er.q_name_clusters,
         # rewritten in r4 (prefix-filtered blocking) → re-gate this round
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         # relational operator family (SURVEY.md §2 S/J/G/T classes)
@@ -302,6 +305,57 @@ def oracle_sql() -> dict[str, str]:
              AND abs(length(a.p_name) - length(b.p_name)) <= 3
              AND a.p_name < b.p_name
             WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8
+        """,
+        "match_patterns": """
+            SELECT agree_name, agree_type, agree_size,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM (
+                SELECT CAST(CASE WHEN jaro_winkler_similarity(
+                                a.p_name, b.p_name) >= 0.85
+                            THEN 1 ELSE 0 END AS BIGINT) AS agree_name,
+                       CAST(CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0
+                            END AS BIGINT) AS agree_type,
+                       CAST(CASE WHEN abs(a.p_size - b.p_size) <= 2
+                            THEN 1 ELSE 0 END AS BIGINT) AS agree_size
+                FROM part a JOIN part b
+                  ON substr(a.p_name,1,1) = substr(b.p_name,1,1)
+                 AND a.p_brand = b.p_brand
+                 AND a.p_partkey < b.p_partkey)
+            GROUP BY 1, 2, 3
+        """,
+        "golden_user_profile": """
+            WITH c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            top AS (SELECT user_id, event_type AS top_type FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY n DESC, event_type) AS rn
+                FROM c) WHERE rn = 1),
+            agg AS (SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+                           CAST(count(*) AS BIGINT) AS n_events,
+                           CAST(SUM(CAST(round(value*100, 0) AS BIGINT))
+                                AS BIGINT) AS value_cents
+                    FROM events GROUP BY 1)
+            SELECT agg.user_id, first_ts, last_ts, n_events, value_cents,
+                   top_type
+            FROM agg JOIN top USING (user_id)
+        """,
+        "name_clusters": """
+            WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+            e AS (SELECT a.p_name AS na, b.p_name AS nb
+                  FROM names a JOIN names b
+                    ON substr(a.p_name,1,1) = substr(b.p_name,1,1)
+                   AND abs(length(a.p_name) - length(b.p_name)) <= 3
+                   AND a.p_name < b.p_name
+                  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8),
+            und AS (SELECT na, nb FROM e UNION SELECT nb, na FROM e),
+            reach(src, dst) AS (
+                SELECT p_name, p_name FROM names
+                UNION
+                SELECT r.src, u.nb FROM reach r JOIN und u ON r.dst = u.na
+            )
+            SELECT src AS p_name, min(dst) AS cluster_rep
+            FROM reach GROUP BY src
         """,
         "sorted_neighborhood_pairs": """
             WITH r AS (SELECT c_custkey,

@@ -106,54 +106,62 @@ def run_bench() -> dict:
     t_score = max(1e-9, stage.get("t_block_score", 0.0))
     queries["pair_scoring"] = round(t_score, 3)
 
-    # operator-family representatives
-    timed("pricing_summary", relational.q_pricing_summary)
-    timed("hourly_user_activity", relational.q_hourly_user_activity)
-    timed("sessionize", relational.q_sessionize)
-    timed("unigrams", text.q_unigrams)
-    timed("token_count", text.q_token_count)
-    timed("minhash_lsh_pairs", dedup.q_minhash_lsh_pairs)
-    timed("embedding_neardup_pairs", dedup.q_embedding_neardup_pairs)
-    timed("cosine_topk", vectors.q_cosine_topk)
-    timed("dedup_exact", dedup.q_dedup_exact)
-    timed("winnow_dups", dedup.q_winnow_dups)
-    timed("doc_freq", text.q_doc_freq)
-    timed("approx_users", relational.q_approx_users)
-    timed("bm25_topk", text.q_bm25_topk)
-    timed("pack_sequences", training.q_pack_sequences)
-    timed("decontaminate", training.q_decontaminate)
-    # same op with the broadcast plan DISABLED so the 100-TB Bloom-filter
-    # path (distributed OR-tree build + packed-bits probe) gets a measured
-    # number next to the exact plan (VERDICT r3 #8)
-    timed(
-        "decontaminate_bloom",
-        lambda d: training.q_decontaminate(d, max_broadcast=0),
-    )
-    timed("quality_score", training.q_quality_score)
-    timed("novel_docs", training.q_novel_docs)
-    from snomed_ct_entity_linking_ray.pipelines import multimodal
+    # scaling legs (SCEL_SCALING_LEG=1, set by run_scaling) measure the
+    # headline only: the family ops would roughly double each leg's
+    # wall-clock without contributing to the lo/hi ratio
+    if not os.environ.get("SCEL_SCALING_LEG"):
+        # operator-family representatives
+        timed("pricing_summary", relational.q_pricing_summary)
+        timed("hourly_user_activity", relational.q_hourly_user_activity)
+        timed("sessionize", relational.q_sessionize)
+        timed("unigrams", text.q_unigrams)
+        timed("token_count", text.q_token_count)
+        timed("minhash_lsh_pairs", dedup.q_minhash_lsh_pairs)
+        timed("embedding_neardup_pairs", dedup.q_embedding_neardup_pairs)
+        timed("cosine_topk", vectors.q_cosine_topk)
+        timed("dedup_exact", dedup.q_dedup_exact)
+        timed("winnow_dups", dedup.q_winnow_dups)
+        timed("doc_freq", text.q_doc_freq)
+        timed("approx_users", relational.q_approx_users)
+        timed("bm25_topk", text.q_bm25_topk)
+        timed("pack_sequences", training.q_pack_sequences)
+        timed("decontaminate", training.q_decontaminate)
+        # same op with the broadcast plan DISABLED so the 100-TB Bloom-filter
+        # path (distributed OR-tree build + packed-bits probe) gets a measured
+        # number next to the exact plan (VERDICT r3 #8)
+        timed(
+            "decontaminate_bloom",
+            lambda d: training.q_decontaminate(d, max_broadcast=0),
+        )
+        timed("quality_score", training.q_quality_score)
+        timed("novel_docs", training.q_novel_docs)
+        from snomed_ct_entity_linking_ray.pipelines import multimodal
 
-    timed("span_stats", multimodal.q_span_stats)
-    # r4 additions: multi-join OLAP, lag window, scrub/filter/collocation,
-    # and the prefix-filtered set-similarity join
-    timed("shipping_priority", relational.q_shipping_priority)
-    timed("local_supplier_volume", relational.q_local_supplier_volume)
-    timed("event_gaps", relational.q_event_gaps)
-    timed("redact_terms", text.q_redact_terms)
-    timed("quality_filter", text.q_quality_filter)
-    timed("bigram_lift", text.q_bigram_lift)
-    timed("ngram_jaccard_pairs", dedup.q_ngram_jaccard_pairs)
-    # r4b: ER blocking family + relational additions
-    from snomed_ct_entity_linking_ray.pipelines import er
+        timed("span_stats", multimodal.q_span_stats)
+        # r4 additions: multi-join OLAP, lag window, scrub/filter/collocation,
+        # and the prefix-filtered set-similarity join
+        timed("shipping_priority", relational.q_shipping_priority)
+        timed("local_supplier_volume", relational.q_local_supplier_volume)
+        timed("event_gaps", relational.q_event_gaps)
+        timed("redact_terms", text.q_redact_terms)
+        timed("quality_filter", text.q_quality_filter)
+        timed("bigram_lift", text.q_bigram_lift)
+        timed("ngram_jaccard_pairs", dedup.q_ngram_jaccard_pairs)
+        # r4b: ER blocking family + relational additions
+        from snomed_ct_entity_linking_ray.pipelines import er
 
-    timed("fuzzy_name_pairs", er.q_fuzzy_name_pairs)
-    timed("sorted_neighborhood_pairs", er.q_sorted_neighborhood_pairs)
-    timed("customer_order_distribution", relational.q_customer_order_distribution)
-    timed("sliding_activity", relational.q_sliding_activity)
-    timed("kmeans_clusters", vectors.q_kmeans_clusters)
-    timed("order_event_window", relational.q_order_event_window)
-    timed("posting_lists", text.q_posting_lists)
-    timed("funnel_conversion", relational.q_funnel_conversion)
+        timed("fuzzy_name_pairs", er.q_fuzzy_name_pairs)
+        timed("sorted_neighborhood_pairs", er.q_sorted_neighborhood_pairs)
+        timed("customer_order_distribution", relational.q_customer_order_distribution)
+        timed("sliding_activity", relational.q_sliding_activity)
+        timed("kmeans_clusters", vectors.q_kmeans_clusters)
+        timed("order_event_window", relational.q_order_event_window)
+        timed("posting_lists", text.q_posting_lists)
+        timed("funnel_conversion", relational.q_funnel_conversion)
+        # r4c: FS pattern histogram, survivorship, transitive clustering
+        timed("match_patterns", er.q_match_patterns)
+        timed("golden_user_profile", er.q_golden_user_profile)
+        timed("name_clusters", er.q_name_clusters)
 
     result = {
         "metric": "entity_link_e2e",
@@ -183,6 +191,7 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             SCEL_BENCH_DOCS=os.environ.get("SCEL_BENCH_DOCS", SCALING_DOCS),
+            SCEL_SCALING_LEG="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -143,3 +143,78 @@ def test_order_event_window_boundaries(tmp_path):
     )
     assert got["o_orderkey"].tolist() == [1, 2, 3]
     assert got["n_events"].tolist() == [1, 0, 0]
+
+
+def test_pattern_counts_matches_naive_triu():
+    """Chunked rectangular outer comparisons == naive full-triangle
+    enumeration, across chunk boundaries (n straddling multiples of the
+    chunk) and degenerate n."""
+    rng = np.random.default_rng(7)
+    old = er._PAIR_CHUNK
+    er._PAIR_CHUNK = 8  # force many chunks on small n
+    try:
+        for n in [0, 1, 2, 7, 8, 9, 16, 33, 100]:
+            v = 5
+            mat = (rng.random((v, v)) < 0.4).astype(np.uint8)
+            mat = np.maximum(mat, mat.T)
+            np.fill_diagonal(mat, 1)
+            nid = rng.integers(0, v, n)
+            tcode = rng.integers(0, 3, n)
+            sz = rng.integers(0, 10, n)
+            got = er._pattern_counts(nid, tcode, sz, mat, size_tol=2)
+            exp = np.zeros(8, dtype=np.int64)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    code = (
+                        4 * int(mat[nid[i], nid[j]])
+                        + 2 * int(tcode[i] == tcode[j])
+                        + int(abs(int(sz[i]) - int(sz[j])) <= 2)
+                    )
+                    exp[code] += 1
+            assert got.tolist() == exp.tolist(), n
+    finally:
+        er._PAIR_CHUNK = old
+
+
+def test_golden_profile_mode_tiebreak():
+    """Survivorship mode rule: most frequent event_type wins; exact count
+    ties break to the lexicographically smallest type."""
+    import pandas as pd
+
+    got = er.q_golden_user_profile(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    c = ev.groupby(["user_id", "event_type"]).size().reset_index(name="n")
+    exp = (
+        c.sort_values(["user_id", "n", "event_type"], ascending=[True, False, True])
+        .drop_duplicates("user_id")
+        .set_index("user_id")["event_type"]
+    )
+    got_map = got.set_index("user_id")["top_type"]
+    assert got_map.sort_index().equals(exp.sort_index())
+    assert len(got) == ev["user_id"].nunique()
+
+
+def test_name_clusters_transitive_closure():
+    """Cluster labels are the transitive closure of the fuzzy edges: every
+    edge endpoint shares a rep, reps are cluster minima, singletons map to
+    themselves, and every distinct name appears exactly once."""
+    import duckdb
+
+    got = er.q_name_clusters(SF).to_pandas()
+    pairs = er.q_fuzzy_name_pairs(SF).to_pandas()
+    rep = dict(zip(got["p_name"], got["cluster_rep"]))
+    names = set(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT p_name FROM read_parquet('{SF}/part.parquet')"
+        ).fetchall()
+    )
+    assert set(got["p_name"]) == names and len(got) == len(names)
+    for a, b in zip(pairs["name_a"], pairs["name_b"]):
+        assert rep[a] == rep[b], (a, b)
+    # rep is a member of its own cluster and is the cluster minimum
+    by_rep: dict = {}
+    for n, r in rep.items():
+        by_rep.setdefault(r, []).append(n)
+    for r, members in by_rep.items():
+        assert r == min(members)

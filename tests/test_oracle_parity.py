@@ -71,6 +71,10 @@ ORACLE_BACKED = [
     "order_event_window",
     "posting_lists",
     "funnel_conversion",
+    # r4c: Fellegi-Sunter pattern histogram + survivorship
+    "match_patterns",
+    "golden_user_profile",
+    "name_clusters",
 ]
 
 
