@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_patterns": er.q_match_patterns,
         "golden_user_profile": er.q_golden_user_profile,
         "name_clusters": er.q_name_clusters,
+        "match_weights": er.q_match_weights,
+        "blocking_metrics": er.q_blocking_metrics,
+        "metablocking_pairs": er.q_metablocking_pairs,
         # rewritten in r4 (prefix-filtered blocking) → re-gate this round
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         # relational operator family (SURVEY.md §2 S/J/G/T classes)
@@ -339,6 +342,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.user_id, first_ts, last_ts, n_events, value_cents,
                    top_type
             FROM agg JOIN top USING (user_id)
+        """,
+        "match_weights": """
+            WITH p AS (
+                SELECT CASE WHEN jaro_winkler_similarity(a.p_name, b.p_name)
+                                 >= 0.85 THEN 1 ELSE 0 END AS an,
+                       CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS mt,
+                       CASE WHEN abs(a.p_size - b.p_size) <= 2 THEN 1 ELSE 0
+                            END AS asz
+                FROM part a JOIN part b
+                  ON substr(a.p_name,1,1) = substr(b.p_name,1,1)
+                 AND a.p_brand = b.p_brand
+                 AND a.p_partkey < b.p_partkey)
+            SELECT 'name' AS field,
+                   CAST(SUM(mt) AS BIGINT) AS n_match,
+                   CAST(SUM(mt*an) AS BIGINT) AS n_match_agree,
+                   CAST(SUM(1-mt) AS BIGINT) AS n_nonmatch,
+                   CAST(SUM((1-mt)*an) AS BIGINT) AS n_nonmatch_agree,
+                   CAST(SUM(mt*an) AS DOUBLE) / CAST(SUM(mt) AS DOUBLE) AS m,
+                   CAST(SUM((1-mt)*an) AS DOUBLE) / CAST(SUM(1-mt) AS DOUBLE)
+                       AS u
+            FROM p
+            UNION ALL
+            SELECT 'size',
+                   CAST(SUM(mt) AS BIGINT),
+                   CAST(SUM(mt*asz) AS BIGINT),
+                   CAST(SUM(1-mt) AS BIGINT),
+                   CAST(SUM((1-mt)*asz) AS BIGINT),
+                   CAST(SUM(mt*asz) AS DOUBLE) / CAST(SUM(mt) AS DOUBLE),
+                   CAST(SUM((1-mt)*asz) AS DOUBLE) / CAST(SUM(1-mt) AS DOUBLE)
+            FROM p
+        """,
+        "blocking_metrics": """
+            WITH t AS (SELECT substr(p_name,1,1) AS ch, p_brand, p_type
+                       FROM part),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+            b AS (SELECT CAST(SUM(n*(n-1)//2) AS BIGINT) AS bp
+                  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM t
+                        GROUP BY ch, p_brand)),
+            tr AS (SELECT CAST(SUM(n*(n-1)//2) AS BIGINT) AS tp
+                   FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM t
+                         GROUP BY p_type)),
+            tb AS (SELECT CAST(SUM(n*(n-1)//2) AS BIGINT) AS tbp
+                   FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM t
+                         GROUP BY ch, p_brand, p_type))
+            SELECT CAST(n*(n-1)//2 AS BIGINT) AS total_pairs,
+                   bp AS blocked_pairs,
+                   tp AS true_pairs,
+                   tbp AS true_blocked_pairs,
+                   1.0 - CAST(bp AS DOUBLE) / CAST(n*(n-1)//2 AS DOUBLE)
+                       AS reduction_ratio,
+                   CAST(tbp AS DOUBLE) / CAST(tp AS DOUBLE)
+                       AS pairs_completeness
+            FROM tot, b, tr, tb
+        """,
+        "metablocking_pairs": """
+            SELECT pk_a, pk_b, n_shared FROM (
+                SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+                       CAST((CASE WHEN substr(a.p_name,1,1)
+                                       = substr(b.p_name,1,1)
+                             THEN 1 ELSE 0 END)
+                          + (CASE WHEN a.p_size = b.p_size
+                             THEN 1 ELSE 0 END)
+                          + (CASE WHEN a.p_type = b.p_type
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+                FROM part a JOIN part b ON a.p_partkey < b.p_partkey)
+            WHERE n_shared >= 2
         """,
         "name_clusters": """
             WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),

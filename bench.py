@@ -162,6 +162,10 @@ def run_bench() -> dict:
         timed("match_patterns", er.q_match_patterns)
         timed("golden_user_profile", er.q_golden_user_profile)
         timed("name_clusters", er.q_name_clusters)
+        # r4d: m/u estimation, blocking evaluation, meta-blocking pruning
+        timed("match_weights", er.q_match_weights)
+        timed("blocking_metrics", er.q_blocking_metrics)
+        timed("metablocking_pairs", er.q_metablocking_pairs)
 
     result = {
         "metric": "entity_link_e2e",

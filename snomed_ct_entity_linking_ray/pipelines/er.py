@@ -605,3 +605,223 @@ def q_name_clusters(sf_dir: str, threshold: float = 0.8, max_len_diff: int = 3):
         }
     )
     return rd.from_pandas(out)
+
+
+# --- Fellegi-Sunter m/u estimation from labeled truth -----------------------
+
+def q_match_weights(
+    sf_dir: str,
+    threshold: float = MATCH_JW_THRESHOLD,
+    size_tol: int = MATCH_SIZE_TOL,
+):
+    """Fellegi-Sunter conditional agreement probabilities (m/u estimation,
+    Fellegi & Sunter JASA'69 §3; Winkler's labeled-truth variant): given a
+    match label per blocked pair, estimate per comparison field k
+
+    - ``m`` = P(field k agrees | pair is a match)
+    - ``u`` = P(field k agrees | pair is a non-match)
+
+    from which the log-likelihood match weights log(m/u), log((1-m)/(1-u))
+    follow driver-side. The truth label here is ``p_type`` equality (the
+    deterministic stand-in for clerical labels on the synthetic fixture);
+    the comparison fields are the ``q_match_patterns`` name/size agreements
+    over the same (first-char, brand) blocks.
+
+    Distribution: the ONLY distributed work is the 8-bin agreement-pattern
+    histogram (``q_match_patterns`` — chunked vectorized pair counting,
+    broadcast JW vocabulary matrix, per-block bincount partials); m/u are a
+    closed form over that sufficient statistic, computed on the driver
+    from a <=8-row table. This is exactly how FS estimation decomposes at
+    any scale: counts distribute, the estimator does not need to.
+
+    Output: one row per field (``name``, ``size``) with exact BIGINT
+    agreement counts and ``m``/``u`` as SINGLE float64 divisions of those
+    counts (bit-exact vs the oracle's CAST(x AS DOUBLE)/y — the tf-idf
+    single-division contract).
+    """
+    hist = q_match_patterns(sf_dir, threshold, size_tol).to_pandas()
+    mt = hist["agree_type"].to_numpy(np.int64)  # truth bit
+    n = hist["n_pairs"].to_numpy(np.int64)
+    n_match = int(n[mt == 1].sum())
+    n_nonmatch = int(n[mt == 0].sum())
+    rows = []
+    for field in ("name", "size"):
+        ag = hist[f"agree_{field}"].to_numpy(np.int64)
+        n_ma = int(n[(mt == 1) & (ag == 1)].sum())
+        n_ua = int(n[(mt == 0) & (ag == 1)].sum())
+        rows.append(
+            {
+                "field": field,
+                "n_match": n_match,
+                "n_match_agree": n_ma,
+                "n_nonmatch": n_nonmatch,
+                "n_nonmatch_agree": n_ua,
+                "m": np.float64(n_ma) / np.float64(n_match),
+                "u": np.float64(n_ua) / np.float64(n_nonmatch),
+            }
+        )
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+# --- blocking-scheme evaluation ----------------------------------------------
+
+def _pair_count_sum(counts: rd.Dataset, n_col: str) -> int:
+    """Sum of n*(n-1)/2 over a per-group count Dataset (group-bounded rows;
+    the comparison-space size of a disjoint blocking). int64 is exact to
+    ~4.3e9 rows per group; beyond that the estimator runs on a block
+    sample anyway (the q_match_patterns Winkler note)."""
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[n_col].to_numpy(np.int64)
+        return pd.DataFrame({"_pairs": c * (c - 1) // 2})
+
+    out = counts.map_batches(to_pairs, batch_format="pandas").sum("_pairs")
+    return int(out or 0)
+
+
+def q_blocking_metrics(sf_dir: str):
+    """Blocking-scheme evaluation (reduction ratio + pairs completeness —
+    the two standard blocking quality metrics, Christen TKDE'12 survey):
+    for the (first-char-of-name, brand) scheme of ``q_match_patterns``
+    with truth = ``p_type`` equality, report
+
+    - ``total_pairs``   = N(N-1)/2                    (comparison space)
+    - ``blocked_pairs`` = sum over blocks of n(n-1)/2 (pairs compared)
+    - ``true_pairs``    = sum over types of n(n-1)/2  (matching pairs)
+    - ``true_blocked_pairs`` = pairs agreeing on BOTH block key and type
+    - ``reduction_ratio``    = 1 - blocked/total      (work saved)
+    - ``pairs_completeness`` = true_blocked/true      (recall retained)
+
+    NO pair is ever materialized: every term is a closed form over grouped
+    COUNTS (disjoint single-valued blocking, so block pair-sets are
+    disjoint), i.e. three ``grouped_sums`` count passes over slim key
+    columns plus integer arithmetic — the evaluation is O(distinct keys)
+    regardless of corpus size, the whole point of measuring a blocking
+    scheme before running it.
+
+    Floats are formed exactly as the oracle forms them (one division, one
+    subtraction from 1.0) for bit equality.
+    """
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        nm = df["p_name"].astype(str)
+        return pd.DataFrame(
+            {
+                "ch": nm.str[:1],
+                "brand": df["p_brand"].astype(str),
+                "ptype": df["p_type"].astype(str),
+            }
+        )
+
+    ds = read(sf_dir, "part", ["p_name", "p_brand", "p_type"]).map_batches(
+        keyed, batch_format="pandas"
+    )
+    n_total = ds.count()
+    blocked = _pair_count_sum(
+        grouped_sums(ds, ["ch", "brand"], sums={}, count_as="n"), "n"
+    )
+    true_pairs = _pair_count_sum(
+        grouped_sums(ds, ["ptype"], sums={}, count_as="n"), "n"
+    )
+    true_blocked = _pair_count_sum(
+        grouped_sums(ds, ["ch", "brand", "ptype"], sums={}, count_as="n"), "n"
+    )
+    total = n_total * (n_total - 1) // 2
+    out = pd.DataFrame(
+        [
+            {
+                "total_pairs": np.int64(total),
+                "blocked_pairs": np.int64(blocked),
+                "true_pairs": np.int64(true_pairs),
+                "true_blocked_pairs": np.int64(true_blocked),
+                "reduction_ratio": 1.0 - np.float64(blocked) / np.float64(total),
+                "pairs_completeness": np.float64(true_blocked)
+                / np.float64(true_pairs),
+            }
+        ]
+    )
+    return rd.from_pandas(out)
+
+
+# --- meta-blocking: shared-key comparison pruning ----------------------------
+
+METABLOCK_CAP = 4096
+
+
+def q_metablocking_pairs(sf_dir: str, block_cap: int = METABLOCK_CAP):
+    """Meta-blocking comparison pruning (Papadakis et al. TKDE'14, the
+    common-blocks weighting scheme): under THREE independent blocking keys
+    per part record — first char of name, exact size, type — keep only the
+    candidate pairs that co-occur in at least TWO blocking schemes, with
+    ``n_shared`` = how many of the three keys the pair agrees on. Weighting
+    pairs by shared-block count and pruning the weak ones is the standard
+    way to recover precision from aggressively recall-oriented blocking.
+
+    The scale trick: "shares >= 2 of 3 keys" NEVER enumerates the three
+    single-key blockings (whose blocks are huge precisely because each key
+    is weak). A pair agrees on >= 2 keys iff it lies in one of the three
+    COMPOSITE blockings (k1,k2), (k1,k3), (k2,k3) — quadratically smaller
+    blocks — and the shared count folds from the pair's composite
+    multiplicity c (c=3 means all three keys agree, c=1 exactly two:
+    n_shared = (c + 3) // 2). So: one slim flat-map to 3 composite-keyed
+    rows per record, pair generation inside capped composite blocks
+    (``_cap_block`` discipline, logged drops), one grouped count on the
+    canonical int64 pair key. The record payload never moves.
+    """
+    ds = read(sf_dir, "part", ["p_partkey", "p_name", "p_size", "p_type"])
+
+    def composite_keys(df: pd.DataFrame) -> pd.DataFrame:
+        nm = df["p_name"].astype(str)
+        ch = nm.str[:1]
+        sz = df["p_size"].astype(np.int64).astype(str)
+        ty = df["p_type"].astype(str)
+        pk = df["p_partkey"].to_numpy(np.int64)
+        frames = [
+            pd.DataFrame({"scheme": s, "key": k, "pk": pk})
+            for s, k in (
+                ("cs", ch + "\x00" + sz),
+                ("ct", ch + "\x00" + ty),
+                ("st", sz + "\x00" + ty),
+            )
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    pair_schema = pa.schema(
+        [("pk_a", pa.int64()), ("pk_b", pa.int64()), ("c", pa.int64())]
+    )
+
+    def block_pairs(g: pd.DataFrame) -> pa.Table:
+        g = _cap_block(g, "pk", "metablock", block_cap)
+        pk = np.sort(g["pk"].to_numpy(np.int64))
+        n = len(pk)
+        if n < 2:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 3, schema=pair_schema
+            )
+        ia, ib = np.triu_indices(n, k=1)
+        return pa.Table.from_arrays(
+            [
+                pa.array(pk[ia], pa.int64()),
+                pa.array(pk[ib], pa.int64()),
+                pa.array(np.ones(len(ia), dtype=np.int64), pa.int64()),
+            ],
+            schema=pair_schema,
+        )
+
+    cand = (
+        ds.map_batches(composite_keys, batch_format="pandas")
+        .groupby(["scheme", "key"])
+        .map_groups(block_pairs, batch_format="pandas")
+    )
+    counted = grouped_sums(cand, ["pk_a", "pk_b"], sums={"c": "c"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "pk_a": df["pk_a"].to_numpy(np.int64),
+                "pk_b": df["pk_b"].to_numpy(np.int64),
+                "n_shared": (df["c"].to_numpy(np.int64) + 3) // 2,
+            }
+        )
+
+    return counted.map_batches(finish, batch_format="pandas")

@@ -218,3 +218,77 @@ def test_name_clusters_transitive_closure():
         by_rep.setdefault(r, []).append(n)
     for r, members in by_rep.items():
         assert r == min(members)
+
+
+def test_match_weights_closed_form_vs_histogram():
+    """m/u rows are the exact closed form over the q_match_patterns
+    histogram: counts reconcile bin-by-bin and the probabilities are the
+    single-division ratios of those counts."""
+    hist = er.q_match_patterns(SF).to_pandas()
+    got = er.q_match_weights(SF).to_pandas().set_index("field")
+    mt = hist["agree_type"].to_numpy(np.int64)
+    n = hist["n_pairs"].to_numpy(np.int64)
+    n_match, n_nonmatch = n[mt == 1].sum(), n[mt == 0].sum()
+    for field in ("name", "size"):
+        ag = hist[f"agree_{field}"].to_numpy(np.int64)
+        row = got.loc[field]
+        assert row["n_match"] == n_match
+        assert row["n_nonmatch"] == n_nonmatch
+        assert row["n_match_agree"] == n[(mt == 1) & (ag == 1)].sum()
+        assert row["n_nonmatch_agree"] == n[(mt == 0) & (ag == 1)].sum()
+        assert row["m"] == row["n_match_agree"] / row["n_match"]
+        assert row["u"] == row["n_nonmatch_agree"] / row["n_nonmatch"]
+        assert 0.0 <= row["m"] <= 1.0 and 0.0 <= row["u"] <= 1.0
+
+
+def test_blocking_metrics_brute_force():
+    """Every count equals the naive per-pair enumeration at sf0.001."""
+    import pandas as pd
+    from itertools import combinations
+
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    rows = list(
+        zip(part["p_name"].str[:1], part["p_brand"], part["p_type"])
+    )
+    blocked = true_p = true_blocked = 0
+    for (c1, b1, t1), (c2, b2, t2) in combinations(rows, 2):
+        same_block = (c1, b1) == (c2, b2)
+        same_type = t1 == t2
+        blocked += same_block
+        true_p += same_type
+        true_blocked += same_block and same_type
+    got = er.q_blocking_metrics(SF).to_pandas().iloc[0]
+    n = len(part)
+    assert got["total_pairs"] == n * (n - 1) // 2
+    assert got["blocked_pairs"] == blocked
+    assert got["true_pairs"] == true_p
+    assert got["true_blocked_pairs"] == true_blocked
+    assert got["reduction_ratio"] == 1.0 - blocked / (n * (n - 1) // 2)
+    assert got["pairs_completeness"] == true_blocked / true_p
+
+
+def test_metablocking_composite_equals_naive_threshold():
+    """The composite-blocking union reproduces the naive "agrees on >= 2 of
+    3 keys" pair set with exact shared counts — i.e. the quadratically
+    cheaper plan loses nothing."""
+    import pandas as pd
+    from itertools import combinations
+
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    recs = list(
+        zip(
+            part["p_partkey"].astype(int),
+            part["p_name"].str[:1],
+            part["p_size"].astype(int),
+            part["p_type"],
+        )
+    )
+    exp = {}
+    for (ka, ca, sa, ta), (kb, cb, sb, tb) in combinations(recs, 2):
+        ns = (ca == cb) + (sa == sb) + (ta == tb)
+        if ns >= 2:
+            lo, hi = min(ka, kb), max(ka, kb)
+            exp[(lo, hi)] = ns
+    got = er.q_metablocking_pairs(SF).to_pandas()
+    gmap = dict(zip(zip(got["pk_a"], got["pk_b"]), got["n_shared"]))
+    assert gmap == exp

@@ -75,6 +75,10 @@ ORACLE_BACKED = [
     "match_patterns",
     "golden_user_profile",
     "name_clusters",
+    # r4d: m/u estimation, blocking evaluation, meta-blocking pruning
+    "match_weights",
+    "blocking_metrics",
+    "metablocking_pairs",
 ]
 
 
