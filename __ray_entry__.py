@@ -87,13 +87,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metablocking_pairs": er.q_metablocking_pairs,
         # rewritten in r4 (prefix-filtered blocking) → re-gate this round
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
-        # relational operator family (SURVEY.md §2 S/J/G/T classes)
-        "filter_revenue": relational.q_filter_revenue,
-        "pricing_summary": relational.q_pricing_summary,
-        "orders_by_segment": relational.q_orders_by_segment,
-        "customers_per_region": relational.q_customers_per_region,
-        "top_orders": relational.q_top_orders,
-        "rollup_summary": relational.q_rollup_summary,
+        # changed in r4 (ADVICE fixes + default_buckets + user-bucket
+        # rewrites) → keep inside the driver's gated prefix for re-gating
+        "json_field_sum": relational.q_json_field_sum,
+        "cohort_retention": relational.q_cohort_retention,
+        "simhash_buckets": dedup.q_simhash_buckets,
         "latest_order_before_event": relational.q_latest_order_before_event,
         "hourly_user_activity": relational.q_hourly_user_activity,
         "sessionize": relational.q_sessionize,
@@ -102,12 +100,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_event_per_user": relational.q_first_event_per_user,
         "user_event_type_counts": relational.q_user_event_type_counts,
         "rolling_user_value": relational.q_rolling_user_value,
+        # relational operator family (SURVEY.md §2 S/J/G/T classes) —
+        # unchanged since their r3 hash-green rows
         "top_orders_per_segment": relational.q_top_orders_per_segment,
         "approx_users": relational.q_approx_users,
+        "filter_revenue": relational.q_filter_revenue,
+        "pricing_summary": relational.q_pricing_summary,
+        "orders_by_segment": relational.q_orders_by_segment,
+        "customers_per_region": relational.q_customers_per_region,
+        "top_orders": relational.q_top_orders,
+        "rollup_summary": relational.q_rollup_summary,
         "grouped_median": relational.q_grouped_median,
         "customer_event_summary": relational.q_customer_event_summary,
-        "json_field_sum": relational.q_json_field_sum,
-        "cohort_retention": relational.q_cohort_retention,
         # declarative Stage composition surface (§2.10), driver-verified
         "compose_pipeline": compose.q_compose_pipeline,
         # text analysis family
@@ -135,7 +139,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
-        "simhash_buckets": dedup.q_simhash_buckets,
         "embedding_neardup_pairs": dedup.q_embedding_neardup_pairs,
         "winnow_dups": dedup.q_winnow_dups,
         "dup_clusters": dedup.q_dup_clusters,
