@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_weights": er.q_match_weights,
         "blocking_metrics": er.q_blocking_metrics,
         "metablocking_pairs": er.q_metablocking_pairs,
+        "match_roc": er.q_match_roc,
         # rewritten in r4 (prefix-filtered blocking) → re-gate this round
         "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
         # changed in r4 (ADVICE fixes + default_buckets + user-bucket
@@ -398,6 +399,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tbp AS DOUBLE) / CAST(tp AS DOUBLE)
                        AS pairs_completeness
             FROM tot, b, tr, tb
+        """,
+        "match_roc": """
+            WITH p AS (
+                SELECT CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name)
+                                  * 20) AS BIGINT) AS bin,
+                       CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS mt
+                FROM part a JOIN part b
+                  ON substr(a.p_name,1,1) = substr(b.p_name,1,1)
+                 AND a.p_brand = b.p_brand
+                 AND a.p_partkey < b.p_partkey),
+            g AS (SELECT bin, CAST(SUM(mt) AS BIGINT) AS nm,
+                         CAST(SUM(1-mt) AS BIGINT) AS nn
+                  FROM p GROUP BY bin),
+            tot AS (SELECT CAST(SUM(mt) AS BIGINT) AS total_match FROM p),
+            cum AS (SELECT t.b,
+                           CAST(COALESCE((SELECT SUM(nm) FROM g
+                                          WHERE g.bin >= t.b), 0) AS BIGINT)
+                               AS tp,
+                           CAST(COALESCE((SELECT SUM(nn) FROM g
+                                          WHERE g.bin >= t.b), 0) AS BIGINT)
+                               AS fp
+                    FROM generate_series(0, 20) AS t(b))
+            SELECT CAST(b AS DOUBLE) / CAST(20 AS DOUBLE) AS threshold,
+                   tp, fp, total_match - tp AS fn,
+                   CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec,
+                   CAST(tp AS DOUBLE) / CAST(total_match AS DOUBLE) AS rec
+            FROM cum, tot
+            WHERE tp + fp > 0
         """,
         "metablocking_pairs": """
             SELECT pk_a, pk_b, n_shared FROM (

@@ -166,6 +166,7 @@ def run_bench() -> dict:
         timed("match_weights", er.q_match_weights)
         timed("blocking_metrics", er.q_blocking_metrics)
         timed("metablocking_pairs", er.q_metablocking_pairs)
+        timed("match_roc", er.q_match_roc)
 
     result = {
         "metric": "entity_link_e2e",

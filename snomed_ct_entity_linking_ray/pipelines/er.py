@@ -825,3 +825,156 @@ def q_metablocking_pairs(sf_dir: str, block_cap: int = METABLOCK_CAP):
         )
 
     return counted.map_batches(finish, batch_format="pandas")
+
+
+# --- threshold sweep: precision/recall curve over match scores ---------------
+
+ROC_BINS = 20  # score resolution: bin = floor(jw * ROC_BINS), 0..ROC_BINS
+
+
+@ray.remote
+def _jw_bin_matrix(names: list, bins: int):
+    """Vocabulary-bounded QUANTIZED score matrix (the _jw_agree_matrix
+    pattern at score resolution): binmat[i, j] = floor(jw * bins) as uint8.
+    One O(V^2) task, shipped once as a broadcast."""
+    idx = {n: i for i, n in enumerate(names)}
+    v = len(names)
+    mat = np.zeros((v, v), dtype=np.uint8)
+    for i in range(v):
+        mat[i, i] = bins
+        for j in range(i + 1, v):
+            b = int(np.floor(jaro_winkler(names[i], names[j]) * bins))
+            mat[i, j] = mat[j, i] = b
+    return idx, mat
+
+
+def _bin_match_counts(
+    nid: np.ndarray, tcode: np.ndarray, binmat: np.ndarray, bins: int
+) -> np.ndarray:
+    """(2*(bins+1))-bin histogram over all unordered row pairs of one block:
+    code = 2*score_bin + is_match, score_bin from the broadcast quantized
+    matrix, is_match = tcode equality. Chunked rectangular outer
+    comparisons (the ``_pattern_counts`` memory discipline)."""
+    n = len(nid)
+    counts = np.zeros(2 * (bins + 1), dtype=np.int64)
+    for i0 in range(0, n - 1, _PAIR_CHUNK):
+        i1 = min(i0 + _PAIR_CHUNK, n - 1)
+        ii = np.arange(i0, i1)
+        jj = np.arange(i0 + 1, n)
+        tri = jj[None, :] > ii[:, None]
+        sb = binmat[nid[ii][:, None], nid[jj][None, :]].astype(np.int64)
+        mt = (tcode[ii][:, None] == tcode[jj][None, :]).astype(np.int64)
+        code = (2 * sb + mt)[tri]
+        counts += np.bincount(code, minlength=2 * (bins + 1))
+    return counts
+
+
+def q_match_roc(sf_dir: str, bins: int = ROC_BINS):
+    """Threshold sweep (the match-classification tuning curve): over the
+    ``q_match_patterns`` blocked pairs with truth = ``p_type`` equality,
+    report — for every candidate threshold t = b/bins — the confusion
+    counts and precision/recall of the rule "match iff jaro_winkler(name)
+    >= t". Choosing the FS classification threshold from exactly this
+    curve is the standard last step of probabilistic linkage tuning.
+
+    Distribution: identical shape to ``q_match_patterns`` — the broadcast
+    vocabulary matrix is QUANTIZED scores (floor(jw*bins), bit-identical
+    to the oracle because both floor the same IEEE product), each block
+    folds its pairs into a 2*(bins+1)-bin bincount partial, one tiny
+    ``grouped_sums`` merges them, and the cumulative tp/fp/fn + the two
+    single-division ratios are a driver-side closed form over <=bins+1
+    rows. The curve is exact — no sampling, no caps — at the cost of one
+    histogram pass, which is the minimum possible.
+
+    Rows with tp+fp = 0 (no pair predicted positive at that threshold)
+    are omitted: precision is undefined there (the oracle's NULL).
+    """
+    names = sorted(
+        distinct_column(read(sf_dir, "part", ["p_name"]), "p_name")
+        .to_pandas()["p_name"]
+        .astype(str)
+        .tolist()
+    )
+    idx, mat = ray.get(_jw_bin_matrix.remote(names, bins))
+    idx_ref, mat_ref = broadcast(idx), broadcast(mat)
+
+    ds = read(sf_dir, "part", ["p_name", "p_brand", "p_type"])
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "ch": pd.Series([], dtype=str),
+                    "brand": pd.Series([], dtype=str),
+                    "nid": pd.Series([], dtype=np.int64),
+                    "ptype": pd.Series([], dtype=str),
+                }
+            )
+        lookup = ray.get(idx_ref)
+        nm = df["p_name"].astype(str)
+        return pd.DataFrame(
+            {
+                "ch": nm.str[:1],
+                "brand": df["p_brand"].astype(str),
+                "nid": nm.map(lookup).to_numpy(np.int64),
+                "ptype": df["p_type"].astype(str),
+            }
+        )
+
+    part_schema = pa.schema(
+        [("bin", pa.int64()), ("nm", pa.int64()), ("nn", pa.int64())]
+    )
+
+    def block_hist(g: pd.DataFrame) -> pa.Table:
+        counts = np.zeros(2 * (bins + 1), dtype=np.int64)
+        if len(g) >= 2:
+            counts = _bin_match_counts(
+                g["nid"].to_numpy(np.int64),
+                pd.factorize(g["ptype"])[0],
+                ray.get(mat_ref),
+                bins,
+            )
+        nm = counts[1::2]
+        nn = counts[0::2]
+        keep = (nm > 0) | (nn > 0)
+        b = np.arange(bins + 1, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(b[keep], pa.int64()),
+                pa.array(nm[keep], pa.int64()),
+                pa.array(nn[keep], pa.int64()),
+            ],
+            schema=part_schema,
+        )
+
+    hist = (
+        grouped_sums(
+            ds.map_batches(slim, batch_format="pandas")
+            .groupby(["ch", "brand"])
+            .map_groups(block_hist, batch_format="pandas"),
+            ["bin"],
+            sums={"nm": "nm", "nn": "nn"},
+        )
+        .to_pandas()
+        .set_index("bin")
+        .reindex(range(bins + 1), fill_value=0)
+    )
+    nm = hist["nm"].to_numpy(np.int64)
+    nn = hist["nn"].to_numpy(np.int64)
+    total_match = nm.sum()
+    tp = np.cumsum(nm[::-1])[::-1]  # pairs with bin >= b that are matches
+    fp = np.cumsum(nn[::-1])[::-1]
+    b = np.arange(bins + 1, dtype=np.int64)
+    keep = (tp + fp) > 0
+    out = pd.DataFrame(
+        {
+            "threshold": b[keep].astype(np.float64) / np.float64(bins),
+            "tp": tp[keep],
+            "fp": fp[keep],
+            "fn": total_match - tp[keep],
+            "prec": tp[keep].astype(np.float64)
+            / (tp[keep] + fp[keep]).astype(np.float64),
+            "rec": tp[keep].astype(np.float64) / np.float64(total_match),
+        }
+    )
+    return rd.from_pandas(out)

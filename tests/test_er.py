@@ -292,3 +292,22 @@ def test_metablocking_composite_equals_naive_threshold():
     got = er.q_metablocking_pairs(SF).to_pandas()
     gmap = dict(zip(zip(got["pk_a"], got["pk_b"]), got["n_shared"]))
     assert gmap == exp
+
+
+def test_match_roc_curve_invariants():
+    """ROC sweep invariants: cumulative counts are non-increasing in the
+    threshold, recall is 1.0 at threshold 0, tp+fn is constant (= total
+    matches), and the quantized bins reconcile with the agreement
+    histogram's name-agreement count at the 0.85 threshold bin."""
+    got = er.q_match_roc(SF).to_pandas().sort_values("threshold")
+    assert got["threshold"].iloc[0] == 0.0 and got["rec"].iloc[0] == 1.0
+    assert (got["tp"].diff().dropna() <= 0).all()
+    assert (got["fp"].diff().dropna() <= 0).all()
+    total = got["tp"] + got["fn"]
+    assert (total == total.iloc[0]).all()
+    # bin >= 17 <=> jw >= 0.85 (17/20): tp+fp there == histogram agree_name
+    hist = er.q_match_patterns(SF).to_pandas()
+    n_agree = hist.loc[hist["agree_name"] == 1, "n_pairs"].sum()
+    at = got[got["threshold"] == 0.85]
+    assert len(at) == 1
+    assert int(at["tp"].iloc[0] + at["fp"].iloc[0]) == int(n_agree)

@@ -79,6 +79,7 @@ ORACLE_BACKED = [
     "match_weights",
     "blocking_metrics",
     "metablocking_pairs",
+    "match_roc",
 ]
 
 
