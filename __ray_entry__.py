@@ -101,6 +101,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_event_per_user": relational.q_first_event_per_user,
         "user_event_type_counts": relational.q_user_event_type_counts,
         "rolling_user_value": relational.q_rolling_user_value,
+        # new in r4d: decorrelated scalar subquery + conditional share
+        "small_qty_revenue": relational.q_small_qty_revenue,
+        "market_share": relational.q_market_share,
         # relational operator family (SURVEY.md §2 S/J/G/T classes) —
         # unchanged since their r3 hash-green rows
         "top_orders_per_segment": relational.q_top_orders_per_segment,
@@ -399,6 +402,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tbp AS DOUBLE) / CAST(tp AS DOUBLE)
                        AS pairs_completeness
             FROM tot, b, tr, tb
+        """,
+        "small_qty_revenue": """
+            WITH a AS (SELECT l_partkey,
+                              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                                  AS sq,
+                              CAST(count(*) AS BIGINT) AS nq
+                       FROM lineitem GROUP BY l_partkey)
+            SELECT CAST(COALESCE(SUM(CAST(round(l.l_extendedprice*100, 0)
+                                          AS BIGINT)), 0) AS BIGINT)
+                       AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem l JOIN a USING (l_partkey)
+            WHERE CAST(l.l_quantity AS DOUBLE)
+                  < 0.2 * (CAST(sq AS DOUBLE) / CAST(nq AS DOUBLE))
+        """,
+        "market_share": """
+            WITH cust_r AS (SELECT c_custkey FROM customer
+                            JOIN nation ON c_nationkey = n_nationkey
+                            JOIN region ON n_regionkey = r_regionkey
+                            WHERE r_name = 'ASIA'),
+            j AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                         CAST(round(l_extendedprice*100, 0) AS BIGINT)
+                         * (100 - CAST(round(l_discount*100, 0) AS BIGINT))
+                             AS rev_cc,
+                         s_nationkey
+                  FROM lineitem
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN cust_r ON o_custkey = c_custkey
+                  JOIN supplier ON l_suppkey = s_suppkey),
+            nk AS (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7')
+            SELECT o_year,
+                   CAST(SUM(CASE WHEN s_nationkey IN
+                                 (SELECT n_nationkey FROM nk)
+                            THEN rev_cc ELSE 0 END) AS BIGINT)
+                       AS nation_ccents,
+                   CAST(SUM(rev_cc) AS BIGINT) AS total_ccents,
+                   CAST(SUM(CASE WHEN s_nationkey IN
+                                 (SELECT n_nationkey FROM nk)
+                            THEN rev_cc ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(rev_cc) AS DOUBLE) AS mkt_share
+            FROM j GROUP BY o_year
         """,
         "match_roc": """
             WITH p AS (

@@ -167,6 +167,8 @@ def run_bench() -> dict:
         timed("blocking_metrics", er.q_blocking_metrics)
         timed("metablocking_pairs", er.q_metablocking_pairs)
         timed("match_roc", er.q_match_roc)
+        timed("small_qty_revenue", relational.q_small_qty_revenue)
+        timed("market_share", relational.q_market_share)
 
     result = {
         "metric": "entity_link_e2e",

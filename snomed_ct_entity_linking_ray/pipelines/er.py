@@ -665,20 +665,6 @@ def q_match_weights(
 
 # --- blocking-scheme evaluation ----------------------------------------------
 
-def _pair_count_sum(counts: rd.Dataset, n_col: str) -> int:
-    """Sum of n*(n-1)/2 over a per-group count Dataset (group-bounded rows;
-    the comparison-space size of a disjoint blocking). int64 is exact to
-    ~4.3e9 rows per group; beyond that the estimator runs on a block
-    sample anyway (the q_match_patterns Winkler note)."""
-
-    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        c = df[n_col].to_numpy(np.int64)
-        return pd.DataFrame({"_pairs": c * (c - 1) // 2})
-
-    out = counts.map_batches(to_pairs, batch_format="pandas").sum("_pairs")
-    return int(out or 0)
-
-
 def q_blocking_metrics(sf_dir: str):
     """Blocking-scheme evaluation (reduction ratio + pairs completeness —
     the two standard blocking quality metrics, Christen TKDE'12 survey):
@@ -692,12 +678,15 @@ def q_blocking_metrics(sf_dir: str):
     - ``reduction_ratio``    = 1 - blocked/total      (work saved)
     - ``pairs_completeness`` = true_blocked/true      (recall retained)
 
-    NO pair is ever materialized: every term is a closed form over grouped
-    COUNTS (disjoint single-valued blocking, so block pair-sets are
-    disjoint), i.e. three ``grouped_sums`` count passes over slim key
-    columns plus integer arithmetic — the evaluation is O(distinct keys)
-    regardless of corpus size, the whole point of measuring a blocking
-    scheme before running it.
+    NO pair is ever materialized: ONE ``grouped_sums`` count pass at the
+    FINEST key (ch, brand, ptype) — whose cardinality is the product of
+    three dictionary-bounded attributes, so the count table is tiny at any
+    corpus size — and every coarser term derives from it driver-side
+    (block counts = sums over ptype, type counts = sums over blocks; the
+    pair arithmetic n(n-1)/2 is exact int64 to ~4.3e9 rows per group,
+    beyond which FS estimation samples anyway — the q_match_patterns
+    Winkler note). One scan of two slim columns, one shuffle of count
+    partials, O(distinct key combos) driver work.
 
     Floats are formed exactly as the oracle forms them (one division, one
     subtraction from 1.0) for bit equality.
@@ -716,16 +705,17 @@ def q_blocking_metrics(sf_dir: str):
     ds = read(sf_dir, "part", ["p_name", "p_brand", "p_type"]).map_batches(
         keyed, batch_format="pandas"
     )
-    n_total = ds.count()
-    blocked = _pair_count_sum(
-        grouped_sums(ds, ["ch", "brand"], sums={}, count_as="n"), "n"
-    )
-    true_pairs = _pair_count_sum(
-        grouped_sums(ds, ["ptype"], sums={}, count_as="n"), "n"
-    )
-    true_blocked = _pair_count_sum(
-        grouped_sums(ds, ["ch", "brand", "ptype"], sums={}, count_as="n"), "n"
-    )
+    fine = grouped_sums(ds, ["ch", "brand", "ptype"], sums={}, count_as="n")
+    c = fine.to_pandas()  # bounded: one row per distinct (ch, brand, type)
+
+    def pair_sum(n: pd.Series) -> int:
+        v = n.to_numpy(np.int64)
+        return int((v * (v - 1) // 2).sum())
+
+    n_total = int(c["n"].sum())
+    blocked = pair_sum(c.groupby(["ch", "brand"])["n"].sum())
+    true_pairs = pair_sum(c.groupby("ptype")["n"].sum())
+    true_blocked = pair_sum(c["n"])
     total = n_total * (n_total - 1) // 2
     out = pd.DataFrame(
         [

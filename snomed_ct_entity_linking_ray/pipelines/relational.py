@@ -1306,3 +1306,231 @@ def q_funnel_conversion(sf_dir: str, stages: tuple = FUNNEL_STAGES):
             "n_users": agg["n_users"].astype(np.int64),
         }
     )
+
+
+# --- TPC-H Q17 shape: decorrelated scalar subquery ---------------------------
+
+SMALLQTY_MAX_BROADCAST = 2_000_000  # partkey->avg map entries to broadcast
+
+
+def q_small_qty_revenue(sf_dir: str, max_broadcast: int = SMALLQTY_MAX_BROADCAST):
+    """TPC-H Q17 shape (correlated scalar subquery, decorrelated): total
+    revenue of lineitems whose quantity is below 20% of their part's
+    average quantity. The classic "aggregate, then re-join the aggregate
+    to the detail" decorrelation — the per-part average CANNOT be computed
+    in the same pass that filters by it.
+
+    Scale plan: pass 1 reduces lineitem to (partkey, sum_qty, n) via
+    ``grouped_sums`` (map-side combine; the shuffle carries one slim row
+    per partkey per batch). The re-attach is the broadcast-or-join dual
+    plan: the aggregate table is PART-cardinality, broadcast as sorted
+    int64 arrays under ``max_broadcast`` keys, hash ``Dataset.join``
+    above it. Pass 2 streams lineitem once more, filters by the float64
+    threshold (0.2 * sum/n, formed exactly as the oracle forms it), and
+    folds exact integer cents partials — the result is one row, so the
+    final combine is a driver-side sum of per-batch partials.
+    """
+    agg = grouped_sums(
+        read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "l_partkey": df["l_partkey"].to_numpy(np.int64),
+                    "q": df["l_quantity"].to_numpy(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        ["l_partkey"],
+        sums={"sq": "q"},
+        count_as="nq",
+    )
+    n_keys = agg.count()
+    li = read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def partial_from(df: pd.DataFrame) -> pd.DataFrame:
+        thr = 0.2 * (
+            df["sq"].to_numpy(np.float64) / df["nq"].to_numpy(np.float64)
+        )
+        keep = df["l_quantity"].to_numpy(np.float64) < thr
+        d = df[keep]
+        return pd.DataFrame(
+            {
+                "revenue_cents": [int(cents(d["l_extendedprice"]).sum())],
+                "n_rows": [int(keep.sum())],
+            }
+        )
+
+    if n_keys <= max_broadcast:
+        ap = agg.to_pandas().sort_values("l_partkey")
+        ref = broadcast(
+            (
+                ap["l_partkey"].to_numpy(np.int64),
+                ap["sq"].to_numpy(np.int64),
+                ap["nq"].to_numpy(np.int64),
+            )
+        )
+
+        class Attach:
+            def __init__(self):
+                self.pk, self.sq, self.nq = ray.get(ref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                pk = df["l_partkey"].to_numpy(np.int64)
+                pos = np.searchsorted(self.pk, pk)  # every key present
+                d = pd.DataFrame(
+                    {
+                        "l_quantity": df["l_quantity"].to_numpy(np.int64),
+                        "l_extendedprice": df["l_extendedprice"].to_numpy(
+                            np.float64
+                        ),
+                        "sq": self.sq[pos],
+                        "nq": self.nq[pos],
+                    }
+                )
+                return partial_from(d)
+
+        partials = li.map_batches(Attach, batch_format="pandas", concurrency=(1, 8))
+    else:
+        n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        joined = li.join(agg, "inner", num_partitions=n_part, on=("l_partkey",))
+        partials = joined.map_batches(partial_from, batch_format="pandas")
+
+    tot = partials.to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue_cents": [np.int64(tot["revenue_cents"].sum())],
+            "n_rows": [np.int64(tot["n_rows"].sum())],
+        }
+    )
+
+
+# --- TPC-H Q8 shape: conditional market share --------------------------------
+
+def q_market_share(
+    sf_dir: str, region: str = "ASIA", nation: str = "NATION_7"
+):
+    """TPC-H Q8 shape (market share): among orders placed by customers of
+    ``region``, the fraction of lineitem revenue supplied by ``nation``,
+    per order year — the conditional-aggregate-ratio class (numerator is
+    a CASE inside the same SUM pass as the denominator).
+
+    Scale plan: the Q5 join tree (nation/region broadcast dimension maps;
+    orders ⋈ customer as a fact-fact hash ``Dataset.join``; supplier
+    nation attached from a broadcast sorted-int lookup with the hash join
+    as the documented large-scale fallback), then ONE ``grouped_sums``
+    over (year) carrying both exact cent-hundredth sums; the share is a
+    single float64 division per year row, formed exactly as the oracle
+    forms it."""
+    nat = read_arrow(
+        sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    reg = read_arrow(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nr = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    cust_nations = np.sort(
+        nr.loc[nr["r_name"] == region, "n_nationkey"].to_numpy(np.int64)
+    )
+    nation_keys = np.sort(
+        nat.loc[nat["n_name"] == nation, "n_nationkey"].to_numpy(np.int64)
+    )
+
+    supp = read_arrow(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    s_keys = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    s_nat = supp.set_index("s_suppkey").loc[s_keys, "s_nationkey"].to_numpy(np.int64)
+    supp_ref = broadcast((s_keys, s_nat))
+    dims_ref = broadcast((cust_nations, nation_keys))
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "o_custkey": df["o_custkey"].to_numpy(np.int64),
+                "o_year": df["o_orderdate"]
+                .dt.year.to_numpy(np.int64),
+            }
+        )
+
+    o_f = orders.map_batches(prep_orders, batch_format="pandas")
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    class PrepCust:
+        def __init__(self):
+            self.keys, _ = ray.get(dims_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            nk = df["c_nationkey"].to_numpy(np.int64)
+            if len(self.keys):
+                pos = np.searchsorted(self.keys, nk)
+                pos[pos == len(self.keys)] = 0
+                hit = self.keys[pos] == nk
+            else:
+                hit = np.zeros(len(nk), dtype=bool)
+            return pd.DataFrame(
+                {"c_custkey": df["c_custkey"].to_numpy(np.int64)[hit]}
+            )
+
+    c_f = cust.map_batches(PrepCust, batch_format="pandas", concurrency=(1, 4))
+    n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    oc = o_f.join(c_f, "inner", num_partitions=n_part,
+                  on=("o_custkey",), right_on=("c_custkey",))
+
+    li = read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def prep_li(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                "rev_cc": cents(df["l_extendedprice"])
+                * (100 - cents(df["l_discount"])),
+            }
+        )
+
+    j = li.map_batches(prep_li, batch_format="pandas").join(
+        oc, "inner", num_partitions=n_part,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    class AttachSupp:
+        def __init__(self):
+            self.s_keys, self.s_nat = ray.get(supp_ref)
+            _, self.nation_keys = ray.get(dims_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            sk = df["l_suppkey"].to_numpy(np.int64)
+            if len(self.s_keys):
+                pos = np.searchsorted(self.s_keys, sk)
+                pos[pos == len(self.s_keys)] = 0
+                ok = self.s_keys[pos] == sk
+                snat = np.where(ok, self.s_nat[pos], np.int64(-1))
+            else:
+                snat = np.full(len(sk), -1, dtype=np.int64)
+            rev = df["rev_cc"].to_numpy(np.int64)
+            is_nat = np.isin(snat, self.nation_keys)
+            return pd.DataFrame(
+                {
+                    "o_year": df["o_year"].to_numpy(np.int64),
+                    "nation_ccents": np.where(is_nat, rev, np.int64(0)),
+                    "total_ccents": rev,
+                }
+            )
+
+    attached = j.map_batches(AttachSupp, batch_format="pandas", concurrency=(1, 4))
+    out = (
+        grouped_sums(
+            attached,
+            ["o_year"],
+            sums={"nation_ccents": "nation_ccents", "total_ccents": "total_ccents"},
+        )
+        .to_pandas()
+        .sort_values("o_year")
+        .reset_index(drop=True)
+    )
+    out["mkt_share"] = out["nation_ccents"].to_numpy(np.float64) / out[
+        "total_ccents"
+    ].to_numpy(np.float64)
+    return out

@@ -300,3 +300,59 @@ def test_lsh_topk_invariants(ray_session):
         assert any(
             codes[t_][qi] == codes[t_][ci] for t_ in range(H.shape[0])
         ), (r.query_id, r.match_id)
+
+
+def test_small_qty_revenue_brute_force():
+    """Decorrelated Q17: the distributed two-pass result equals the naive
+    per-part average + filter at sf0.001, on both plan branches."""
+    import numpy as np
+
+    from snomed_ct_entity_linking_ray.pipelines import relational as R
+    from snomed_ct_entity_linking_ray.pipelines.common import cents
+
+    sf = "/root/testdata/sf0.001"
+    li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    g = li.groupby("l_partkey")["l_quantity"]
+    avg = (g.sum().astype(np.int64) / g.count().astype(np.int64))
+    thr = li["l_partkey"].map(0.2 * avg)
+    keep = li["l_quantity"].to_numpy(np.float64) < thr.to_numpy(np.float64)
+    exp_rev = int(cents(li.loc[keep, "l_extendedprice"]).sum())
+    for kw in ({}, {"max_broadcast": 0}):  # broadcast plan AND join plan
+        got = R.q_small_qty_revenue(sf, **kw)
+        assert int(got["revenue_cents"].iloc[0]) == exp_rev, kw
+        assert int(got["n_rows"].iloc[0]) == int(keep.sum()), kw
+
+
+def test_market_share_consistency():
+    """Q8 share invariants: numerator <= denominator per year, share is the
+    exact single division, and the total over years equals the plain
+    region-filtered revenue sum computed independently."""
+    import numpy as np
+
+    from snomed_ct_entity_linking_ray.pipelines import relational as R
+    from snomed_ct_entity_linking_ray.pipelines.common import cents
+
+    sf = "/root/testdata/sf0.001"
+    got = R.q_market_share(sf)
+    assert (got["nation_ccents"] <= got["total_ccents"]).all()
+    assert (
+        got["mkt_share"].to_numpy()
+        == got["nation_ccents"].to_numpy(np.float64)
+        / got["total_ccents"].to_numpy(np.float64)
+    ).all()
+    # independent denominator: pandas join over the same tables
+    nat = pd.read_parquet(f"{sf}/nation.parquet")
+    reg = pd.read_parquet(f"{sf}/region.parquet")
+    asia = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    asia = asia.loc[asia["r_name"] == "ASIA", "n_nationkey"]
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    ck = cust.loc[cust["c_nationkey"].isin(asia), "c_custkey"]
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    ok = orders[orders["o_custkey"].isin(ck)][["o_orderkey"]]
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    li = li.merge(ok, left_on="l_orderkey", right_on="o_orderkey")
+    exp_total = int(
+        (cents(li["l_extendedprice"]) * (100 - cents(li["l_discount"]))).sum()
+    )
+    assert int(got["total_ccents"].sum()) == exp_total

@@ -80,6 +80,8 @@ ORACLE_BACKED = [
     "blocking_metrics",
     "metablocking_pairs",
     "match_roc",
+    "small_qty_revenue",
+    "market_share",
 ]
 
 
