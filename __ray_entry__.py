@@ -108,6 +108,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unchanged since their r3 hash-green rows
         "top_orders_per_segment": relational.q_top_orders_per_segment,
         "approx_users": relational.q_approx_users,
+        # new in r4e (positions >50: first in line for the r5 driver gate;
+        # until then verified by the identical in-repo rehearsal compare,
+        # tests/test_oracle_parity.py)
+        "order_priority_count": relational.q_order_priority_count,
+        "volume_shipping": relational.q_volume_shipping,
+        "returned_items": relational.q_returned_items,
+        "promo_revenue": relational.q_promo_revenue,
+        "large_volume_customers": relational.q_large_volume_customers,
+        "disjunctive_revenue": relational.q_disjunctive_revenue,
+        "sales_opportunity": relational.q_sales_opportunity,
+        "event_type_pivot": relational.q_event_type_pivot,
+        "event_seq": relational.q_event_seq,
+        "mutual_best_pairs": er.q_mutual_best_pairs,
+        "pair_features": er.q_pair_features,
         "filter_revenue": relational.q_filter_revenue,
         "pricing_summary": relational.q_pricing_summary,
         "orders_by_segment": relational.q_orders_by_segment,
@@ -960,5 +974,159 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 16 AND c.vec_id >= 16
             ) WHERE rank <= 5
+        """,
+        # --- r4e additions -------------------------------------------------
+        "order_priority_count": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "volume_shipping": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM({rev_cc}) AS BIGINT) AS revenue_ccents
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation n1 ON n1.n_nationkey = s_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND year(l_shipdate) BETWEEN 1996 AND 1999
+            GROUP BY 1, 2, 3
+        """,
+        "returned_items": f"""
+            SELECT c_custkey, c_name, n_name,
+                   CAST(round(c_acctbal*100, 0) AS BIGINT) AS acctbal_cents,
+                   revenue_ccents
+            FROM (
+                SELECT o_custkey, CAST(SUM({rev_cc}) AS BIGINT) AS revenue_ccents
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1997-01-01'
+                  AND o_orderdate < TIMESTAMP '1997-04-01'
+                GROUP BY o_custkey
+                ORDER BY revenue_ccents DESC, o_custkey LIMIT 20
+            )
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+        """,
+        "promo_revenue": f"""
+            SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {rev_cc}
+                                 ELSE 0 END) AS BIGINT) AS promo_ccents,
+                   CAST(SUM({rev_cc}) AS BIGINT) AS total_ccents
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l_shipdate < TIMESTAMP '1997-10-01'
+        """,
+        "large_volume_customers": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   CAST(round(o_totalprice*100, 0) AS BIGINT)
+                       AS totalprice_cents,
+                   sum_qty
+            FROM (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT))
+                            AS BIGINT) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(round(l_quantity, 0) AS BIGINT)) > 170
+            )
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100
+        """,
+        "disjunctive_revenue": f"""
+            SELECT CAST(SUM({rev_cc}) AS BIGINT) AS revenue_ccents,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "sales_opportunity": """
+            WITH avg_pos AS (
+                SELECT CAST(SUM(CAST(round(c_acctbal*100, 0) AS BIGINT))
+                            AS BIGINT) AS sum_c,
+                       CAST(count(*) AS BIGINT) AS n_c
+                FROM customer WHERE round(c_acctbal*100, 0) > 0)
+            SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(SUM(CAST(round(c_acctbal*100, 0) AS BIGINT))
+                        AS BIGINT) AS totacctbal_cents
+            FROM customer JOIN nation ON n_nationkey = c_nationkey, avg_pos
+            WHERE CAST(round(c_acctbal*100, 0) AS BIGINT) * n_c > sum_c
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2001-01-01')
+            GROUP BY n_name
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "event_seq": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                        AS BIGINT) AS seq
+            FROM events
+        """,
+        "mutual_best_pairs": """
+            WITH names AS (SELECT DISTINCT p_name FROM part),
+            cand AS (
+                SELECT a.p_name AS name, b.p_name AS cand,
+                       jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+                FROM names a JOIN names b
+                  ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+                 AND abs(length(a.p_name) - length(b.p_name)) <= 3
+                 AND a.p_name <> b.p_name),
+            best AS (
+                SELECT name, cand, jw FROM (
+                    SELECT name, cand, jw,
+                           row_number() OVER (PARTITION BY name
+                                              ORDER BY jw DESC, cand) AS rn
+                    FROM cand) WHERE rn = 1)
+            SELECT x.name AS name_a, x.cand AS name_b
+            FROM best x JOIN best y ON x.name = y.cand AND x.cand = y.name
+            WHERE x.name < x.cand AND x.jw >= 0.8
+        """,
+        "pair_features": """
+            WITH names AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+                   CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name)
+                              * 1000000) AS BIGINT) AS jw_ubin,
+                   CAST(len(list_intersect(
+                            list_distinct(string_split(a.p_name, ' ')),
+                            list_distinct(string_split(b.p_name, ' '))))
+                        AS BIGINT) AS tok_inter,
+                   CAST(len(list_distinct(list_concat(
+                            string_split(a.p_name, ' '),
+                            string_split(b.p_name, ' '))))
+                        AS BIGINT) AS tok_union,
+                   CAST(length(a.p_name) AS BIGINT) AS len_a,
+                   CAST(length(b.p_name) AS BIGINT) AS len_b
+            FROM names a JOIN names b
+              ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+             AND abs(length(a.p_name) - length(b.p_name)) <= 3
+             AND a.p_name < b.p_name
         """,
     }

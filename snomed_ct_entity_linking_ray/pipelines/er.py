@@ -28,7 +28,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.similarity import jaro_winkler
+from ..functions.similarity import jaro_winkler, levenshtein
 from .common import (
     broadcast,
     cents,
@@ -968,3 +968,273 @@ def q_match_roc(sf_dir: str, bins: int = ROC_BINS):
         }
     )
     return rd.from_pandas(out)
+
+
+# --- one-to-one matching + pair feature vectors (round 4e) -------------------
+
+MUTUAL_JW_THRESHOLD = 0.8
+
+
+def q_mutual_best_pairs(
+    sf_dir: str,
+    threshold: float = MUTUAL_JW_THRESHOLD,
+    max_len_diff: int = 3,
+    len_band: int = 4,
+):
+    """One-to-one ER matching by MUTUAL BEST match (the reciprocal-nearest-
+    neighbor assignment step that turns a many-many candidate graph into a
+    1:1 linkage, cf. the reference's keep-longest / highest-score pick at
+    2nd Place/submission/second_stage_postprocess.py:43-91): within the
+    fuzzy_name_pairs blocking predicate (same first char, length diff ≤
+    ``max_len_diff``), each name's best partner is its JW-argmax (ties →
+    lexicographically smallest partner); a pair is emitted iff the choice
+    is reciprocal AND its JW ≥ ``threshold``.
+
+    Scale shape: three slim exchanges, none carrying records — (1) the
+    fuzzy dual-band block shuffle over (char, band, name); per block BOTH
+    directed (name, cand, jw) rows are emitted for length-compatible
+    pairs; (2) a name-keyed hash-bucket argmax (vectorized sort +
+    drop_duplicates per bucket — dual-band duplicate candidacies collapse
+    here, same jw on both copies); (3) a canonical-pair-keyed bucket where
+    mutuality = both directions present (best is unique per name, so a
+    pair key holds ≤ 2 rows). JW doubles never cross the oracle boundary
+    unrounded-compared: the kernel is property-pinned bit-equal to
+    DuckDB's jaro_winkler_similarity."""
+    if len_band <= max_len_diff:
+        raise ValueError("len_band must exceed max_len_diff for exact blocking")
+    names = distinct_column(read(sf_dir, "part", ["p_name"]), "p_name")
+
+    def keys(df: pd.DataFrame) -> pa.Table:
+        nm = df["p_name"].astype(str)
+        ln = nm.str.len().to_numpy(np.int64)
+        ch = nm.str[:1]
+        band = ln // len_band
+        out = pd.DataFrame(
+            {
+                "ch": pd.concat([ch, ch], ignore_index=True),
+                "band": np.concatenate([band, band + 1]),
+                "p_name": pd.concat([nm, nm], ignore_index=True),
+                "ln": np.concatenate([ln, ln]),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    directed_schema = pa.schema(
+        [("name", pa.string()), ("cand", pa.string()), ("jw", pa.float64())]
+    )
+
+    def directed(g: pd.DataFrame) -> pa.Table:
+        nm = g["p_name"].to_numpy(object)
+        ln = g["ln"].to_numpy(np.int64)
+        n = len(g)
+        a_out: list = []
+        b_out: list = []
+        s_out: list = []
+        if n >= 2:
+            ia, ib = np.triu_indices(n, k=1)
+            keep = np.abs(ln[ia] - ln[ib]) <= max_len_diff
+            for i, j in zip(ia[keep], ib[keep]):
+                if nm[i] == nm[j]:
+                    continue
+                s = jaro_winkler(nm[i], nm[j])
+                a_out += [nm[i], nm[j]]
+                b_out += [nm[j], nm[i]]
+                s_out += [s, s]
+        return pa.Table.from_arrays(
+            [
+                pa.array(a_out, pa.string()),
+                pa.array(b_out, pa.string()),
+                pa.array(s_out, pa.float64()),
+            ],
+            schema=directed_schema,
+        )
+
+    cand = (
+        names.map_batches(keys, batch_format="pandas")
+        .groupby(["ch", "band"])
+        .map_groups(directed, batch_format="pandas")
+    )
+
+    n_buckets = default_buckets()
+
+    def name_bucket(df: pd.DataFrame) -> pa.Table:
+        d = df.drop_duplicates(subset=["name", "cand"])
+        h = pd.util.hash_pandas_object(d["name"], index=False).to_numpy()
+        d = d.copy()
+        d["_nb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    best_schema = pa.schema(
+        [("name", pa.string()), ("cand", pa.string()), ("jw", pa.float64())]
+    )
+
+    def bucket_best(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(subset=["name", "cand"])
+        g = g.sort_values(
+            ["name", "jw", "cand"], ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates(subset=["name"], keep="first")
+        return pa.Table.from_arrays(
+            [
+                pa.array(g["name"].to_numpy(object), pa.string()),
+                pa.array(g["cand"].to_numpy(object), pa.string()),
+                pa.array(g["jw"].to_numpy(np.float64), pa.float64()),
+            ],
+            schema=best_schema,
+        )
+
+    best = (
+        cand.map_batches(name_bucket, batch_format="pandas")
+        .groupby("_nb")
+        .map_groups(bucket_best, batch_format="pandas")
+    )
+
+    def pair_bucket(df: pd.DataFrame) -> pa.Table:
+        a = df["name"].astype(str)
+        b = df["cand"].astype(str)
+        lo = np.where(a <= b, a, b)
+        hi = np.where(a <= b, b, a)
+        out = pd.DataFrame(
+            {"name_a": lo, "name_b": hi, "jw": df["jw"].to_numpy(np.float64)}
+        )
+        h = pd.util.hash_pandas_object(
+            out["name_a"] + "\x00" + out["name_b"], index=False
+        ).to_numpy()
+        out["_pb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    mutual_schema = pa.schema([("name_a", pa.string()), ("name_b", pa.string())])
+
+    def bucket_mutual(g: pd.DataFrame) -> pa.Table:
+        counts = g.groupby(["name_a", "name_b"], as_index=False).agg(
+            n=("jw", "size"), jw=("jw", "max")
+        )
+        keep = counts[(counts["n"] == 2) & (counts["jw"] >= threshold)]
+        return pa.Table.from_arrays(
+            [
+                pa.array(keep["name_a"].to_numpy(object), pa.string()),
+                pa.array(keep["name_b"].to_numpy(object), pa.string()),
+            ],
+            schema=mutual_schema,
+        )
+
+    return (
+        best.map_batches(pair_bucket, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(bucket_mutual, batch_format="pandas")
+    )
+
+
+JW_UBIN_SCALE = 1_000_000
+
+
+def q_pair_features(
+    sf_dir: str,
+    max_len_diff: int = 3,
+    len_band: int = 4,
+    block_cap: int = FUZZY_BLOCK_CAP,
+):
+    """Candidate-pair FEATURE VECTORS — the input frame of a learned match
+    rule (Fellegi-Sunter weights / any classifier): for every blocked
+    candidate pair (the fuzzy_name_pairs predicate), the integer feature
+    tuple (levenshtein, floor(jw x 1e6), shared-token count, token-union
+    count, len_a, len_b). All features cross the oracle boundary as exact
+    integers; the JW microbin is floor of a property-pinned double, so
+    bit-stable vs DuckDB.
+
+    Scale shape: identical to fuzzy_name_pairs — vocabulary-bounded blocks
+    under the dual-band exact blocking, features computed per surviving
+    pair inside the block, one distinct pass on the canonical pair key."""
+    if len_band <= max_len_diff:
+        raise ValueError("len_band must exceed max_len_diff for exact blocking")
+    names = distinct_column(read(sf_dir, "part", ["p_name"]), "p_name")
+
+    def keys(df: pd.DataFrame) -> pa.Table:
+        nm = df["p_name"].astype(str)
+        ln = nm.str.len().to_numpy(np.int64)
+        ch = nm.str[:1]
+        band = ln // len_band
+        out = pd.DataFrame(
+            {
+                "ch": pd.concat([ch, ch], ignore_index=True),
+                "band": np.concatenate([band, band + 1]),
+                "p_name": pd.concat([nm, nm], ignore_index=True),
+                "ln": np.concatenate([ln, ln]),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    feat_schema = pa.schema(
+        [
+            ("name_a", pa.string()),
+            ("name_b", pa.string()),
+            ("lev", pa.int64()),
+            ("jw_ubin", pa.int64()),
+            ("tok_inter", pa.int64()),
+            ("tok_union", pa.int64()),
+            ("len_a", pa.int64()),
+            ("len_b", pa.int64()),
+        ]
+    )
+
+    def feats(g: pd.DataFrame) -> pa.Table:
+        g = _cap_block(g, "p_name", "pair_features", block_cap)
+        nm = g["p_name"].to_numpy(object)
+        ln = g["ln"].to_numpy(np.int64)
+        n = len(g)
+        rows: list = []
+        if n >= 2:
+            ia, ib = np.triu_indices(n, k=1)
+            keep = np.abs(ln[ia] - ln[ib]) <= max_len_diff
+            for i, j in zip(ia[keep], ib[keep]):
+                a, b = (nm[i], nm[j]) if nm[i] <= nm[j] else (nm[j], nm[i])
+                if a == b:
+                    continue
+                ta, tb = set(a.split(" ")), set(b.split(" "))
+                rows.append(
+                    (
+                        a,
+                        b,
+                        levenshtein(a, b),
+                        int(np.floor(jaro_winkler(a, b) * JW_UBIN_SCALE)),
+                        len(ta & tb),
+                        len(ta | tb),
+                        len(a),
+                        len(b),
+                    )
+                )
+        cols = list(zip(*rows)) if rows else [[] for _ in feat_schema]
+        return pa.Table.from_arrays(
+            [
+                pa.array(list(cols[k]), feat_schema.field(k).type)
+                for k in range(len(feat_schema))
+            ],
+            schema=feat_schema,
+        )
+
+    cand = (
+        names.map_batches(keys, batch_format="pandas")
+        .groupby(["ch", "band"])
+        .map_groups(feats, batch_format="pandas")
+    )
+
+    n_buckets = default_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        out = df.drop_duplicates(subset=["name_a", "name_b"])
+        h = pd.util.hash_pandas_object(
+            out["name_a"] + "\x00" + out["name_b"], index=False
+        ).to_numpy()
+        out = out.copy()
+        out["_pb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def bucket_dedup(g: pd.DataFrame) -> pa.Table:
+        out = g.drop_duplicates(subset=["name_a", "name_b"]).drop(columns=["_pb"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        cand.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(bucket_dedup, batch_format="pandas")
+    )

@@ -24,6 +24,7 @@ from .common import (
     broadcast,
     cents,
     default_buckets,
+    distinct_column,
     grouped_sums,
     read,
     read_arrow,
@@ -1534,3 +1535,745 @@ def q_market_share(
         "total_ccents"
     ].to_numpy(np.float64)
     return out
+
+
+# --- TPC-H Q4/Q7/Q10/Q14/Q18/Q19/Q22 shapes (round 4c) -----------------------
+
+def _grouped_max(
+    ds, key: str, src: str, out: str, n_buckets: int | None = None
+):
+    """Grouped MAX with the grouped_sums discipline: per-batch pandas max
+    partial (one row per key per batch rides the shuffle), then a
+    hash-bucketed vectorized final max — max is associative-idempotent so
+    partials combine exactly."""
+    if n_buckets is None:
+        n_buckets = default_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, as_index=False).agg(**{out: (src, "max")})
+        h = pd.util.hash_pandas_object(g[key], index=False).to_numpy()
+        g["_pb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key, as_index=False).agg(**{out: (out, "max")})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_order_priority_count(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS subquery decorrelated into a grouped max):
+    orders placed in H1-1997 that have at least one lineitem shipped AFTER
+    the order date, counted per order priority.
+
+    The correlated ``EXISTS (SELECT .. WHERE l_orderkey = o_orderkey AND
+    l_shipdate > o_orderdate)`` becomes ``max(l_shipdate) per orderkey >
+    o_orderdate`` — one slim grouped-max pass over lineitem (the shuffle
+    carries one (orderkey, max_ship) row per key per batch), a fact-fact
+    hash join against the date-pruned orders slice, then a 5-row grouped
+    count. Neither fact table is ever driver-resident."""
+    lo = _dt.datetime(1997, 1, 1)
+    hi = _dt.datetime(1997, 7, 1)
+
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "ship_us": df["l_shipdate"]
+                .to_numpy("datetime64[us]")
+                .astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    mx = _grouped_max(li, "l_orderkey", "ship_us", "max_ship_us")
+
+    orders = read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def prep_orders(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
+        return pd.DataFrame(
+            {
+                "o_orderkey": d["o_orderkey"].to_numpy(np.int64),
+                "date_us": d["o_orderdate"]
+                .to_numpy("datetime64[us]")
+                .astype(np.int64),
+                "o_orderpriority": d["o_orderpriority"].astype(str),
+            }
+        )
+
+    o_f = orders.map_batches(prep_orders, batch_format="pandas")
+    n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    j = o_f.join(mx, "inner", num_partitions=n_part,
+                 on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def exists_filter(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["max_ship_us"] > df["date_us"]]
+        return pd.DataFrame({"o_orderpriority": d["o_orderpriority"].astype(str)})
+
+    return grouped_sums(
+        j.map_batches(exists_filter, batch_format="pandas"),
+        ["o_orderpriority"],
+        sums={},
+        count_as="order_count",
+    )
+
+
+def q_volume_shipping(
+    sf_dir: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    y_lo: int = 1996,
+    y_hi: int = 1999,
+):
+    """TPC-H Q7 shape (volume shipping): lineitem revenue flowing between
+    two nations — supplier in one, ordering customer in the other — per
+    (supp_nation, cust_nation, ship year).
+
+    Scale plan: the nation pair is a 2-key broadcast; customers are
+    FILTERED to the two nations map-side (emitting (custkey, cust_nation))
+    before the orders ⋈ customer fact-fact hash join; lineitem is
+    year-pruned map-side and its supplier nation attached from a broadcast
+    sorted-int lookup (supplier is dimension-sized; the hash-join fallback
+    is the market_share pattern); the second fact-fact join co-locates on
+    orderkey, after which only opposing-nation rows survive. The final
+    exchange is ONE grouped_sums over ~(2 x years) keys."""
+    nat = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+    keys_ab = np.sort(
+        nat.loc[nat["n_name"].isin([nation_a, nation_b]), "n_nationkey"]
+        .to_numpy(np.int64)
+    )
+    supp = read_arrow(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    s_keys = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    s_nat = supp.set_index("s_suppkey").loc[s_keys, "s_nationkey"].to_numpy(np.int64)
+    dims_ref = broadcast((keys_ab, s_keys, s_nat, name_of))
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    class PrepCust:
+        def __init__(self):
+            self.keys_ab, _, _, _ = ray.get(dims_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            nk = df["c_nationkey"].to_numpy(np.int64)
+            hit = np.isin(nk, self.keys_ab)
+            return pd.DataFrame(
+                {
+                    "c_custkey": df["c_custkey"].to_numpy(np.int64)[hit],
+                    "cust_nat": nk[hit],
+                }
+            )
+
+    c_f = cust.map_batches(PrepCust, batch_format="pandas", concurrency=(1, 4))
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    oc = orders.join(c_f, "inner", num_partitions=n_part,
+                     on=("o_custkey",), right_on=("c_custkey",))
+
+    li = read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    class PrepLi:
+        def __init__(self):
+            self.keys_ab, self.s_keys, self.s_nat, _ = ray.get(dims_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            yr = df["l_shipdate"].dt.year.to_numpy(np.int64)
+            d = df[(yr >= y_lo) & (yr <= y_hi)]
+            yr = yr[(yr >= y_lo) & (yr <= y_hi)]
+            sk = d["l_suppkey"].to_numpy(np.int64)
+            if len(self.s_keys):
+                pos = np.searchsorted(self.s_keys, sk)
+                pos[pos == len(self.s_keys)] = 0
+                ok = self.s_keys[pos] == sk
+                snat = np.where(ok, self.s_nat[pos], np.int64(-1))
+            else:
+                snat = np.full(len(sk), -1, dtype=np.int64)
+            hit = np.isin(snat, self.keys_ab)
+            return pd.DataFrame(
+                {
+                    "l_orderkey": d["l_orderkey"].to_numpy(np.int64)[hit],
+                    "supp_nat": snat[hit],
+                    "l_year": yr[hit],
+                    "rev_cc": (
+                        cents(d["l_extendedprice"])
+                        * (100 - cents(d["l_discount"]))
+                    )[hit],
+                }
+            )
+
+    li_f = li.map_batches(PrepLi, batch_format="pandas", concurrency=(1, 4))
+    j = li_f.join(oc, "inner", num_partitions=n_part,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+
+    class Opposing:
+        def __init__(self):
+            _, _, _, self.name_of = ray.get(dims_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            d = df[df["supp_nat"].to_numpy(np.int64)
+                   != df["cust_nat"].to_numpy(np.int64)]
+            return pd.DataFrame(
+                {
+                    "supp_nation": d["supp_nat"].map(self.name_of).astype(str),
+                    "cust_nation": d["cust_nat"].map(self.name_of).astype(str),
+                    "l_year": d["l_year"].to_numpy(np.int64),
+                    "rev_cc": d["rev_cc"].to_numpy(np.int64),
+                }
+            )
+
+    return grouped_sums(
+        j.map_batches(Opposing, batch_format="pandas", concurrency=(1, 4)),
+        ["supp_nation", "cust_nation", "l_year"],
+        sums={"revenue_ccents": "rev_cc"},
+    )
+
+
+def q_returned_items(sf_dir: str, k: int = 20):
+    """TPC-H Q10 shape (returned-item reporting): top-k customers by
+    revenue on RETURNED lineitems for orders placed in Q1-1997, with
+    name / nation / account balance attached.
+
+    Scale plan: both facts prune map-side (orders to the quarter, lineitem
+    to returnflag='R'), meet in a fact-fact hash join on orderkey, and
+    reduce via grouped_sums to customer-cardinality partials; a per-batch
+    partial top-k bounds the global sort at k rows per block. Only the k
+    winner keys are ever driver-resident — their display attributes come
+    from ONE re-scan of the customer table filtered by a broadcast k-key
+    set (never a full dimension collect)."""
+    lo = _dt.datetime(1997, 1, 1)
+    hi = _dt.datetime(1997, 4, 1)
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep_orders(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
+        return pd.DataFrame(
+            {
+                "o_orderkey": d["o_orderkey"].to_numpy(np.int64),
+                "o_custkey": d["o_custkey"].to_numpy(np.int64),
+            }
+        )
+
+    o_f = orders.map_batches(prep_orders, batch_format="pandas")
+
+    li = read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def prep_li(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["l_returnflag"] == "R"]
+        return pd.DataFrame(
+            {
+                "l_orderkey": d["l_orderkey"].to_numpy(np.int64),
+                "rev_cc": cents(d["l_extendedprice"])
+                * (100 - cents(d["l_discount"])),
+            }
+        )
+
+    li_f = li.map_batches(prep_li, batch_format="pandas")
+    n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    j = li_f.join(o_f, "inner", num_partitions=n_part,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = grouped_sums(j, ["o_custkey"], sums={"revenue_ccents": "rev_cc"})
+
+    def ptop(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_ccents", "o_custkey"], ascending=[False, True]
+        ).head(k)
+
+    top = (
+        agg.map_batches(ptop, batch_format="pandas")
+        .sort(["revenue_ccents", "o_custkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+
+    win_keys = np.sort(top["o_custkey"].to_numpy(np.int64))
+    keys_ref = broadcast(win_keys)
+
+    class PickCust:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            hit = np.isin(df["c_custkey"].to_numpy(np.int64), self.keys)
+            d = df[hit]
+            return pd.DataFrame(
+                {
+                    "c_custkey": d["c_custkey"].to_numpy(np.int64),
+                    "c_name": d["c_name"].astype(str),
+                    "c_nationkey": d["c_nationkey"].to_numpy(np.int64),
+                    "acctbal_cents": cents(d["c_acctbal"]),
+                }
+            )
+
+    attrs = (
+        read(sf_dir, "customer",
+             ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+        .map_batches(PickCust, batch_format="pandas", concurrency=(1, 4))
+        .to_pandas()
+    )
+    nat = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = top.merge(attrs, left_on="o_custkey", right_on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    out = out.rename(columns={"o_custkey": "c_custkey_"})
+    return pd.DataFrame(
+        {
+            "c_custkey": out["c_custkey"].to_numpy(np.int64),
+            "c_name": out["c_name"].astype(str),
+            "n_name": out["n_name"].astype(str),
+            "acctbal_cents": out["acctbal_cents"].to_numpy(np.int64),
+            "revenue_ccents": out["revenue_ccents"].to_numpy(np.int64),
+        }
+    ).sort_values(["revenue_ccents", "c_custkey"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+
+
+PROMO_MAX_BROADCAST = 2_000_000  # promo partkey set entries to broadcast
+
+
+def q_promo_revenue(sf_dir: str, max_broadcast: int = PROMO_MAX_BROADCAST):
+    """TPC-H Q14 shape (promotion effect): over one ship month, lineitem
+    revenue split into promo-part revenue vs total — the conditional-
+    aggregate pair whose ratio the report computes.
+
+    Scale plan: the promo partkey set is computed DISTRIBUTIVELY
+    (map-side filter + distinct_column) and applied with the broadcast-or-
+    join dual plan (sorted-int membership under ``max_broadcast`` keys;
+    hash Dataset.join carrying an is_promo flag above it). One stream over
+    the month-pruned lineitem folds BOTH exact cent-hundredth sums per
+    batch; the driver sums a handful of two-column partials."""
+    lo = _dt.datetime(1997, 9, 1)
+    hi = _dt.datetime(1997, 10, 1)
+
+    part = read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def promo_only(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["p_type"] == "PROMO"]
+        return pd.DataFrame({"p_partkey": d["p_partkey"].to_numpy(np.int64)})
+
+    promo = distinct_column(
+        part.map_batches(promo_only, batch_format="pandas"), "p_partkey"
+    ).materialize()
+    n_promo = promo.count()
+
+    li = read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def month_prune(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        return pd.DataFrame(
+            {
+                "l_partkey": d["l_partkey"].to_numpy(np.int64),
+                "rev_cc": cents(d["l_extendedprice"])
+                * (100 - cents(d["l_discount"])),
+            }
+        )
+
+    li_f = li.map_batches(month_prune, batch_format="pandas")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["rev_cc"].to_numpy(np.int64)
+        is_promo = df["is_promo"].to_numpy(bool)
+        return pd.DataFrame(
+            {
+                "promo_ccents": [int(rev[is_promo].sum())],
+                "total_ccents": [int(rev.sum())],
+            }
+        )
+
+    if n_promo <= max_broadcast:
+        p = promo.to_pandas()
+        keys = (
+            np.sort(p["p_partkey"].to_numpy(np.int64))
+            if "p_partkey" in p.columns
+            else np.empty(0, np.int64)
+        )
+        keys_ref = broadcast(keys)
+
+        class Flag:
+            def __init__(self):
+                self.keys = ray.get(keys_ref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                d = df.copy()
+                d["is_promo"] = np.isin(
+                    d["l_partkey"].to_numpy(np.int64), self.keys
+                )
+                return fold(d)
+
+        partials = li_f.map_batches(Flag, batch_format="pandas", concurrency=(1, 8))
+    else:
+        n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+
+        def mark(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.copy()
+            d["is_promo"] = True
+            return d
+
+        flagged = promo.map_batches(mark, batch_format="pandas")
+        joined = li_f.join(
+            flagged, "left_outer", num_partitions=n_part,
+            on=("l_partkey",), right_on=("p_partkey",),
+        ).map_batches(
+            lambda df: df.assign(is_promo=df["is_promo"].fillna(False).astype(bool)),
+            batch_format="pandas",
+        )
+        partials = joined.map_batches(fold, batch_format="pandas")
+
+    tot = partials.to_pandas()
+    return pd.DataFrame(
+        {
+            "promo_ccents": [np.int64(tot["promo_ccents"].sum())],
+            "total_ccents": [np.int64(tot["total_ccents"].sum())],
+        }
+    )
+
+
+def q_large_volume_customers(sf_dir: str, qty_min: int = 170, k: int = 100):
+    """TPC-H Q18 shape (large-volume customers): orders whose total lineitem
+    quantity exceeds ``qty_min``, top-k by order value, with the customer
+    name attached.
+
+    Scale plan: the HAVING subquery is one grouped_sums over lineitem
+    (slim (orderkey, qty) partials ride the shuffle), filtered map-side
+    before a fact-fact hash join back to orders; per-batch partial top-k
+    bounds the global sort at k rows per block; only the k winners'
+    custkeys drive a broadcast-filtered re-scan of customer for names
+    (the Q10 display-attribute pattern — no dimension collect)."""
+    qty = read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "q": np.rint(df["l_quantity"].to_numpy(np.float64)).astype(
+                    np.int64
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+    agg = grouped_sums(qty, ["l_orderkey"], sums={"sum_qty": "q"})
+
+    def big_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["sum_qty"].to_numpy(np.int64) > qty_min]
+
+    big = agg.map_batches(big_only, batch_format="pandas")
+
+    orders = read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "o_custkey": df["o_custkey"].to_numpy(np.int64),
+                "o_orderdate": df["o_orderdate"].astype("datetime64[us]"),
+                "totalprice_cents": cents(df["o_totalprice"]),
+            }
+        ),
+        batch_format="pandas",
+    )
+    n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    j = orders.join(big, "inner", num_partitions=n_part,
+                    on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def ptop(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["totalprice_cents", "o_orderkey"], ascending=[False, True]
+        ).head(k)
+
+    top = (
+        j.map_batches(ptop, batch_format="pandas")
+        .sort(["totalprice_cents", "o_orderkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+
+    win_keys = np.sort(np.unique(top["o_custkey"].to_numpy(np.int64)))
+    keys_ref = broadcast(win_keys)
+
+    class PickCust:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            hit = np.isin(df["c_custkey"].to_numpy(np.int64), self.keys)
+            d = df[hit]
+            return pd.DataFrame(
+                {
+                    "c_custkey": d["c_custkey"].to_numpy(np.int64),
+                    "c_name": d["c_name"].astype(str),
+                }
+            )
+
+    names = (
+        read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(PickCust, batch_format="pandas", concurrency=(1, 4))
+        .to_pandas()
+    )
+    out = top.merge(names, left_on="o_custkey", right_on="c_custkey")
+    return pd.DataFrame(
+        {
+            "c_name": out["c_name"].astype(str),
+            "c_custkey": out["c_custkey"].to_numpy(np.int64),
+            "o_orderkey": out["o_orderkey"].to_numpy(np.int64),
+            "o_orderdate": out["o_orderdate"].astype("datetime64[us]"),
+            "totalprice_cents": out["totalprice_cents"].to_numpy(np.int64),
+            "sum_qty": out["sum_qty"].to_numpy(np.int64),
+        }
+    ).sort_values(
+        ["totalprice_cents", "o_orderkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+# Q19 predicate bands: (brand, max size, qty lo, qty hi) per disjunct.
+Q19_BANDS = (
+    ("Brand#1", 15, 1, 11),
+    ("Brand#2", 25, 10, 20),
+    ("Brand#3", 35, 20, 30),
+)
+
+
+def q_disjunctive_revenue(sf_dir: str, bands: tuple = Q19_BANDS):
+    """TPC-H Q19 shape (disjunctive pushdown): revenue of lineitems whose
+    (part brand, part size, quantity) falls in any of three bands — the
+    OR-of-ANDs predicate class that exercises cross-table predicate
+    evaluation without a reduce.
+
+    Scale plan: part attributes ship ONCE as a broadcast (sorted partkey,
+    brand code, size) triple — dimension-bounded, with the hash-join dual
+    plan the promo/small_qty family documents; each lineitem batch
+    evaluates the whole disjunction vectorized and folds a single
+    (revenue, rows) partial. No shuffle at all — the only exchange is the
+    driver-side sum of per-batch partials."""
+    part = read_arrow(
+        sf_dir, "part", ["p_partkey", "p_brand", "p_size"]
+    ).to_pandas()
+    part = part.sort_values("p_partkey")
+    brand_names = sorted({b for b, _, _, _ in bands})
+    brand_code = {b: i for i, b in enumerate(brand_names)}
+    codes = part["p_brand"].map(lambda b: brand_code.get(b, -1)).to_numpy(np.int64)
+    dims_ref = broadcast(
+        (
+            part["p_partkey"].to_numpy(np.int64),
+            codes,
+            part["p_size"].to_numpy(np.int64),
+        )
+    )
+    band_rows = [
+        (brand_code[b], smax, qlo, qhi) for b, smax, qlo, qhi in bands
+    ]
+
+    li = read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    class Fold:
+        def __init__(self):
+            self.pk, self.brand, self.size = ray.get(dims_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            pk = df["l_partkey"].to_numpy(np.int64)
+            if len(self.pk):
+                pos = np.searchsorted(self.pk, pk)
+                pos[pos == len(self.pk)] = 0
+                ok = self.pk[pos] == pk
+                brand = np.where(ok, self.brand[pos], np.int64(-1))
+                size = np.where(ok, self.size[pos], np.int64(-1))
+            else:
+                brand = np.full(len(pk), -1, dtype=np.int64)
+                size = brand
+            qty = np.rint(df["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+            keep = np.zeros(len(pk), dtype=bool)
+            for bc, smax, qlo, qhi in band_rows:
+                keep |= (
+                    (brand == bc)
+                    & (size >= 1)
+                    & (size <= smax)
+                    & (qty >= qlo)
+                    & (qty <= qhi)
+                )
+            rev = (
+                cents(df["l_extendedprice"]) * (100 - cents(df["l_discount"]))
+            )[keep]
+            return pd.DataFrame(
+                {
+                    "revenue_ccents": [int(rev.sum())],
+                    "n_rows": [int(keep.sum())],
+                }
+            )
+
+    tot = li.map_batches(Fold, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue_ccents": [np.int64(tot["revenue_ccents"].sum())],
+            "n_rows": [np.int64(tot["n_rows"].sum())],
+        }
+    )
+
+
+def q_sales_opportunity(sf_dir: str, cutoff: "_dt.datetime" = None):
+    """TPC-H Q22 shape (global-sales opportunity): per nation, the count and
+    total balance of customers whose balance exceeds the positive-balance
+    average AND who have placed no order since ``cutoff`` (the lapsed
+    high-balance prospects the report targets).
+
+    The scalar subquery becomes an exact integer comparison — ``bal_cents
+    * n_positive > sum_positive_cents`` is bit-equal to ``c_acctbal >
+    AVG(...)`` as rationals, so no float crosses the oracle boundary. The
+    average's (sum, count) folds map-side into one-row partials; the
+    NOT-EXISTS is the distributed semi_anti_filter over the date-pruned
+    orders slice (distinct o_custkey → broadcast-or-hash-anti-join); the
+    final exchange is one nation-keyed grouped_sums."""
+    if cutoff is None:
+        cutoff = _dt.datetime(2001, 1, 1)
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def avg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bal = cents(df["c_acctbal"])
+        pos = bal > 0
+        return pd.DataFrame(
+            {"sum_c": [int(bal[pos].sum())], "n_c": [int(pos.sum())]}
+        )
+
+    tot = cust.map_batches(avg_partial, batch_format="pandas").to_pandas()
+    sum_c = int(tot["sum_c"].sum())
+    n_c = int(tot["n_c"].sum())
+
+    def rich_only(df: pd.DataFrame) -> pd.DataFrame:
+        bal = cents(df["c_acctbal"])
+        keep = bal * n_c > sum_c
+        d = df[keep]
+        return pd.DataFrame(
+            {
+                "c_custkey": d["c_custkey"].to_numpy(np.int64),
+                "c_nationkey": d["c_nationkey"].to_numpy(np.int64),
+                "bal_cents": bal[keep],
+            }
+        )
+
+    rich = cust.map_batches(rich_only, batch_format="pandas")
+    recent = read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_custkey": df.loc[
+                    df["o_orderdate"] >= cutoff, "o_custkey"
+                ].to_numpy(np.int64)
+            }
+        ),
+        batch_format="pandas",
+    )
+    no_orders = semi_anti_filter(rich, "c_custkey", recent, "o_custkey", anti=True)
+
+    nat = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+    name_ref = broadcast(name_of)
+
+    class AttachNation:
+        def __init__(self):
+            self.name_of = ray.get(name_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "n_name": df["c_nationkey"].map(self.name_of).astype(str),
+                    "bal_cents": df["bal_cents"].to_numpy(np.int64),
+                }
+            )
+
+    return grouped_sums(
+        no_orders.map_batches(AttachNation, batch_format="pandas",
+                              concurrency=(1, 4)),
+        ["n_name"],
+        sums={"totacctbal_cents": "bal_cents"},
+        count_as="numcust",
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_type_pivot(sf_dir: str, types: tuple = EVENT_TYPES):
+    """PIVOT class: per-user event counts spread into one column per event
+    type (the wide-format feature frame a training pipeline feeds to a
+    model). One pass: each batch folds a (user x types) partial count
+    frame vectorized (one boolean mask per type), then a single user-keyed
+    grouped_sums combines partials — the shuffle carries at most one row
+    per (user, batch), never raw events."""
+    ds = read(sf_dir, "events", ["user_id", "event_type"])
+    cols = {t: f"n_{t}" for t in types}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].astype(str)
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64)})
+        for t, c in cols.items():
+            out[c] = (et == t).to_numpy(np.int64)
+        return out.groupby("user_id", as_index=False).sum()
+
+    return grouped_sums(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        sums={c: c for c in cols.values()},
+    )
+
+
+def q_event_seq(sf_dir: str):
+    """ROW_NUMBER window class: each event's 1-based rank within its user's
+    history ordered by (ts, event_id). Same scale shape as q_event_gaps —
+    ONE hash-bucketed-by-user shuffle of slim rows, one sort + segment
+    cumcount per bucket (index minus run start), no per-user dispatch."""
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    n_buckets = default_buckets()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": u,
+                "ts": df["ts"].astype("datetime64[us]"),
+                "_ub": _user_bucket(u, n_buckets),
+            }
+        )
+
+    def seq(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "seq": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        idx = np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "user_id": u,
+                "seq": idx - _run_starts(u) + 1,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(seq, batch_format="pandas")
+    )

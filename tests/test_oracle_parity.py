@@ -82,6 +82,19 @@ ORACLE_BACKED = [
     "match_roc",
     "small_qty_revenue",
     "market_share",
+    # r4e: TPC-H Q4/Q7/Q10/Q14/Q18/Q19/Q22 shapes, pivot, row_number,
+    # mutual-best 1:1 matching, pair feature vectors
+    "order_priority_count",
+    "volume_shipping",
+    "returned_items",
+    "promo_revenue",
+    "large_volume_customers",
+    "disjunctive_revenue",
+    "sales_opportunity",
+    "event_type_pivot",
+    "event_seq",
+    "mutual_best_pairs",
+    "pair_features",
 ]
 
 
