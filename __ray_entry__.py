@@ -86,31 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_metrics": er.q_blocking_metrics,
         "metablocking_pairs": er.q_metablocking_pairs,
         "match_roc": er.q_match_roc,
-        # rewritten in r4 (prefix-filtered blocking) → re-gate this round
-        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
-        # changed in r4 (ADVICE fixes + default_buckets + user-bucket
-        # rewrites) → keep inside the driver's gated prefix for re-gating
-        "json_field_sum": relational.q_json_field_sum,
-        "cohort_retention": relational.q_cohort_retention,
-        "simhash_buckets": dedup.q_simhash_buckets,
-        "latest_order_before_event": relational.q_latest_order_before_event,
-        "hourly_user_activity": relational.q_hourly_user_activity,
-        "sessionize": relational.q_sessionize,
-        "customers_without_events": relational.q_customers_without_events,
-        "parts_with_orders": relational.q_parts_with_orders,
-        "first_event_per_user": relational.q_first_event_per_user,
-        "user_event_type_counts": relational.q_user_event_type_counts,
-        "rolling_user_value": relational.q_rolling_user_value,
-        # new in r4d: decorrelated scalar subquery + conditional share
-        "small_qty_revenue": relational.q_small_qty_revenue,
-        "market_share": relational.q_market_share,
-        # relational operator family (SURVEY.md §2 S/J/G/T classes) —
-        # unchanged since their r3 hash-green rows
-        "top_orders_per_segment": relational.q_top_orders_per_segment,
-        "approx_users": relational.q_approx_users,
-        # new in r4e (positions >50: first in line for the r5 driver gate;
-        # until then verified by the identical in-repo rehearsal compare,
-        # tests/test_oracle_parity.py)
+        # new in r4e — never gated, so they take prefix slots ahead of the
+        # re-gates below (the re-gates' rewrites are output-identical and
+        # hold r03 hash-green rows + the identical in-repo rehearsal)
         "order_priority_count": relational.q_order_priority_count,
         "volume_shipping": relational.q_volume_shipping,
         "returned_items": relational.q_returned_items,
@@ -122,6 +100,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_seq": relational.q_event_seq,
         "mutual_best_pairs": er.q_mutual_best_pairs,
         "pair_features": er.q_pair_features,
+        # new in r4d: decorrelated scalar subquery + conditional share
+        "small_qty_revenue": relational.q_small_qty_revenue,
+        "market_share": relational.q_market_share,
+        # the 3 deepest r4 rewrites re-gate inside the prefix (prefix-filter
+        # blocking; per-user map_groups → bucketed vectorized kernels)
+        "ngram_jaccard_pairs": dedup.q_ngram_jaccard_pairs,
+        "sessionize": relational.q_sessionize,
+        "rolling_user_value": relational.q_rolling_user_value,
+        # --- driver prefix ends here (50) ---------------------------------
+        # r4-changed, r03-hash-green, rehearsal-verified — first in line for
+        # the r5 gate
+        "json_field_sum": relational.q_json_field_sum,
+        "cohort_retention": relational.q_cohort_retention,
+        "simhash_buckets": dedup.q_simhash_buckets,
+        "latest_order_before_event": relational.q_latest_order_before_event,
+        "hourly_user_activity": relational.q_hourly_user_activity,
+        "customers_without_events": relational.q_customers_without_events,
+        "parts_with_orders": relational.q_parts_with_orders,
+        "first_event_per_user": relational.q_first_event_per_user,
+        "user_event_type_counts": relational.q_user_event_type_counts,
+        # relational operator family (SURVEY.md §2 S/J/G/T classes) —
+        # unchanged since their r3 hash-green rows
+        "top_orders_per_segment": relational.q_top_orders_per_segment,
+        "approx_users": relational.q_approx_users,
         "filter_revenue": relational.q_filter_revenue,
         "pricing_summary": relational.q_pricing_summary,
         "orders_by_segment": relational.q_orders_by_segment,
