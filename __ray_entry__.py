@@ -110,7 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_value": relational.q_rolling_user_value,
         # --- driver prefix ends here (50) ---------------------------------
         # r4-changed, r03-hash-green, rehearsal-verified — first in line for
-        # the r5 gate
+        # the r5 gate (plus r4e's phonetic blocking, also r5-first)
+        "phonetic_pairs": er.q_phonetic_pairs,
         "json_field_sum": relational.q_json_field_sum,
         "cohort_retention": relational.q_cohort_retention,
         "simhash_buckets": dedup.q_simhash_buckets,
@@ -236,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
             "dup_clusters",
             "quality_score",
             "kmeans_clusters",
+            "phonetic_pairs",
         )
     }
 

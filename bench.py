@@ -169,6 +169,20 @@ def run_bench() -> dict:
         timed("match_roc", er.q_match_roc)
         timed("small_qty_revenue", relational.q_small_qty_revenue)
         timed("market_share", relational.q_market_share)
+        # r4e: TPC-H Q4/Q7/Q10/Q14/Q18/Q19/Q22, pivot/row_number windows,
+        # mutual-best 1:1 matching + pair feature vectors
+        timed("order_priority_count", relational.q_order_priority_count)
+        timed("volume_shipping", relational.q_volume_shipping)
+        timed("returned_items", relational.q_returned_items)
+        timed("promo_revenue", relational.q_promo_revenue)
+        timed("large_volume_customers", relational.q_large_volume_customers)
+        timed("disjunctive_revenue", relational.q_disjunctive_revenue)
+        timed("sales_opportunity", relational.q_sales_opportunity)
+        timed("event_type_pivot", relational.q_event_type_pivot)
+        timed("event_seq", relational.q_event_seq)
+        timed("mutual_best_pairs", er.q_mutual_best_pairs)
+        timed("pair_features", er.q_pair_features)
+        timed("phonetic_pairs", er.q_phonetic_pairs)
 
     result = {
         "metric": "entity_link_e2e",

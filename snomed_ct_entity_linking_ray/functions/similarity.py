@@ -130,3 +130,33 @@ def hash_embed(texts: list[str], dim: int = 64) -> np.ndarray:
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return out / norms
+
+
+_SOUNDEX_CODE = {}
+for _cs, _d in (
+    ("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+    ("L", "4"), ("MN", "5"), ("R", "6"),
+):
+    for _c in _cs:
+        _SOUNDEX_CODE[_c] = _d
+
+
+def soundex(s: str) -> str:
+    """American Soundex (NARA variant): 4-char phonetic code over the
+    letters of ``s`` (non-letters dropped, so multi-word names encode as
+    one token). H/W do not separate equal codes; vowels do. Pinned to the
+    classic vectors (Robert/Rupert→R163, Ashcraft→A261, Tymczak→T522,
+    Pfister→P236) in tests/test_similarity.py."""
+    letters = [c for c in s.upper() if "A" <= c <= "Z"]
+    if not letters:
+        return "0000"
+    first = letters[0]
+    out: list[str] = []
+    prev = _SOUNDEX_CODE.get(first, "")
+    for c in letters[1:]:
+        d = _SOUNDEX_CODE.get(c, "")
+        if d and d != prev:
+            out.append(d)
+        if c not in "HW":
+            prev = d
+    return (first + "".join(out) + "000")[:4]

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 11  # r4b: + kmeans_clusters oracle
+ORACLE_VERSION = 12  # r4e: + phonetic_pairs oracle
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -92,6 +92,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "dup_clusters": lambda: _dup_clusters(sf_dir),
         "quality_score": lambda: _quality_score(sf_dir),
         "kmeans_clusters": lambda: _kmeans_clusters(sf_dir),
+        "phonetic_pairs": lambda: _phonetic_pairs(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -936,5 +937,35 @@ def _kmeans_clusters(sf_dir: str, k: int = 8, n_iter: int = 5) -> pa.Table:
         {
             "vec_id": pa.array(ids.tolist(), pa.int64()),
             "cluster": pa.array(a.astype(np.int64).tolist(), pa.int64()),
+        }
+    )
+
+
+def _phonetic_pairs(sf_dir: str) -> pa.Table:
+    """Single-process mirror of pipelines.er.q_phonetic_pairs: distinct part
+    names grouped by Soundex code (the shared property-pinned kernel —
+    tests/test_functions.py pins the classic NARA vectors), all unordered
+    same-code pairs in lexicographic order, plain dict-of-lists loops."""
+    from .functions.similarity import soundex
+
+    names = sorted(set(_read(sf_dir, "part").column("p_name").to_pylist()))
+    by_code: dict = {}
+    for n in names:
+        by_code.setdefault(soundex(n), []).append(n)
+    codes: list = []
+    a_out: list = []
+    b_out: list = []
+    for code in sorted(by_code):
+        grp = sorted(by_code[code])
+        for i in range(len(grp)):
+            for j in range(i + 1, len(grp)):
+                codes.append(code)
+                a_out.append(grp[i])
+                b_out.append(grp[j])
+    return pa.table(
+        {
+            "code": pa.array(codes, pa.string()),
+            "name_a": pa.array(a_out, pa.string()),
+            "name_b": pa.array(b_out, pa.string()),
         }
     )

@@ -28,7 +28,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.similarity import jaro_winkler, levenshtein
+from ..functions.similarity import jaro_winkler, levenshtein, soundex
 from .common import (
     broadcast,
     cents,
@@ -1237,4 +1237,63 @@ def q_pair_features(
         cand.map_batches(add_bucket, batch_format="pandas")
         .groupby("_pb")
         .map_groups(bucket_dedup, batch_format="pandas")
+    )
+
+
+PHONETIC_BLOCK_CAP = 4096
+
+
+def q_phonetic_pairs(sf_dir: str, block_cap: int = PHONETIC_BLOCK_CAP):
+    """Phonetic blocking (the third classic blocking discipline after
+    standard blocking and sorted-neighborhood, Christen ch.4): distinct
+    part names keyed by their American-Soundex code; every same-code pair
+    is a candidate. Misspellings that preserve pronunciation land in the
+    same block — the recall complement to the character-level n-gram and
+    length-band blockers.
+
+    Scale shape: the shuffle carries (code, name) only — one row per
+    distinct name, vocabulary-bounded; blocks over ``block_cap`` truncate
+    deterministically with a logged drop (the `_cap_block` discipline);
+    pairs are unique by construction (one code per name → no dual
+    emission, no distinct pass needed)."""
+    names = distinct_column(read(sf_dir, "part", ["p_name"]), "p_name")
+
+    def keys(df: pd.DataFrame) -> pa.Table:
+        nm = df["p_name"].astype(str)
+        return pa.Table.from_arrays(
+            [
+                pa.array([soundex(s) for s in nm], pa.string()),
+                pa.array(nm.to_numpy(object), pa.string()),
+            ],
+            schema=pa.schema([("code", pa.string()), ("p_name", pa.string())]),
+        )
+
+    pair_schema = pa.schema(
+        [("code", pa.string()), ("name_a", pa.string()), ("name_b", pa.string())]
+    )
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        g = _cap_block(g, "p_name", "phonetic", block_cap)
+        nm = np.sort(g["p_name"].to_numpy(object))
+        code = g["code"].iloc[0] if len(g) else ""
+        a_out: list = []
+        b_out: list = []
+        n = len(nm)
+        if n >= 2:
+            ia, ib = np.triu_indices(n, k=1)
+            a_out = nm[ia].tolist()
+            b_out = nm[ib].tolist()
+        return pa.Table.from_arrays(
+            [
+                pa.array([code] * len(a_out), pa.string()),
+                pa.array(a_out, pa.string()),
+                pa.array(b_out, pa.string()),
+            ],
+            schema=pair_schema,
+        )
+
+    return (
+        names.map_batches(keys, batch_format="pandas")
+        .groupby("code")
+        .map_groups(pairs, batch_format="pandas")
     )

@@ -216,3 +216,20 @@ def test_hll_merge_equals_single_pass_and_estimate_accuracy():
     assert np.array_equal(whole, merged)
     est = sketches.hll_estimate(whole)
     assert abs(est - 100_000) / 100_000 < 0.05  # ~1.6% expected at p=12
+
+
+def test_soundex_classic_vectors():
+    """NARA American Soundex: the published reference codes, plus the
+    h/w-separator and vowel-reset rules, and the letters-only multi-word
+    behavior q_phonetic_pairs relies on."""
+    from snomed_ct_entity_linking_ray.functions.similarity import soundex
+
+    for name, code in [
+        ("Robert", "R163"), ("Rupert", "R163"),
+        ("Ashcraft", "A261"), ("Ashcroft", "A261"),  # h does not separate
+        ("Tymczak", "T522"),                          # vowel separates
+        ("Pfister", "P236"), ("Honeyman", "H555"),
+        ("small ring", "S546"),                       # letters-only join
+        ("", "0000"), ("123", "0000"),
+    ]:
+        assert soundex(name) == code, (name, soundex(name), code)

@@ -95,6 +95,7 @@ ORACLE_BACKED = [
     "event_seq",
     "mutual_best_pairs",
     "pair_features",
+    "phonetic_pairs",
 ]
 
 
