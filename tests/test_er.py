@@ -311,3 +311,94 @@ def test_match_roc_curve_invariants():
     at = got[got["threshold"] == 0.85]
     assert len(at) == 1
     assert int(at["tp"].iloc[0] + at["fp"].iloc[0]) == int(n_agree)
+
+
+def test_mutual_best_reciprocity_brute_force():
+    """Mutual-best output == brute-force reciprocal argmax over the blocked
+    candidate graph (best over ALL candidates, threshold applied to the
+    surviving reciprocal pairs only)."""
+    import duckdb
+    from snomed_ct_entity_linking_ray.functions.similarity import jaro_winkler
+
+    names = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT p_name FROM read_parquet('{SF}/part.parquet')"
+        ).fetchall()
+    )
+    best = {}
+    for a in names:
+        cands = [
+            b for b in names
+            if b != a and b[0] == a[0] and abs(len(a) - len(b)) <= 3
+        ]
+        if cands:
+            # argmax jw, tie-break lexicographically smallest cand
+            mx = max(jaro_winkler(a, b) for b in cands)
+            best[a] = min(b for b in cands if jaro_winkler(a, b) == mx)
+    exp = {
+        (min(x, y), max(x, y))
+        for x, y in best.items()
+        if best.get(y) == x and jaro_winkler(x, y) >= er.MUTUAL_JW_THRESHOLD
+    }
+    got = er.q_mutual_best_pairs(SF).to_pandas()
+    assert set(zip(got["name_a"], got["name_b"])) == exp
+
+
+def test_pair_features_match_kernels():
+    """Every feature column reproduces the pure-Python kernels on its pair;
+    pairs are exactly the fuzzy blocking predicate (no JW filter)."""
+    import duckdb
+    from itertools import combinations
+
+    from snomed_ct_entity_linking_ray.functions.similarity import (
+        jaro_winkler,
+        levenshtein,
+    )
+
+    names = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT p_name FROM read_parquet('{SF}/part.parquet')"
+        ).fetchall()
+    )
+    exp_pairs = {
+        (a, b)
+        for a, b in combinations(names, 2)
+        if a[0] == b[0] and abs(len(a) - len(b)) <= 3
+    }
+    got = er.q_pair_features(SF).to_pandas()
+    assert set(zip(got["name_a"], got["name_b"])) == exp_pairs
+    for r in got.itertuples():
+        assert r.lev == levenshtein(r.name_a, r.name_b)
+        assert r.jw_ubin == int(
+            np.floor(jaro_winkler(r.name_a, r.name_b) * er.JW_UBIN_SCALE)
+        )
+        ta, tb = set(r.name_a.split(" ")), set(r.name_b.split(" "))
+        assert r.tok_inter == len(ta & tb)
+        assert r.tok_union == len(ta | tb)
+        assert (r.len_a, r.len_b) == (len(r.name_a), len(r.name_b))
+
+
+def test_phonetic_blocks_partition():
+    """Every pair shares its block's Soundex code; pair count per code is
+    exactly C(n_code, 2); pairs are unique and lexicographically ordered."""
+    import duckdb
+    from snomed_ct_entity_linking_ray.functions.similarity import soundex
+
+    names = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT p_name FROM read_parquet('{SF}/part.parquet')"
+        ).fetchall()
+    )
+    from collections import Counter
+
+    sizes = Counter(soundex(n) for n in names)
+    exp_n = sum(v * (v - 1) // 2 for v in sizes.values())
+    got = er.q_phonetic_pairs(SF).to_pandas()
+    assert len(got) == exp_n
+    assert not got.duplicated(["name_a", "name_b"]).any()
+    for r in got.itertuples():
+        assert r.name_a < r.name_b
+        assert soundex(r.name_a) == soundex(r.name_b) == r.code

@@ -356,3 +356,68 @@ def test_market_share_consistency():
         (cents(li["l_extendedprice"]) * (100 - cents(li["l_discount"]))).sum()
     )
     assert int(got["total_ccents"].sum()) == exp_total
+
+
+def test_grouped_max_matches_pandas():
+    """_grouped_max partial-then-final == a single flat groupby max,
+    including across many small input blocks."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from snomed_ct_entity_linking_ray.pipelines.relational import _grouped_max
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 50, 2000), "v": rng.integers(-10**9, 10**9, 2000)}
+    )
+    ds = rd.from_pandas(df).repartition(13)
+    got = (
+        _grouped_max(ds, "k", "v", "mx", n_buckets=8)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby("k", as_index=False)
+        .agg(mx=("v", "max"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype({"k": "int64", "mx": "int64"}), exp)
+
+
+def test_event_seq_dense_per_user():
+    """Per user, seq is a dense 1..n permutation and follows (ts, event_id)
+    order."""
+    import pandas as pd
+
+    from snomed_ct_entity_linking_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    got = relational.q_event_seq(sf).to_pandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"])
+    assert len(got) == len(ev)
+    m = got.merge(ev, on=["event_id", "user_id"])
+    for _, g in m.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        assert g["seq"].tolist() == list(range(1, len(g) + 1))
+
+
+def test_event_type_pivot_row_sums():
+    """Pivot counts per user sum to that user's event count, and each column
+    matches a direct filtered count."""
+    import pandas as pd
+
+    from snomed_ct_entity_linking_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    got = relational.q_event_type_pivot(sf).to_pandas().set_index("user_id")
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "event_type"])
+    totals = ev.groupby("user_id").size()
+    cols = [c for c in got.columns]
+    assert (got[cols].sum(axis=1).sort_index() == totals.sort_index()).all()
+    clicks = ev[ev["event_type"] == "click"].groupby("user_id").size()
+    assert (
+        got["n_click"].reindex(clicks.index).sort_index() == clicks.sort_index()
+    ).all()
