@@ -25,7 +25,30 @@ import ray
 import ray.data as rd
 
 
+def _tune_join_context() -> None:
+    """Cap hash-join aggregator CPU reservation at a fraction per partition.
+
+    Ray's local-cluster heuristic reserves ``min(1, (CPU/2)/num_partitions)``
+    CPUs per join aggregator actor — a FULL CPU each at our small partition
+    counts, so two concurrently-alive joins (the Q7/Q8 topologies) reserve
+    the ENTIRE box and starve the upstream map tasks that feed them: a
+    reproduced hard deadlock at ``num_cpus=4`` (q_volume_shipping) and a
+    standing hazard at every size. 0.25/partition keeps a 2-partition join
+    at half a CPU and a 16-partition join at 4 — aggregators are mostly
+    network/accumulate-bound, matching Ray's own single-node default ethos
+    (join.py::_get_default_num_cpus_per_partition = 0.125)."""
+    ctx = rd.DataContext.get_current()
+    if ctx.join_operator_actor_num_cpus_per_partition_override is None:
+        ctx.join_operator_actor_num_cpus_per_partition_override = 0.25
+    # Empty-side-safe hash join (upstream deadlock/ArrowInvalid workaround;
+    # see stages/joinsafe.py for the reproduction and semantics table).
+    from snomed_ct_entity_linking_ray.stages import joinsafe
+
+    joinsafe.install()
+
+
 def read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    _tune_join_context()
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 

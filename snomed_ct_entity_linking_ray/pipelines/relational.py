@@ -1657,21 +1657,25 @@ def q_volume_shipping(
 
     cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
-    class PrepCust:
-        def __init__(self):
-            self.keys_ab, _, _, _ = ray.get(dims_ref)
+    # Task-pool functions (closures over the broadcast ref), NOT actor pools:
+    # the per-batch state is one ray.get of an already-local plasma object
+    # (zero-copy for numpy), so tasks cost nothing extra — while three actor
+    # pools would statically reserve 3 CPUs for the lifetime of the stream,
+    # which together with the two joins' aggregators reserved the ENTIRE
+    # 4-CPU test box and hard-deadlocked the executor (reads output-
+    # backpressured at block 0, pools never granted actors; reproduced).
+    def prep_cust(df: pd.DataFrame) -> pd.DataFrame:
+        keys_ab, _, _, _ = ray.get(dims_ref)
+        nk = df["c_nationkey"].to_numpy(np.int64)
+        hit = np.isin(nk, keys_ab)
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"].to_numpy(np.int64)[hit],
+                "cust_nat": nk[hit],
+            }
+        )
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            nk = df["c_nationkey"].to_numpy(np.int64)
-            hit = np.isin(nk, self.keys_ab)
-            return pd.DataFrame(
-                {
-                    "c_custkey": df["c_custkey"].to_numpy(np.int64)[hit],
-                    "cust_nat": nk[hit],
-                }
-            )
-
-    c_f = cust.map_batches(PrepCust, batch_format="pandas", concurrency=(1, 4))
+    c_f = cust.map_batches(prep_cust, batch_format="pandas")
     orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
     oc = orders.join(c_f, "inner", num_partitions=n_part,
@@ -1683,57 +1687,51 @@ def q_volume_shipping(
         ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
 
-    class PrepLi:
-        def __init__(self):
-            self.keys_ab, self.s_keys, self.s_nat, _ = ray.get(dims_ref)
+    def prep_li(df: pd.DataFrame) -> pd.DataFrame:
+        keys_ab, s_keys, s_nat, _ = ray.get(dims_ref)
+        yr = df["l_shipdate"].dt.year.to_numpy(np.int64)
+        d = df[(yr >= y_lo) & (yr <= y_hi)]
+        yr = yr[(yr >= y_lo) & (yr <= y_hi)]
+        sk = d["l_suppkey"].to_numpy(np.int64)
+        if len(s_keys):
+            pos = np.searchsorted(s_keys, sk)
+            pos[pos == len(s_keys)] = 0
+            ok = s_keys[pos] == sk
+            snat = np.where(ok, s_nat[pos], np.int64(-1))
+        else:
+            snat = np.full(len(sk), -1, dtype=np.int64)
+        hit = np.isin(snat, keys_ab)
+        return pd.DataFrame(
+            {
+                "l_orderkey": d["l_orderkey"].to_numpy(np.int64)[hit],
+                "supp_nat": snat[hit],
+                "l_year": yr[hit],
+                "rev_cc": (
+                    cents(d["l_extendedprice"])
+                    * (100 - cents(d["l_discount"]))
+                )[hit],
+            }
+        )
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            yr = df["l_shipdate"].dt.year.to_numpy(np.int64)
-            d = df[(yr >= y_lo) & (yr <= y_hi)]
-            yr = yr[(yr >= y_lo) & (yr <= y_hi)]
-            sk = d["l_suppkey"].to_numpy(np.int64)
-            if len(self.s_keys):
-                pos = np.searchsorted(self.s_keys, sk)
-                pos[pos == len(self.s_keys)] = 0
-                ok = self.s_keys[pos] == sk
-                snat = np.where(ok, self.s_nat[pos], np.int64(-1))
-            else:
-                snat = np.full(len(sk), -1, dtype=np.int64)
-            hit = np.isin(snat, self.keys_ab)
-            return pd.DataFrame(
-                {
-                    "l_orderkey": d["l_orderkey"].to_numpy(np.int64)[hit],
-                    "supp_nat": snat[hit],
-                    "l_year": yr[hit],
-                    "rev_cc": (
-                        cents(d["l_extendedprice"])
-                        * (100 - cents(d["l_discount"]))
-                    )[hit],
-                }
-            )
-
-    li_f = li.map_batches(PrepLi, batch_format="pandas", concurrency=(1, 4))
+    li_f = li.map_batches(prep_li, batch_format="pandas")
     j = li_f.join(oc, "inner", num_partitions=n_part,
                   on=("l_orderkey",), right_on=("o_orderkey",))
 
-    class Opposing:
-        def __init__(self):
-            _, _, _, self.name_of = ray.get(dims_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            d = df[df["supp_nat"].to_numpy(np.int64)
-                   != df["cust_nat"].to_numpy(np.int64)]
-            return pd.DataFrame(
-                {
-                    "supp_nation": d["supp_nat"].map(self.name_of).astype(str),
-                    "cust_nation": d["cust_nat"].map(self.name_of).astype(str),
-                    "l_year": d["l_year"].to_numpy(np.int64),
-                    "rev_cc": d["rev_cc"].to_numpy(np.int64),
-                }
-            )
+    def opposing(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, _, name_of = ray.get(dims_ref)
+        d = df[df["supp_nat"].to_numpy(np.int64)
+               != df["cust_nat"].to_numpy(np.int64)]
+        return pd.DataFrame(
+            {
+                "supp_nation": d["supp_nat"].map(name_of).astype(str),
+                "cust_nation": d["cust_nat"].map(name_of).astype(str),
+                "l_year": d["l_year"].to_numpy(np.int64),
+                "rev_cc": d["rev_cc"].to_numpy(np.int64),
+            }
+        )
 
     return grouped_sums(
-        j.map_batches(Opposing, batch_format="pandas", concurrency=(1, 4)),
+        j.map_batches(opposing, batch_format="pandas"),
         ["supp_nation", "cust_nation", "l_year"],
         sums={"revenue_ccents": "rev_cc"},
     )

@@ -1,0 +1,137 @@
+"""Empty-side-safe hash join: workaround for an upstream Ray Data defect.
+
+A ``Dataset.join`` whose one input sequence delivers NO blocks at all — a
+fully-empty joined side, e.g. a map-side filter that matched nothing at a
+small scale factor or on a sparse date range — either hard-deadlocks the
+streaming executor or fails inside the join aggregator with
+``ArrowInvalid: No match or multiple matches for key field reference ...``
+(both reproduced on ray 2.49.2 with a 2-stage join cascade at 4 CPUs).
+Root cause: input-sequence schemas are only broadcast to the aggregator
+pool piggybacked on the FIRST data block of each sequence
+(``hash_shuffle.py::_do_add_input_inner`` / ``send_empty_blocks``); when a
+sequence never produces a block, ``JoiningShuffleAggregation.finalize``
+builds that side as a ZERO-COLUMN Arrow table and ``pa.Table.join`` cannot
+resolve the key columns.
+
+Fix shape (all public API):
+
+- :class:`EmptySafeJoinAggregation` — a drop-in subclass of Ray's
+  ``JoiningShuffleAggregation`` whose ``finalize`` answers the degenerate
+  zero-column case with the join-type-correct result instead of crashing.
+  It is imported BY REFERENCE inside the aggregator actors (this package
+  is importable from the job's working directory), so no site-packages
+  edit is needed.
+- :func:`install` — re-registers the planner's ``Join`` translation
+  (``Planner._DEFAULT_PLAN_FNS``, a documented injection point of
+  ``JoinOperator(shuffle_aggregation_type=...)``) so every ``ds.join``
+  in the process uses the safe aggregation. Driver-side, idempotent.
+
+Degenerate-case semantics (side with zero COLUMNS == sequence that never
+delivered a block; an empty-but-schema'd table never takes this path):
+
+==============  =======================  =======================
+join type       left sequence empty      right sequence empty
+==============  =======================  =======================
+inner / semi    0 rows                   0 rows
+left_anti       0 rows                   ALL left rows
+right_anti      ALL right rows           0 rows
+left_outer      0 rows                   ALL left rows
+right_outer     ALL right rows           0 rows
+full_outer      ALL right rows           ALL left rows
+==============  =======================  =======================
+
+Caveat (documented trade-off, strictly better than a deadlock): when an
+outer join keeps rows from the surviving side, the missing side's columns
+cannot be appended as nulls — their schema was never observed. Row
+multiset is correct; the schema is the surviving side's own.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from ray.data import DataContext
+from ray.data._internal.execution.interfaces import PhysicalOperator
+from ray.data._internal.execution.operators.join import (
+    _JOIN_TYPE_TO_ARROW_JOIN_VERB_MAP,
+    JoinOperator,
+    JoiningShuffleAggregation,
+)
+from ray.data._internal.logical.operators.join_operator import Join, JoinType
+
+
+class EmptySafeJoinAggregation(JoiningShuffleAggregation):
+    """``JoiningShuffleAggregation`` that survives a block-less input side."""
+
+    def finalize(self, partition_id: int):
+        import pyarrow as pa
+
+        left: pa.Table = self._get_partition_builder(
+            input_seq_id=0, partition_id=partition_id
+        ).build()
+        right: pa.Table = self._get_partition_builder(
+            input_seq_id=1, partition_id=partition_id
+        ).build()
+
+        if left.num_columns > 0 and right.num_columns > 0:
+            return left.join(
+                right,
+                join_type=_JOIN_TYPE_TO_ARROW_JOIN_VERB_MAP[self._join_type],
+                keys=list(self._left_key_col_names),
+                right_keys=list(self._right_key_col_names),
+                left_suffix=self._left_columns_suffix,
+                right_suffix=self._right_columns_suffix,
+            )
+
+        jt = self._join_type
+        if left.num_columns == 0 and right.num_columns == 0:
+            return pa.table({})
+        if left.num_columns == 0:
+            keep_all = jt in (
+                JoinType.RIGHT_OUTER,
+                JoinType.FULL_OUTER,
+                JoinType.RIGHT_ANTI,
+            )
+            return right if keep_all else right.slice(0, 0)
+        keep_all = jt in (
+            JoinType.LEFT_OUTER,
+            JoinType.FULL_OUTER,
+            JoinType.LEFT_ANTI,
+        )
+        return left if keep_all else left.slice(0, 0)
+
+
+def _plan_join_op_emptysafe(
+    logical_op: Join,
+    physical_children: List[PhysicalOperator],
+    data_context: DataContext,
+) -> PhysicalOperator:
+    """Ray's ``plan_join_op`` with the safe aggregation injected."""
+    assert len(physical_children) == 2
+    assert logical_op._num_outputs is not None
+    return JoinOperator(
+        data_context=data_context,
+        left_input_op=physical_children[0],
+        right_input_op=physical_children[1],
+        join_type=logical_op._join_type,
+        left_key_columns=logical_op._left_key_columns,
+        right_key_columns=logical_op._right_key_columns,
+        left_columns_suffix=logical_op._left_columns_suffix,
+        right_columns_suffix=logical_op._right_columns_suffix,
+        num_partitions=logical_op._num_outputs,
+        partition_size_hint=logical_op._partition_size_hint,
+        aggregator_ray_remote_args_override=logical_op._aggregator_ray_remote_args,
+        shuffle_aggregation_type=EmptySafeJoinAggregation,
+    )
+
+
+def install() -> None:
+    """Route every ``Dataset.join`` through the empty-safe aggregation.
+
+    Patches the driver-side logical→physical translation table only; the
+    aggregation class itself travels to the aggregator actors by module
+    reference. Idempotent."""
+    from ray.data._internal.planner.planner import Planner
+
+    if Planner._DEFAULT_PLAN_FNS.get(Join) is not _plan_join_op_emptysafe:
+        Planner._DEFAULT_PLAN_FNS[Join] = _plan_join_op_emptysafe

@@ -421,3 +421,41 @@ def test_event_type_pivot_row_sums():
     assert (
         got["n_click"].reindex(clicks.index).sort_index() == clicks.sort_index()
     ).all()
+
+
+def test_empty_side_join_completes():
+    """Regression: a hash join whose entire input sequence delivers no
+    blocks used to deadlock the streaming executor or fail with
+    ArrowInvalid inside the aggregator (upstream ray 2.49.2 defect —
+    schemas are only broadcast on each sequence's first data block).
+    stages/joinsafe.py guards the zero-column finalize; this pins both
+    the inner-join empty result and the anti-join keep-all result."""
+    import pandas as pd
+
+    from snomed_ct_entity_linking_ray.pipelines.common import read
+
+    sf = "/root/testdata/sf0.001"
+    li = read(sf, "lineitem", ["l_orderkey"])
+    empty = li.map_batches(lambda df: df.iloc[:0], batch_format="pandas")
+    orders = read(sf, "orders", ["o_orderkey", "o_custkey"])
+    j = empty.join(orders, "inner", num_partitions=2,
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+    assert j.count() == 0
+
+    n_orders = orders.count()
+    anti = orders.join(empty, "left_anti", num_partitions=2,
+                       on=("o_orderkey",), right_on=("l_orderkey",))
+    assert anti.count() == n_orders
+
+
+def test_volume_shipping_empty_filter_small_sf():
+    """q_volume_shipping at sf0.001 filters lineitem to zero rows (no
+    supplier of the two nations ships in-window) — the query must still
+    complete and return the empty frame, not deadlock (the cascade-join
+    shape that exposed the upstream empty-side bug)."""
+    from snomed_ct_entity_linking_ray.pipelines import relational
+
+    df = relational.q_volume_shipping("/root/testdata/sf0.001")
+    if hasattr(df, "to_pandas"):
+        df = df.to_pandas()
+    assert len(df) == 0
