@@ -52,14 +52,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_topk_lsh": vectors.q_cosine_topk_lsh,
         "span_stats": multimodal.q_span_stats,
         "media_bucket_pairs": multimodal.q_media_bucket_pairs,
-        # last gated in r02
-        "encoder_topk": vectors.q_encoder_topk,
-        "dict_majority": dict_train.q_dict_majority,
-        "allowed_sections": dict_train.q_allowed_sections,
-        "dict_precision": dict_train.q_dict_precision,
+        # r4-changed paths whose last green row predates the change:
+        # llm_ner/entity_link were last gated in r02 and the link-state
+        # cache + FreqSink rewrite touched them; the four bucketed
+        # streaming rewrites and the two scaled-bucket queries carry r03
+        # rows from BEFORE their r4 rewrite (VERDICT items 1/4 ask for
+        # CORRECTNESS_r4 rows); json_field_sum's parse was fixed (ADVICE
+        # medium); phonetic_pairs is new in r4e and never gated.
+        "phonetic_pairs": er.q_phonetic_pairs,
+        "first_event_per_user": relational.q_first_event_per_user,
+        "user_event_type_counts": relational.q_user_event_type_counts,
+        "cohort_retention": relational.q_cohort_retention,
+        "latest_order_before_event": relational.q_latest_order_before_event,
+        "json_field_sum": relational.q_json_field_sum,
         "llm_ner": llm.q_llm_ner,
-        "media_inventory": multimodal.q_media_inventory,
-        "frame_samples": multimodal.q_frame_samples,
         "entity_link": entity_link.q_entity_link,
         "entity_link_mentions": entity_link.q_mentions,
         "entity_link_eval_iou": _q_eval_iou,
@@ -109,18 +115,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.q_sessionize,
         "rolling_user_value": relational.q_rolling_user_value,
         # --- driver prefix ends here (50) ---------------------------------
-        # r4-changed, r03-hash-green, rehearsal-verified — first in line for
-        # the r5 gate (plus r4e's phonetic blocking, also r5-first)
-        "phonetic_pairs": er.q_phonetic_pairs,
-        "json_field_sum": relational.q_json_field_sum,
-        "cohort_retention": relational.q_cohort_retention,
+        # r02-green and UNCHANGED since (rehearsal-verified) — evicted from
+        # the prefix to make room for the r4-changed rows above
+        "encoder_topk": vectors.q_encoder_topk,
+        "dict_majority": dict_train.q_dict_majority,
+        "allowed_sections": dict_train.q_allowed_sections,
+        "dict_precision": dict_train.q_dict_precision,
+        "media_inventory": multimodal.q_media_inventory,
+        "frame_samples": multimodal.q_frame_samples,
+        # r03-hash-green; only an empty-batch guard changed since (ADVICE
+        # low) — the r03 row remains representative
         "simhash_buckets": dedup.q_simhash_buckets,
-        "latest_order_before_event": relational.q_latest_order_before_event,
         "hourly_user_activity": relational.q_hourly_user_activity,
         "customers_without_events": relational.q_customers_without_events,
         "parts_with_orders": relational.q_parts_with_orders,
-        "first_event_per_user": relational.q_first_event_per_user,
-        "user_event_type_counts": relational.q_user_event_type_counts,
         # relational operator family (SURVEY.md §2 S/J/G/T classes) —
         # unchanged since their r3 hash-green rows
         "top_orders_per_segment": relational.q_top_orders_per_segment,

@@ -96,6 +96,14 @@ ORACLE_BACKED = [
     "mutual_best_pairs",
     "pair_features",
     "phonetic_pairs",
+    # r4: user-bucketed streaming rewrites + scaled as-of buckets (VERDICT
+    # items 1/4) — rewritten after their r03 driver rows, so the rehearsal
+    # must re-pin them
+    "sessionize",
+    "rolling_user_value",
+    "first_event_per_user",
+    "user_event_type_counts",
+    "latest_order_before_event",
 ]
 
 
