@@ -115,6 +115,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.q_sessionize,
         "rolling_user_value": relational.q_rolling_user_value,
         # --- driver prefix ends here (50) ---------------------------------
+        # new in r4f (never gated — first in line for the r5 gate):
+        # cluster-quality evaluation, canopy blocking, incremental linkage
+        "cluster_metrics": er.q_cluster_metrics,
+        "canopy_pairs": er.q_canopy_pairs,
+        "link_increment": er.q_link_increment,
         # r02-green and UNCHANGED since (rehearsal-verified) — evicted from
         # the prefix to make room for the r4-changed rows above
         "encoder_topk": vectors.q_encoder_topk,
@@ -1140,5 +1145,69 @@ def oracle_sql() -> dict[str, str]:
               ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
              AND abs(length(a.p_name) - length(b.p_name)) <= 3
              AND a.p_name < b.p_name
+        """,
+        "cluster_metrics": """
+            WITH base AS (
+                SELECT split_part(p_name, ' ', 1) AS pred, p_type AS gold
+                FROM part),
+            cell AS (SELECT pred, gold, COUNT(*) AS n FROM base GROUP BY 1, 2),
+            prow AS (SELECT pred, SUM(n) AS n FROM cell GROUP BY 1),
+            grow AS (SELECT gold, SUM(n) AS n FROM cell GROUP BY 1),
+            s AS (SELECT
+                (SELECT CAST(SUM(n) AS BIGINT) FROM cell) AS n_records,
+                (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) FROM cell)
+                    AS tp_pairs,
+                (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) FROM prow)
+                    AS pred_pairs,
+                (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) FROM grow)
+                    AS gold_pairs)
+            SELECT n_records, tp_pairs, pred_pairs, gold_pairs,
+                   CAST(tp_pairs AS DOUBLE) / pred_pairs AS pairwise_precision,
+                   CAST(tp_pairs AS DOUBLE) / gold_pairs AS pairwise_recall,
+                   2.0 * (CAST(tp_pairs AS DOUBLE) / pred_pairs)
+                       * (CAST(tp_pairs AS DOUBLE) / gold_pairs)
+                       / ((CAST(tp_pairs AS DOUBLE) / pred_pairs)
+                          + (CAST(tp_pairs AS DOUBLE) / gold_pairs))
+                       AS pairwise_f1
+            FROM s
+        """,
+        "canopy_pairs": """
+            WITH names AS (SELECT DISTINCT p_name FROM part),
+            tok AS (SELECT DISTINCT p_name, tok FROM (
+                SELECT p_name, unnest(string_split(p_name, ' ')) AS tok
+                FROM names)),
+            tdf AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY 1),
+            canopy AS (SELECT p_name, tok AS canopy FROM (
+                SELECT t.p_name, t.tok,
+                       row_number() OVER (PARTITION BY t.p_name
+                                          ORDER BY d.df, t.tok) AS rn
+                FROM tok t JOIN tdf d USING (tok)) WHERE rn = 1)
+            SELECT a.canopy AS canopy, a.p_name AS name_a, b.p_name AS name_b,
+                   jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+            FROM canopy a JOIN canopy b
+              ON a.canopy = b.canopy AND a.p_name < b.p_name
+            WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.7
+        """,
+        "link_increment": """
+            WITH newr AS (SELECT p_partkey, p_name FROM part
+                          WHERE p_partkey % 10 = 0),
+            base AS (SELECT DISTINCT p_name FROM part
+                     WHERE p_partkey % 10 <> 0),
+            cand AS (
+                SELECT n.p_partkey, n.p_name, b.p_name AS base_name,
+                       jaro_winkler_similarity(n.p_name, b.p_name) AS jw
+                FROM newr n JOIN base b
+                  ON substr(n.p_name, 1, 1) = substr(b.p_name, 1, 1)
+                 AND abs(length(n.p_name) - length(b.p_name)) <= 3
+                WHERE jaro_winkler_similarity(n.p_name, b.p_name) >= 0.8),
+            best AS (SELECT p_partkey, base_name, jw FROM (
+                SELECT p_partkey, base_name, jw,
+                       row_number() OVER (PARTITION BY p_partkey
+                                          ORDER BY jw DESC, base_name) AS rn
+                FROM cand) WHERE rn = 1)
+            SELECT n.p_partkey, n.p_name,
+                   COALESCE(b.base_name, '') AS matched_name,
+                   COALESCE(b.jw, 0.0) AS jw
+            FROM newr n LEFT JOIN best b USING (p_partkey)
         """,
     }

@@ -183,6 +183,10 @@ def run_bench() -> dict:
         timed("mutual_best_pairs", er.q_mutual_best_pairs)
         timed("pair_features", er.q_pair_features)
         timed("phonetic_pairs", er.q_phonetic_pairs)
+        # r4f: cluster-quality eval, canopy blocking, incremental linkage
+        timed("cluster_metrics", er.q_cluster_metrics)
+        timed("canopy_pairs", er.q_canopy_pairs)
+        timed("link_increment", er.q_link_increment)
 
     result = {
         "metric": "entity_link_e2e",

@@ -1297,3 +1297,388 @@ def q_phonetic_pairs(sf_dir: str, block_cap: int = PHONETIC_BLOCK_CAP):
         .groupby("code")
         .map_groups(pairs, batch_format="pandas")
     )
+
+
+# --- cluster-quality evaluation -----------------------------------------------
+
+def q_cluster_metrics(sf_dir: str):
+    """Pairwise cluster-quality evaluation (precision / recall / F1 over
+    record pairs, Menestrina et al. PVLDB'10 "Evaluating entity resolution
+    results") of a predicted clustering against gold labels — the exact
+    metric family the engine's own acceptance bar is stated in (pairwise
+    F1 vs reference entity clusters; BASELINE.json `metric`). Predicted
+    cluster = first name token, gold = ``p_type`` (the synthetic stand-in
+    for clerical truth used by q_match_weights/q_blocking_metrics).
+
+    - ``tp_pairs``   = Σ_cells C(n_ij, 2)  (same pred AND same gold)
+    - ``pred_pairs`` = Σ_pred  C(n_i·, 2)  (pairs the clustering asserts)
+    - ``gold_pairs`` = Σ_gold  C(n_·j, 2)  (pairs the truth asserts)
+    - precision = tp/pred, recall = tp/gold, f1 = 2pr/(p+r)
+
+    Scale shape (the q_blocking_metrics discipline): NO pair is ever
+    materialized — ONE ``grouped_sums`` count pass at the finest
+    (pred, gold) key, whose cardinality is the product of two
+    dictionary-bounded attributes, then every marginal and the pair
+    arithmetic n(n-1)/2 derive driver-side from that tiny contingency
+    table. Exact int64 to ~4.3e9 rows per cell; floats are SINGLE
+    divisions of exact integers (and one 2pr/(p+r) formed identically to
+    the oracle expression), so the compare is bit-exact."""
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        nm = df["p_name"].astype(str)
+        return pd.DataFrame(
+            {
+                "pred": nm.str.split(" ", n=1).str[0],
+                "gold": df["p_type"].astype(str),
+            }
+        )
+
+    ds = read(sf_dir, "part", ["p_name", "p_type"]).map_batches(
+        keyed, batch_format="pandas"
+    )
+    c = grouped_sums(ds, ["pred", "gold"], sums={}, count_as="n").to_pandas()
+
+    def pair_sum(n: pd.Series) -> int:
+        v = n.to_numpy(np.int64)
+        return int((v * (v - 1) // 2).sum())
+
+    tp = pair_sum(c["n"])
+    pred_pairs = pair_sum(c.groupby("pred")["n"].sum())
+    gold_pairs = pair_sum(c.groupby("gold")["n"].sum())
+    p = np.float64(tp) / np.float64(pred_pairs)
+    r = np.float64(tp) / np.float64(gold_pairs)
+    out = pd.DataFrame(
+        [
+            {
+                "n_records": np.int64(c["n"].sum()),
+                "tp_pairs": np.int64(tp),
+                "pred_pairs": np.int64(pred_pairs),
+                "gold_pairs": np.int64(gold_pairs),
+                "pairwise_precision": p,
+                "pairwise_recall": r,
+                "pairwise_f1": np.float64(2.0) * p * r / (p + r),
+            }
+        ]
+    )
+    return rd.from_pandas(out)
+
+
+# --- canopy blocking ----------------------------------------------------------
+
+CANOPY_JW_THRESHOLD = 0.7
+CANOPY_BLOCK_CAP = 4096
+
+
+def q_canopy_pairs(
+    sf_dir: str,
+    threshold: float = CANOPY_JW_THRESHOLD,
+    block_cap: int = CANOPY_BLOCK_CAP,
+):
+    """Canopy blocking (McCallum/Nigam/Ungar KDD'00): a CHEAP distance —
+    here shared-rarest-token — assigns each distinct part name to exactly
+    one canopy (its minimum-document-frequency token, ties broken
+    lexicographically); the EXPENSIVE distance (Jaro-Winkler ≥
+    ``threshold``) verifies only within-canopy pairs. The fourth classic
+    blocking discipline in the module after standard / sorted-neighborhood
+    / phonetic blocking — df-driven assignment is what distinguishes it:
+    hot tokens (the skew hazard of naive token blocking) are by definition
+    NOT the rarest token of their names, so posting-list explosion is
+    structurally avoided rather than capped after the fact.
+
+    Scale shape: token df is a ``grouped_sums`` over the (name, token)
+    explode — vocabulary-bounded output, broadcast once via ``ray.put``
+    (documented assumption: token vocab ≪ corpus, the dictionary-bounded
+    small side; for open vocabularies ship only tokens under a df ceiling
+    — names whose every token is hot would then fall back to a hash-of-
+    name singleton canopy). Canopy assignment is a vectorized explode +
+    merge + stable-sort drop_duplicates per batch; pair emission is the
+    capped phonetic-block kernel, one shuffle carrying (canopy, name)."""
+    names = distinct_column(read(sf_dir, "part", ["p_name"]), "p_name")
+
+    def name_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        nm = df["p_name"].astype(str)
+        out = pd.DataFrame({"p_name": nm, "tok": nm.str.split(" ")})
+        out = out.explode("tok", ignore_index=True)
+        return out.drop_duplicates()
+
+    toks = names.map_batches(name_tokens, batch_format="pandas")
+    # names are DISTINCT upstream, so per-(name, tok) rows are unique and
+    # this counts true document frequency
+    df_tbl = grouped_sums(toks, ["tok"], sums={}, count_as="df").to_pandas()
+    df_ref = broadcast(dict(zip(df_tbl["tok"], df_tbl["df"].astype(np.int64))))
+
+    def assign(df: pd.DataFrame) -> pa.Table:
+        dfm = ray.get(df_ref)
+        t = name_tokens(df)
+        t["df"] = t["tok"].map(dfm).astype(np.int64)
+        t = t.sort_values(["p_name", "df", "tok"], kind="mergesort")
+        t = t.drop_duplicates(subset=["p_name"], keep="first")
+        return pa.Table.from_arrays(
+            [
+                pa.array(t["tok"].to_numpy(object), pa.string()),
+                pa.array(t["p_name"].to_numpy(object), pa.string()),
+            ],
+            schema=pa.schema([("canopy", pa.string()), ("p_name", pa.string())]),
+        )
+
+    pair_schema = pa.schema(
+        [
+            ("canopy", pa.string()),
+            ("name_a", pa.string()),
+            ("name_b", pa.string()),
+            ("jw", pa.float64()),
+        ]
+    )
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        g = _cap_block(g, "p_name", "canopy", block_cap)
+        nm = np.sort(g["p_name"].to_numpy(object))
+        canopy = g["canopy"].iloc[0] if len(g) else ""
+        a_out: list = []
+        b_out: list = []
+        s_out: list = []
+        n = len(nm)
+        if n >= 2:
+            ia, ib = np.triu_indices(n, k=1)
+            for i, j in zip(ia, ib):
+                s = jaro_winkler(nm[i], nm[j])
+                if s >= threshold:
+                    a_out.append(nm[i])
+                    b_out.append(nm[j])
+                    s_out.append(s)
+        return pa.Table.from_arrays(
+            [
+                pa.array([canopy] * len(a_out), pa.string()),
+                pa.array(a_out, pa.string()),
+                pa.array(b_out, pa.string()),
+                pa.array(s_out, pa.float64()),
+            ],
+            schema=pair_schema,
+        )
+
+    return (
+        names.map_batches(assign, batch_format="pandas")
+        .groupby("canopy")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+# --- incremental linkage ------------------------------------------------------
+
+LINK_INC_THRESHOLD = 0.8
+LINK_INC_MOD = 10  # p_partkey % MOD == 0 → the "new batch" split
+
+
+def q_link_increment(
+    sf_dir: str,
+    threshold: float = LINK_INC_THRESHOLD,
+    max_len_diff: int = 3,
+    len_band: int = 4,
+):
+    """Incremental linkage (the streaming-ER discipline, Christen ch.9 /
+    Gruenheid et al. PVLDB'14): link a NEW batch of records against an
+    existing clustered BASE without re-resolving the base. The
+    deterministic split is ``p_partkey % 10 == 0`` → new, else base (the
+    10% increment a daily ingest would bring). Each new record takes its
+    best Jaro-Winkler match ≥ ``threshold`` among base names inside the
+    fuzzy blocking predicate (same first char, length diff ≤
+    ``max_len_diff``); unmatched new records come through with
+    ``matched_name = '' / jw = 0.0`` — they found NO existing entity and
+    would seed new clusters.
+
+    Scale shape: base records never pairwise-compare each other (the whole
+    point of incremental ER — cost is |new| × per-block base fan-in, not
+    |base|²). Blocking is the mutual_best dual-band trick with the DUAL
+    emission on the BASE side only (new rows ship once); per (char, band)
+    block a python-loop JW over the new×base cross (len-filtered, capped
+    base side); best-match is the hash-bucketed vectorized argmax; the
+    unmatched passthrough is a bucketed left merge on (p_partkey, p_name)
+    — three slim exchanges, none carrying full records."""
+    if len_band <= max_len_diff:
+        raise ValueError("len_band must exceed max_len_diff for exact blocking")
+    part = read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def split_new(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["p_partkey"].to_numpy(np.int64)
+        d = df[k % LINK_INC_MOD == 0]
+        return pd.DataFrame(
+            {
+                "p_partkey": d["p_partkey"].to_numpy(np.int64),
+                "p_name": d["p_name"].astype(str),
+            }
+        )
+
+    new = part.map_batches(split_new, batch_format="pandas")
+
+    def split_base(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["p_partkey"].to_numpy(np.int64)
+        return pd.DataFrame({"p_name": df["p_name"].astype(str)[k % LINK_INC_MOD != 0]})
+
+    base = distinct_column(
+        part.map_batches(split_base, batch_format="pandas"), "p_name"
+    )
+
+    def base_keys(df: pd.DataFrame) -> pd.DataFrame:
+        nm = df["p_name"].astype(str)
+        ln = nm.str.len().to_numpy(np.int64)
+        ch = nm.str[:1]
+        band = ln // len_band
+        return pd.DataFrame(
+            {
+                "ch": pd.concat([ch, ch], ignore_index=True),
+                "band": np.concatenate([band, band + 1]),
+                "p_partkey": np.int64(-1),
+                "p_name": pd.concat([nm, nm], ignore_index=True),
+                "ln": np.concatenate([ln, ln]),
+            }
+        )
+
+    def new_keys(df: pd.DataFrame) -> pd.DataFrame:
+        # dual emission on BOTH sides: copies at band and band+1 co-locate
+        # iff the bands differ by ≤1, which covers every len diff ≤
+        # max_len_diff < len_band pair; duplicate candidacies carry equal
+        # jw and collapse at the argmax
+        nm = df["p_name"].astype(str)
+        ln = nm.str.len().to_numpy(np.int64)
+        ch = nm.str[:1]
+        band = ln // len_band
+        pk = df["p_partkey"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "ch": pd.concat([ch, ch], ignore_index=True),
+                "band": np.concatenate([band, band + 1]),
+                "p_partkey": np.concatenate([pk, pk]),
+                "p_name": pd.concat([nm, nm], ignore_index=True),
+                "ln": np.concatenate([ln, ln]),
+            }
+        )
+
+    both = new.map_batches(new_keys, batch_format="pandas").union(
+        base.map_batches(base_keys, batch_format="pandas")
+    )
+
+    cand_schema = pa.schema(
+        [
+            ("p_partkey", pa.int64()),
+            ("p_name", pa.string()),
+            ("base_name", pa.string()),
+            ("jw", pa.float64()),
+        ]
+    )
+
+    def block_cands(g: pd.DataFrame) -> pa.Table:
+        is_new = g["p_partkey"].to_numpy(np.int64) >= 0
+        nw = g[is_new]
+        bs = g[~is_new]
+        k_out: list = []
+        a_out: list = []
+        b_out: list = []
+        s_out: list = []
+        if len(nw) and len(bs):
+            bnm = bs["p_name"].to_numpy(object)
+            bln = bs["ln"].to_numpy(np.int64)
+            for pk, nm, ln in zip(
+                nw["p_partkey"].to_numpy(np.int64),
+                nw["p_name"].to_numpy(object),
+                nw["ln"].to_numpy(np.int64),
+            ):
+                ok = np.abs(bln - ln) <= max_len_diff
+                for cand in bnm[ok]:
+                    s = jaro_winkler(nm, cand)
+                    if s >= threshold:
+                        k_out.append(pk)
+                        a_out.append(nm)
+                        b_out.append(cand)
+                        s_out.append(s)
+        return pa.Table.from_arrays(
+            [
+                pa.array(k_out, pa.int64()),
+                pa.array(a_out, pa.string()),
+                pa.array(b_out, pa.string()),
+                pa.array(s_out, pa.float64()),
+            ],
+            schema=cand_schema,
+        )
+
+    cand = both.groupby(["ch", "band"]).map_groups(
+        block_cands, batch_format="pandas"
+    )
+
+    n_buckets = default_buckets()
+
+    def key_bucket(df: pd.DataFrame, key: str = "p_partkey") -> pd.DataFrame:
+        out = df.copy()
+        h = pd.util.hash_pandas_object(out[key], index=False).to_numpy()
+        out["_kb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def bucket_best(g: pd.DataFrame) -> pa.Table:
+        # dual-band duplicate candidacies carry identical jw; argmax with
+        # (jw desc, base_name asc) tie-break collapses them
+        g = g.sort_values(
+            ["p_partkey", "jw", "base_name"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates(subset=["p_partkey"], keep="first")
+        return pa.Table.from_arrays(
+            [
+                pa.array(g["p_partkey"].to_numpy(np.int64), pa.int64()),
+                pa.array(g["p_name"].to_numpy(object), pa.string()),
+                pa.array(g["base_name"].to_numpy(object), pa.string()),
+                pa.array(g["jw"].to_numpy(np.float64), pa.float64()),
+            ],
+            schema=cand_schema,
+        )
+
+    best = (
+        cand.map_batches(key_bucket, batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(bucket_best, batch_format="pandas")
+    )
+
+    out_schema = pa.schema(
+        [
+            ("p_partkey", pa.int64()),
+            ("p_name", pa.string()),
+            ("matched_name", pa.string()),
+            ("jw", pa.float64()),
+        ]
+    )
+
+    def bucket_attach(g: pd.DataFrame) -> pa.Table:
+        nw = g[g["base_name"].isna()][["p_partkey", "p_name"]]
+        m = g[g["base_name"].notna()][["p_partkey", "base_name", "jw"]]
+        j = nw.merge(m, on="p_partkey", how="left")
+        matched = j["base_name"].fillna("")
+        jw = j["jw"].fillna(0.0)
+        return pa.Table.from_arrays(
+            [
+                pa.array(j["p_partkey"].to_numpy(np.int64), pa.int64()),
+                pa.array(j["p_name"].to_numpy(object), pa.string()),
+                pa.array(matched.to_numpy(object), pa.string()),
+                pa.array(jw.to_numpy(np.float64), pa.float64()),
+            ],
+            schema=out_schema,
+        )
+
+    def new_tagged(df: pd.DataFrame) -> pa.Table:
+        d = split_new(df)
+        # explicit schema: an all-null object column would otherwise infer
+        # Arrow null type and break the union with `best`'s string column
+        return pa.Table.from_arrays(
+            [
+                pa.array(d["p_partkey"].to_numpy(np.int64), pa.int64()),
+                pa.array(d["p_name"].to_numpy(object), pa.string()),
+                pa.array([None] * len(d), pa.string()),
+                pa.array([None] * len(d), pa.float64()),
+            ],
+            schema=cand_schema,
+        )
+
+    tagged_new = part.map_batches(new_tagged, batch_format="pandas")
+    return (
+        tagged_new.union(best)
+        .map_batches(key_bucket, batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(bucket_attach, batch_format="pandas")
+    )

@@ -402,3 +402,86 @@ def test_phonetic_blocks_partition():
     for r in got.itertuples():
         assert r.name_a < r.name_b
         assert soundex(r.name_a) == soundex(r.name_b) == r.code
+
+
+def test_cluster_metrics_invariants():
+    """tp ≤ min(pred, gold) pairs; P/R/F1 are the single-division closed
+    forms of the exact integer counts; n_records equals the part rowcount."""
+    import duckdb
+
+    got = er.q_cluster_metrics(SF).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    n_rows = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/part.parquet')"
+    ).fetchone()[0]
+    assert r.n_records == n_rows
+    assert 0 <= r.tp_pairs <= min(r.pred_pairs, r.gold_pairs)
+    p = np.float64(r.tp_pairs) / np.float64(r.pred_pairs)
+    q = np.float64(r.tp_pairs) / np.float64(r.gold_pairs)
+    assert r.pairwise_precision == p and r.pairwise_recall == q
+    assert r.pairwise_f1 == np.float64(2.0) * p * q / (p + q)
+
+
+def test_canopy_assignment_is_rarest_token():
+    """The canopy of every pair is a token of BOTH names, is each name's
+    minimum-df token (ties lexicographic), and all pairs clear the JW
+    threshold with name_a < name_b."""
+    import duckdb
+    from collections import Counter
+
+    names = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT p_name FROM read_parquet('{SF}/part.parquet')"
+        ).fetchall()
+    ]
+    df = Counter()
+    for n in names:
+        for t in set(n.split(" ")):
+            df[t] += 1
+
+    def canopy_of(n: str) -> str:
+        return min(set(n.split(" ")), key=lambda t: (df[t], t))
+
+    got = er.q_canopy_pairs(SF).to_pandas()
+    assert len(got) > 0
+    for r in got.itertuples():
+        assert r.name_a < r.name_b
+        assert r.jw >= er.CANOPY_JW_THRESHOLD
+        assert canopy_of(r.name_a) == canopy_of(r.name_b) == r.canopy
+
+
+def test_link_increment_covers_every_new_record():
+    """Exactly one output row per new record (p_partkey % 10 == 0);
+    matched rows clear the threshold against a REAL base name; unmatched
+    rows carry the ''/0.0 sentinel and genuinely have no blocked base
+    match above threshold."""
+    import duckdb
+    from snomed_ct_entity_linking_ray.functions.similarity import jaro_winkler
+
+    part = duckdb.sql(
+        f"SELECT p_partkey, p_name FROM read_parquet('{SF}/part.parquet')"
+    ).df()
+    new = part[part.p_partkey % er.LINK_INC_MOD == 0]
+    base = set(part[part.p_partkey % er.LINK_INC_MOD != 0].p_name)
+
+    got = er.q_link_increment(SF).to_pandas()
+    assert sorted(got.p_partkey) == sorted(new.p_partkey)
+    for r in got.itertuples():
+        if r.matched_name:
+            assert r.matched_name in base
+            assert r.jw == jaro_winkler(r.p_name, r.matched_name)
+            assert r.jw >= er.LINK_INC_THRESHOLD
+        else:
+            assert r.jw == 0.0
+            best = max(
+                (
+                    jaro_winkler(r.p_name, b)
+                    for b in base
+                    if b[0] == r.p_name[0]
+                    and abs(len(b) - len(r.p_name)) <= 3
+                ),
+                default=0.0,
+            )
+            assert best < er.LINK_INC_THRESHOLD

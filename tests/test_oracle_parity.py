@@ -104,6 +104,10 @@ ORACLE_BACKED = [
     "first_event_per_user",
     "user_event_type_counts",
     "latest_order_before_event",
+    # r4f: cluster-quality evaluation, canopy blocking, incremental linkage
+    "cluster_metrics",
+    "canopy_pairs",
+    "link_increment",
 ]
 
 
