@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_metrics": er.q_cluster_metrics,
         "canopy_pairs": er.q_canopy_pairs,
         "link_increment": er.q_link_increment,
+        "match_classify": er.q_match_classify,
         # r02-green and UNCHANGED since (rehearsal-verified) — evicted from
         # the prefix to make room for the r4-changed rows above
         "encoder_topk": vectors.q_encoder_topk,
@@ -1209,5 +1210,47 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(b.base_name, '') AS matched_name,
                    COALESCE(b.jw, 0.0) AS jw
             FROM newr n LEFT JOIN best b USING (p_partkey)
+        """,
+        "match_classify": """
+            WITH pairs AS (
+                SELECT a.p_partkey AS p_partkey_a, b.p_partkey AS p_partkey_b,
+                       CAST(jaro_winkler_similarity(a.p_name, b.p_name)
+                            >= 0.85 AS BIGINT) AS agree_name,
+                       CAST(a.p_type = b.p_type AS BIGINT) AS agree_type,
+                       CAST(abs(a.p_size - b.p_size) <= 2 AS BIGINT)
+                           AS agree_size
+                FROM part a JOIN part b
+                  ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+                 AND a.p_brand = b.p_brand
+                 AND a.p_partkey < b.p_partkey),
+            m AS (SELECT
+                SUM(agree_type) AS n_match,
+                SUM(CASE WHEN agree_type = 1 THEN agree_name ELSE 0 END)
+                    AS a_name,
+                SUM(CASE WHEN agree_type = 1 THEN agree_size ELSE 0 END)
+                    AS a_size,
+                SUM(1 - agree_type) AS n_nonmatch,
+                SUM(CASE WHEN agree_type = 0 THEN agree_name ELSE 0 END)
+                    AS c_name,
+                SUM(CASE WHEN agree_type = 0 THEN agree_size ELSE 0 END)
+                    AS c_size
+                FROM pairs)
+            SELECT p.p_partkey_a, p.p_partkey_b, p.agree_name, p.agree_size,
+                   CAST(
+                     CAST(CASE WHEN p.agree_name = 1 THEN m.a_name
+                               ELSE m.n_match - m.a_name END AS HUGEINT)
+                       * m.n_nonmatch
+                     * (CASE WHEN p.agree_size = 1 THEN m.a_size
+                             ELSE m.n_match - m.a_size END)
+                       * m.n_nonmatch
+                     >=
+                     CAST(CASE WHEN p.agree_name = 1 THEN m.c_name
+                               ELSE m.n_nonmatch - m.c_name END AS HUGEINT)
+                       * m.n_match
+                     * (CASE WHEN p.agree_size = 1 THEN m.c_size
+                             ELSE m.n_nonmatch - m.c_size END)
+                       * m.n_match
+                   AS BIGINT) AS is_match
+            FROM pairs p, m
         """,
     }

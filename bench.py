@@ -187,6 +187,7 @@ def run_bench() -> dict:
         timed("cluster_metrics", er.q_cluster_metrics)
         timed("canopy_pairs", er.q_canopy_pairs)
         timed("link_increment", er.q_link_increment)
+        timed("match_classify", er.q_match_classify)
 
     result = {
         "metric": "entity_link_e2e",

@@ -1682,3 +1682,144 @@ def q_link_increment(
         .groupby("_kb")
         .map_groups(bucket_attach, batch_format="pandas")
     )
+
+
+# --- FS decision rule: classify blocked pairs ---------------------------------
+
+CLASSIFY_BLOCK_CAP = 4096
+
+
+def q_match_classify(
+    sf_dir: str,
+    threshold: float = MATCH_JW_THRESHOLD,
+    size_tol: int = MATCH_SIZE_TOL,
+    block_cap: int = CLASSIFY_BLOCK_CAP,
+):
+    """Fellegi-Sunter DECISION rule (JASA'69 §2 — the classification step
+    that the m/u estimation exists for): every blocked part pair is
+    labeled match/non-match by its agreement pattern's likelihood ratio
+
+        Π_f  [m_f / u_f]           if field f agrees
+        Π_f  [(1-m_f) / (1-u_f)]   if field f disagrees      ≥ 1 → match
+
+    with m/u taken from ``q_match_weights`` (labeled-truth estimation over
+    the SAME blocked pair population, so estimation and decision see one
+    distribution). The ratio compare is EXACT: m/u are ratios of int64
+    counts, so the ≥1 test cross-multiplies to an integer product
+    comparison evaluated in arbitrary-precision Python ints driver-side —
+    once per 2^2 patterns, never per pair (the oracle mirrors it in
+    HUGEINT). No float ever enters the decision.
+
+    Scale shape: estimation is the histogram pass (its own doc); the
+    decision pass re-uses the broadcast JW vocabulary matrix and ships the
+    4-entry pattern→decision table with it, so each (first-char, brand)
+    block emits its pairs by the chunked rectangular outer comparisons of
+    ``_pattern_counts`` — integer fancy-indexing, no per-pair Python —
+    already classified. Output: (p_partkey_a, p_partkey_b, agree_name,
+    agree_size, is_match) with partkey-canonical ordering."""
+    wts = q_match_weights(sf_dir, threshold, size_tol).to_pandas()
+    w = {r.field: r for r in wts.itertuples()}
+    B = int(w["name"].n_match)
+    D = int(w["name"].n_nonmatch)
+
+    def field_ratio(field: str, agree: int) -> tuple[int, int]:
+        a = int(w[field].n_match_agree)
+        c = int(w[field].n_nonmatch_agree)
+        num = (a if agree else B - a) * D
+        den = (c if agree else D - c) * B
+        return num, den
+
+    decision = np.zeros(4, dtype=np.int64)
+    for an in (0, 1):
+        for asz in (0, 1):
+            n1, d1 = field_ratio("name", an)
+            n2, d2 = field_ratio("size", asz)
+            decision[2 * an + asz] = np.int64(n1 * n2 >= d1 * d2)
+
+    names = sorted(
+        distinct_column(read(sf_dir, "part", ["p_name"]), "p_name")
+        .to_pandas()["p_name"]
+        .astype(str)
+        .tolist()
+    )
+    idx, mat = ray.get(_jw_agree_matrix.remote(names, threshold))
+    idx_ref, mat_ref = broadcast(idx), broadcast(mat)
+    dec_ref = broadcast(decision)
+
+    ds = read(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_size"])
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(idx_ref)
+        nm = df["p_name"].astype(str)
+        return pd.DataFrame(
+            {
+                "ch": nm.str[:1],
+                "brand": df["p_brand"].astype(str),
+                "pk": df["p_partkey"].to_numpy(np.int64),
+                "nid": nm.map(lookup).to_numpy(np.int64),
+                "size": df["p_size"].to_numpy(np.int64),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("p_partkey_a", pa.int64()),
+            ("p_partkey_b", pa.int64()),
+            ("agree_name", pa.int64()),
+            ("agree_size", pa.int64()),
+            ("is_match", pa.int64()),
+        ]
+    )
+
+    def block_pairs(g: pd.DataFrame) -> pa.Table:
+        g = _cap_block(g, "pk", "match_classify", block_cap)
+        # partkey-sorted so chunk emission is already canonical (a < b)
+        g = g.sort_values("pk", kind="mergesort")
+        pk = g["pk"].to_numpy(np.int64)
+        nid = g["nid"].to_numpy(np.int64)
+        sz = g["size"].to_numpy(np.int64)
+        mat = ray.get(mat_ref)
+        dec = ray.get(dec_ref)
+        n = len(g)
+        pa_out: list = []
+        pb_out: list = []
+        an_out: list = []
+        as_out: list = []
+        for i0 in range(0, max(n - 1, 0), _PAIR_CHUNK):
+            i1 = min(i0 + _PAIR_CHUNK, n - 1)
+            ii = np.arange(i0, i1)
+            jj = np.arange(i0 + 1, n)
+            tri = jj[None, :] > ii[:, None]
+            an = mat[nid[ii][:, None], nid[jj][None, :]].astype(np.int64)
+            asz = (np.abs(sz[ii][:, None] - sz[jj][None, :]) <= size_tol).astype(
+                np.int64
+            )
+            ia, jb = np.nonzero(tri)
+            pa_out.append(pk[ii][ia])
+            pb_out.append(pk[jj][jb])
+            an_out.append(an[tri])
+            as_out.append(asz[tri])
+        if pa_out:
+            pka = np.concatenate(pa_out)
+            pkb = np.concatenate(pb_out)
+            ann = np.concatenate(an_out)
+            ass = np.concatenate(as_out)
+        else:
+            pka = pkb = ann = ass = np.empty(0, dtype=np.int64)
+        ismatch = dec[2 * ann + ass]
+        return pa.Table.from_arrays(
+            [
+                pa.array(pka, pa.int64()),
+                pa.array(pkb, pa.int64()),
+                pa.array(ann, pa.int64()),
+                pa.array(ass, pa.int64()),
+                pa.array(ismatch, pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(slim, batch_format="pandas")
+        .groupby(["ch", "brand"])
+        .map_groups(block_pairs, batch_format="pandas")
+    )

@@ -485,3 +485,33 @@ def test_link_increment_covers_every_new_record():
                 default=0.0,
             )
             assert best < er.LINK_INC_THRESHOLD
+
+
+def test_match_classify_decision_is_exact_fs_ratio():
+    """Every pair's is_match equals the exact-rational FS likelihood-ratio
+    test recomputed independently with fractions.Fraction from the
+    match_weights counts; the decision is constant per agreement pattern."""
+    from fractions import Fraction
+
+    wts = er.q_match_weights(SF).to_pandas().set_index("field")
+    B = int(wts.loc["name"].n_match)
+    D = int(wts.loc["name"].n_nonmatch)
+
+    def ratio(field: str, agree: int) -> Fraction:
+        a = int(wts.loc[field].n_match_agree)
+        c = int(wts.loc[field].n_nonmatch_agree)
+        num = (a if agree else B - a) * D
+        den = (c if agree else D - c) * B
+        if den == 0:
+            return Fraction(10**9) if num > 0 else Fraction(1)  # 0/0 → ≥1
+        return Fraction(num, den)
+
+    got = er.q_match_classify(SF).to_pandas()
+    assert len(got) > 0
+    per_pattern = got.groupby(["agree_name", "agree_size"])["is_match"].nunique()
+    assert (per_pattern == 1).all()
+    for r in got.drop_duplicates(["agree_name", "agree_size"]).itertuples():
+        exp = int(ratio("name", r.agree_name) * ratio("size", r.agree_size) >= 1)
+        assert r.is_match == exp
+    assert not got.duplicated(["p_partkey_a", "p_partkey_b"]).any()
+    assert (got.p_partkey_a < got.p_partkey_b).all()

@@ -108,6 +108,7 @@ ORACLE_BACKED = [
     "cluster_metrics",
     "canopy_pairs",
     "link_increment",
+    "match_classify",
 ]
 
 
