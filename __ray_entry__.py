@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canopy_pairs": er.q_canopy_pairs,
         "link_increment": er.q_link_increment,
         "match_classify": er.q_match_classify,
+        "media_nearest": multimodal.q_media_nearest,
         # r02-green and UNCHANGED since (rehearsal-verified) — evicted from
         # the prefix to make room for the r4-changed rows above
         "encoder_topk": vectors.q_encoder_topk,
@@ -1252,5 +1253,32 @@ def oracle_sql() -> dict[str, str]:
                        * m.n_match
                    AS BIGINT) AS is_match
             FROM pairs p, m
+        """,
+        "media_nearest": f"""
+            WITH media AS (
+                SELECT doc_id, s.media_ref AS media_ref,
+                       CAST(s."offset" AS BIGINT) AS media_offset
+                FROM (SELECT doc_id, unnest(spans) AS s
+                      FROM read_parquet('{docs_tbl}'))
+                WHERE s.kind = 'media'),
+            g AS (SELECT doc_id, CAST(start AS BIGINT) AS start,
+                         CAST("end" AS BIGINT) AS "end", concept_id
+                  FROM read_parquet('{gold}')),
+            cand AS (
+                SELECT g.doc_id, g.start, g."end", g.concept_id,
+                       m.media_ref, m.media_offset,
+                       abs(m.media_offset - g.start) AS dist,
+                       row_number() OVER (
+                           PARTITION BY g.doc_id, g.start, g."end",
+                                        g.concept_id
+                           ORDER BY abs(m.media_offset - g.start),
+                                    m.media_offset, m.media_ref) AS rn
+                FROM g JOIN media m USING (doc_id))
+            SELECT g.doc_id, g.start, g."end", g.concept_id,
+                   COALESCE(c.media_ref, '') AS media_ref,
+                   COALESCE(c.media_offset, -1) AS media_offset,
+                   COALESCE(c.dist, -1) AS dist
+            FROM g LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+              USING (doc_id, start, "end", concept_id)
         """,
     }

@@ -188,6 +188,7 @@ def run_bench() -> dict:
         timed("canopy_pairs", er.q_canopy_pairs)
         timed("link_increment", er.q_link_increment)
         timed("match_classify", er.q_match_classify)
+        timed("media_nearest", multimodal.q_media_nearest)
 
     result = {
         "metric": "entity_link_e2e",

@@ -254,3 +254,138 @@ def q_frame_samples(sf_dir: str):
     return q_media_inventory(sf_dir).map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
     )
+
+
+def q_media_nearest(sf_dir: str):
+    """Nearest media span per gold mention — the interleaved-payload
+    context join: every (doc_id, start, end, concept_id) mention is
+    annotated with the media span of ITS OWN document whose character
+    offset is closest to the mention start (ties → smaller offset, then
+    lexicographic media_ref); mentions in media-free docs pass through
+    with the ''/−1 sentinel. This is the operator a multimodal linker
+    uses to hand each textual mention its visual context (the reference
+    interleaves note text with media rows; SURVEY.md §2 data model).
+
+    Scale shape: ONE doc-hash-bucketed co-shuffle of two slim streams
+    (mentions carry 3 ints + doc key, media rows carry ref + offset);
+    inside each bucket, media sort ONCE by (doc, offset, ref) and every
+    mention resolves by vectorized ``np.searchsorted`` over the composite
+    (doc-code × 2^32 + offset) int64 key — predecessor/successor compare,
+    no per-doc Python, no per-row loops. The as-of-join discipline on
+    character offsets instead of timestamps (relational.py:201-274)."""
+    from .common import default_buckets
+
+    fdir = fixtures.fixture_dir(fixtures.spec_for_sf_dir(sf_dir))
+    gold = rd.read_parquet(
+        f"{fdir}/gold_mentions.parquet",
+        columns=["doc_id", "start", "end", "concept_id"],
+    )
+    media = media_rows(sf_dir)
+    n_buckets = default_buckets()
+
+    def tag_mention(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            df["doc_id"].astype(str), index=False
+        ).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(str),
+                "kind": np.int64(0),
+                "start": df["start"].to_numpy(np.int64),
+                "end": df["end"].to_numpy(np.int64),
+                "concept_id": df["concept_id"].to_numpy(np.int64),
+                "media_ref": "",
+                "_db": (h % np.uint64(n_buckets)).astype(np.int64),
+            }
+        )
+
+    def tag_media(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            df["doc_id"].astype(str), index=False
+        ).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(str),
+                "kind": np.int64(1),
+                "start": df["offset"].to_numpy(np.int64),
+                "end": np.int64(-1),
+                "concept_id": np.int64(-1),
+                "media_ref": df["media_ref"].astype(str),
+                "_db": (h % np.uint64(n_buckets)).astype(np.int64),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("start", pa.int64()),
+            ("end", pa.int64()),
+            ("concept_id", pa.int64()),
+            ("media_ref", pa.string()),
+            ("media_offset", pa.int64()),
+            ("dist", pa.int64()),
+        ]
+    )
+
+    SHIFT = np.int64(1) << np.int64(32)  # offsets are int32 → no collision
+
+    def nearest(g: pd.DataFrame) -> pa.Table:
+        men = g[g["kind"] == 0]
+        med = g[g["kind"] == 1]
+        # one doc-code space for both sides (sorted categories = stable)
+        cats = pd.Categorical(
+            g["doc_id"], categories=np.unique(g["doc_id"].to_numpy(object))
+        ).codes
+        mc = cats[(g["kind"] == 0).to_numpy()].astype(np.int64)
+        dc = cats[(g["kind"] == 1).to_numpy()].astype(np.int64)
+        moff = med["start"].to_numpy(np.int64)
+        mref = med["media_ref"].to_numpy(object)
+        order = np.lexsort((mref, moff, dc))
+        dc, moff, mref = dc[order], moff[order], mref[order]
+        mkey = dc * SHIFT + moff
+
+        qoff = men["start"].to_numpy(np.int64)
+        qkey = mc * SHIFT + qoff
+        # per-doc slice bounds in the sorted media arrays
+        lo = np.searchsorted(dc, mc, side="left")
+        hi = np.searchsorted(dc, mc, side="right")
+        pos = np.searchsorted(mkey, qkey, side="left")
+
+        n = len(men)
+        best_ref = np.full(n, "", dtype=object)
+        best_off = np.full(n, -1, dtype=np.int64)
+        best_dist = np.full(n, -1, dtype=np.int64)
+        has_succ = pos < hi
+        has_pred = pos > lo
+        d_succ = np.where(has_succ, np.abs(moff[np.minimum(pos, len(moff) - 1)] - qoff) if len(moff) else 0, np.int64(2) * SHIFT)
+        p_idx = np.maximum(pos - 1, 0)
+        d_pred = np.where(has_pred, np.abs(moff[p_idx] - qoff) if len(moff) else 0, np.int64(2) * SHIFT)
+        use_pred = has_pred & (~has_succ | (d_pred <= d_succ))
+        use_succ = has_succ & ~use_pred
+        # predecessor choice must land on the FIRST row of its equal-offset
+        # run (lexicographically smallest media_ref at that offset)
+        if len(moff):
+            pred_key = dc[p_idx] * SHIFT + moff[p_idx]
+            pred_first = np.searchsorted(mkey, pred_key, side="left")
+            idx = np.where(use_pred, pred_first, np.minimum(pos, len(moff) - 1))
+            chosen = use_pred | use_succ
+            best_ref[chosen] = mref[idx[chosen]]
+            best_off[chosen] = moff[idx[chosen]]
+            best_dist[chosen] = np.abs(moff[idx[chosen]] - qoff[chosen])
+        return pa.Table.from_arrays(
+            [
+                pa.array(men["doc_id"].to_numpy(object), pa.string()),
+                pa.array(qoff, pa.int64()),
+                pa.array(men["end"].to_numpy(np.int64), pa.int64()),
+                pa.array(men["concept_id"].to_numpy(np.int64), pa.int64()),
+                pa.array(best_ref, pa.string()),
+                pa.array(best_off, pa.int64()),
+                pa.array(best_dist, pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    both = gold.map_batches(tag_mention, batch_format="pandas").union(
+        media.map_batches(tag_media, batch_format="pandas")
+    )
+    return both.groupby("_db").map_groups(nearest, batch_format="pandas")

@@ -118,3 +118,34 @@ def test_media_decoder_real_mode_gated():
 
     with pytest.raises(NotImplementedError):
         MediaDecoder(mode="real")
+
+
+def test_media_nearest_matches_naive():
+    """Every mention's attached media span equals the naive per-doc
+    argmin over (|offset-start|, offset, ref); media-free docs carry the
+    ''/−1 sentinel; row count equals the gold mention count."""
+    import pandas as pd
+
+    from snomed_ct_entity_linking_ray import fixtures
+    from snomed_ct_entity_linking_ray.pipelines import multimodal
+
+    sf = "/root/testdata/sf0.001"
+    fdir = fixtures.fixture_dir(fixtures.spec_for_sf_dir(sf))
+    gold = pd.read_parquet(f"{fdir}/gold_mentions.parquet")
+    med = multimodal.media_rows(sf).to_pandas()
+    by_doc = {d: g for d, g in med.groupby("doc_id")}
+
+    got = multimodal.q_media_nearest(sf).to_pandas()
+    assert len(got) == len(gold)
+    # spot-check exhaustively (sf0.001 is small)
+    for r in got.itertuples():
+        g = by_doc.get(r.doc_id)
+        if g is None or len(g) == 0:
+            assert (r.media_ref, r.media_offset, r.dist) == ("", -1, -1)
+            continue
+        cand = sorted(
+            (abs(int(o) - r.start), int(o), ref)
+            for ref, o in zip(g["media_ref"], g["offset"])
+        )
+        d, o, ref = cand[0]
+        assert (r.media_ref, r.media_offset, r.dist) == (ref, o, d)

@@ -109,6 +109,7 @@ ORACLE_BACKED = [
     "canopy_pairs",
     "link_increment",
     "match_classify",
+    "media_nearest",
 ]
 
 
