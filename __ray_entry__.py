@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_increment": er.q_link_increment,
         "match_classify": er.q_match_classify,
         "media_nearest": multimodal.q_media_nearest,
+        "suffix_pairs": er.q_suffix_pairs,
         # r02-green and UNCHANGED since (rehearsal-verified) — evicted from
         # the prefix to make room for the r4-changed rows above
         "encoder_topk": vectors.q_encoder_topk,
@@ -1280,5 +1281,18 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(c.dist, -1) AS dist
             FROM g LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
               USING (doc_id, start, "end", concept_id)
+        """,
+        "suffix_pairs": """
+            WITH names AS (SELECT DISTINCT p_name FROM part),
+            sufs AS (
+                SELECT p_name, substr(p_name, CAST(i AS INTEGER)) AS suf
+                FROM (SELECT p_name,
+                             unnest(range(1, length(p_name) - 5 + 2)) AS i
+                      FROM names)),
+            ok AS (SELECT suf FROM sufs GROUP BY suf
+                   HAVING COUNT(*) BETWEEN 2 AND 50)
+            SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+            FROM sufs a JOIN ok USING (suf) JOIN sufs b USING (suf)
+            WHERE a.p_name < b.p_name
         """,
     }

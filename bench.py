@@ -189,6 +189,7 @@ def run_bench() -> dict:
         timed("link_increment", er.q_link_increment)
         timed("match_classify", er.q_match_classify)
         timed("media_nearest", multimodal.q_media_nearest)
+        timed("suffix_pairs", er.q_suffix_pairs)
 
     result = {
         "metric": "entity_link_e2e",

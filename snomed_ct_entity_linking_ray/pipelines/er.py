@@ -1823,3 +1823,78 @@ def q_match_classify(
         .groupby(["ch", "brand"])
         .map_groups(block_pairs, batch_format="pandas")
     )
+
+
+# --- suffix blocking ----------------------------------------------------------
+
+SUFFIX_MIN_LEN = 5
+SUFFIX_BLOCK_MAX = 50
+
+
+def q_suffix_pairs(
+    sf_dir: str,
+    min_len: int = SUFFIX_MIN_LEN,
+    block_max: int = SUFFIX_BLOCK_MAX,
+):
+    """Suffix-array blocking (Aizawa & Oyama 2005 — the module's FIFTH
+    blocking discipline): every distinct part name emits ALL its suffixes
+    of length ≥ ``min_len``; a suffix whose block exceeds ``block_max``
+    members is DISCARDED (not capped — the method's own frequency-pruning
+    rule, which is what makes long rare suffixes matter: when the short
+    common suffix is pruned, a pair can still co-occur under a longer
+    one); candidate pairs are the distinct same-suffix name pairs. The
+    discard rule is part of the DECLARED semantics, so the oracle
+    implements it identically — no cap divergence.
+
+    Scale shape: the explode is per-offset vectorized slicing (the loop is
+    over ≤ max-name-length offsets, never over rows); the shuffle carries
+    (suffix, name) only; block sizes are bounded by ``block_max`` BY
+    SEMANTICS, so per-block pair emission is O(block_max²) worst-case and
+    the distinct pass is the shared hash-bucketed pair dedup."""
+    names = distinct_column(read(sf_dir, "part", ["p_name"]), "p_name")
+
+    def sufs(df: pd.DataFrame) -> pa.Table:
+        nm = df["p_name"].astype(str)
+        ln = nm.str.len().to_numpy(np.int64)
+        out_s: list = []
+        out_n: list = []
+        max_start = int(ln.max() - min_len + 1) if len(ln) else 0
+        for i in range(max_start):
+            keep = ln - i >= min_len
+            out_s.append(nm[keep].str.slice(i))
+            out_n.append(nm[keep])
+        if out_s:
+            s = pd.concat(out_s, ignore_index=True)
+            n = pd.concat(out_n, ignore_index=True)
+        else:
+            s = n = pd.Series([], dtype=str)
+        return pa.Table.from_arrays(
+            [
+                pa.array(s.to_numpy(object), pa.string()),
+                pa.array(n.to_numpy(object), pa.string()),
+            ],
+            schema=pa.schema([("suf", pa.string()), ("p_name", pa.string())]),
+        )
+
+    pair_schema = pa.schema([("name_a", pa.string()), ("name_b", pa.string())])
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        a_out: list = []
+        b_out: list = []
+        n = len(g)
+        if 2 <= n <= block_max:
+            nm = np.sort(g["p_name"].to_numpy(object))
+            ia, ib = np.triu_indices(n, k=1)
+            a_out = nm[ia].tolist()
+            b_out = nm[ib].tolist()
+        return pa.Table.from_arrays(
+            [pa.array(a_out, pa.string()), pa.array(b_out, pa.string())],
+            schema=pair_schema,
+        )
+
+    cand = (
+        names.map_batches(sufs, batch_format="pandas")
+        .groupby("suf")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return _distinct_name_pairs(cand)

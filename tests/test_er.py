@@ -515,3 +515,31 @@ def test_match_classify_decision_is_exact_fs_ratio():
         assert r.is_match == exp
     assert not got.duplicated(["p_partkey_a", "p_partkey_b"]).any()
     assert (got.p_partkey_a < got.p_partkey_b).all()
+
+
+def test_suffix_blocking_matches_naive():
+    """Pair set equals the naive enumeration: two names pair iff they
+    share a suffix of length ≥ min_len whose global block size is within
+    [2, block_max]; pairs are canonical and unique."""
+    import duckdb
+    from collections import defaultdict
+    from itertools import combinations
+
+    names = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT p_name FROM read_parquet('{SF}/part.parquet')"
+        ).fetchall()
+    )
+    blocks = defaultdict(set)
+    for n in names:
+        for i in range(len(n) - er.SUFFIX_MIN_LEN + 1):
+            blocks[n[i:]].add(n)
+    exp = set()
+    for members in blocks.values():
+        if 2 <= len(members) <= er.SUFFIX_BLOCK_MAX:
+            for a, b in combinations(sorted(members), 2):
+                exp.add((a, b))
+    got = er.q_suffix_pairs(SF).to_pandas()
+    assert not got.duplicated(["name_a", "name_b"]).any()
+    assert set(zip(got.name_a, got.name_b)) == exp

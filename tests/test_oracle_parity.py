@@ -110,6 +110,7 @@ ORACLE_BACKED = [
     "link_increment",
     "match_classify",
     "media_nearest",
+    "suffix_pairs",
 ]
 
 
