@@ -459,3 +459,29 @@ def test_volume_shipping_empty_filter_small_sf():
     if hasattr(df, "to_pandas"):
         df = df.to_pandas()
     assert len(df) == 0
+
+
+def test_empty_side_outer_join_semantics():
+    """Pin the joinsafe degenerate-case table for the outer joins: a
+    block-less right sequence under left_outer/full_outer keeps ALL left
+    rows (with the surviving side's own schema — the documented caveat),
+    and an inner join against it still completes empty."""
+    from snomed_ct_entity_linking_ray.pipelines.common import read
+
+    sf = "/root/testdata/sf0.001"
+    orders = read(sf, "orders", ["o_orderkey", "o_custkey"])
+    n_orders = orders.count()
+    li = read(sf, "lineitem", ["l_orderkey"])
+    empty = li.map_batches(lambda df: df.iloc[:0], batch_format="pandas")
+
+    lo = orders.join(empty, "left_outer", num_partitions=2,
+                     on=("o_orderkey",), right_on=("l_orderkey",))
+    assert lo.count() == n_orders
+
+    fo = orders.join(empty, "full_outer", num_partitions=2,
+                     on=("o_orderkey",), right_on=("l_orderkey",))
+    assert fo.count() == n_orders
+
+    ro = empty.join(orders, "right_outer", num_partitions=2,
+                    on=("l_orderkey",), right_on=("o_orderkey",))
+    assert ro.count() == n_orders
