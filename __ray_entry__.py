@@ -120,7 +120,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- driver prefix ends here (50): all 44 never-gated queries plus
         # the 6 highest-risk r4 rewrites (flagship + the four per-user
         # streaming rewrites + the re-blocked ngram_jaccard) ---------------
-        # First in line for the r5 gate: r4-changed paths with lower risk —
+        # First in line for the r5 gate: queries ADDED after the r4 gate
+        # order was frozen (never gated, rehearsal-verified)...
+        "top_supplier": relational.q_top_supplier,
+        "lone_return_supplier": relational.q_lone_return_supplier,
+        "monge_elkan_pairs": er.q_monge_elkan_pairs,
+        # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
         # gated path; cohort/asof changed only a bucket-count parameter;
@@ -446,6 +451,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tbp AS DOUBLE) / CAST(tp AS DOUBLE)
                        AS pairs_completeness
             FROM tot, b, tr, tb
+        """,
+        "top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey AS s_suppkey,
+                     CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                                         * 100, 0) AS BIGINT)) AS BIGINT)
+                         AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate < TIMESTAMP '1995-04-01'
+              GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue
+            FROM supplier s JOIN rev r USING (s_suppkey)
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "lone_return_supplier": """
+            WITH ls AS (
+              SELECT l_orderkey, l_suppkey,
+                     max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                         AS ret
+              FROM lineitem GROUP BY 1, 2),
+            ag AS (
+              SELECT l_orderkey, count(*) AS n_supp, sum(ret) AS n_ret
+              FROM ls GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM ls JOIN ag USING (l_orderkey)
+            JOIN supplier s ON s.s_suppkey = ls.l_suppkey
+            WHERE ls.ret = 1 AND ag.n_supp >= 2 AND ag.n_ret = 1
+            GROUP BY 1, 2
+        """,
+        "monge_elkan_pairs": """
+            WITH names AS (SELECT DISTINCT p_name FROM part),
+            toks AS (
+              SELECT p_name,
+                     unnest(string_split(p_name, ' ')) AS tok,
+                     unnest(range(len(string_split(p_name, ' ')))) AS i
+              FROM names),
+            pairs AS (
+              SELECT a.p_name AS name_a, b.p_name AS name_b
+              FROM names a JOIN names b ON a.p_name < b.p_name),
+            ab AS (
+              SELECT name_a, name_b, CAST(sum(best) AS BIGINT)
+                         AS me_ab_micro
+              FROM (
+                SELECT p.name_a, p.name_b, ta.i,
+                       max(CAST(round(jaro_winkler_similarity(ta.tok, tb.tok)
+                                      * 1000000, 0) AS BIGINT)) AS best
+                FROM pairs p
+                JOIN toks ta ON ta.p_name = p.name_a
+                JOIN toks tb ON tb.p_name = p.name_b
+                GROUP BY 1, 2, 3) q
+              GROUP BY 1, 2),
+            ba AS (
+              SELECT name_a, name_b, CAST(sum(best) AS BIGINT)
+                         AS me_ba_micro
+              FROM (
+                SELECT p.name_a, p.name_b, tb.i,
+                       max(CAST(round(jaro_winkler_similarity(tb.tok, ta.tok)
+                                      * 1000000, 0) AS BIGINT)) AS best
+                FROM pairs p
+                JOIN toks ta ON ta.p_name = p.name_a
+                JOIN toks tb ON tb.p_name = p.name_b
+                GROUP BY 1, 2, 3) q
+              GROUP BY 1, 2)
+            SELECT p.name_a, p.name_b, ab.me_ab_micro, ba.me_ba_micro,
+                   len(string_split(p.name_a, ' ')) AS n_tok_a,
+                   len(string_split(p.name_b, ' ')) AS n_tok_b
+            FROM pairs p JOIN ab USING (name_a, name_b)
+            JOIN ba USING (name_a, name_b)
         """,
         "small_qty_revenue": """
             WITH a AS (SELECT l_partkey,

@@ -190,6 +190,10 @@ def run_bench() -> dict:
         timed("match_classify", er.q_match_classify)
         timed("media_nearest", multimodal.q_media_nearest)
         timed("suffix_pairs", er.q_suffix_pairs)
+        # r4h: Q15/Q21 shapes + Monge-Elkan token-set scoring
+        timed("top_supplier", relational.q_top_supplier)
+        timed("lone_return_supplier", relational.q_lone_return_supplier)
+        timed("monge_elkan_pairs", er.q_monge_elkan_pairs)
 
     result = {
         "metric": "entity_link_e2e",

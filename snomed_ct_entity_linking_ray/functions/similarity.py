@@ -160,3 +160,34 @@ def soundex(s: str) -> str:
         if c not in "HW":
             prev = d
     return (first + "".join(out) + "000")[:4]
+
+
+def monge_elkan_micro(a_tokens: list[str], b_tokens: list[str]) -> int:
+    """Directed Monge-Elkan similarity (Monge & Elkan, KDD'96) in exact
+    integer micro-units: for each token of ``a_tokens``, the best
+    Jaro-Winkler match among ``b_tokens``, each best rounded half-even to
+    1e-6 BEFORE summing so the value is an order-independent integer (the
+    same quantize-then-sum contract as the tfidf/cents kernels — DuckDB
+    oracle: ``SUM(CAST(round(max(jaro_winkler_similarity(..))*1000000, 0)
+    AS BIGINT))`` grouped per a-token position). The conventional ME score
+    is this sum divided by ``len(a_tokens)``; the division is left to the
+    caller so only integers cross engine boundaries."""
+    total = 0
+    for ta in a_tokens:
+        best = 0.0
+        for tb in b_tokens:
+            s = jaro_winkler(ta, tb)
+            if s > best:
+                best = s
+        # float(np.rint) not needed: round-half-even on x*1e6; random JW
+        # doubles never land exactly on .5 (same argument as cents()).
+        total += int(_rint6(best))
+    return total
+
+
+def _rint6(x: float) -> int:
+    """round(x * 1e6) half-even as an int — one shared rounding so the
+    kernel and its tests cannot drift."""
+    import numpy as np
+
+    return int(np.rint(x * 1e6))

@@ -2275,3 +2275,184 @@ def q_event_seq(sf_dir: str):
         .groupby("_ub")
         .map_groups(seq, batch_format="pandas")
     )
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape (top supplier): per-supplier revenue over a
+    three-month ship window; return the supplier row(s) whose revenue
+    equals the global maximum, names attached. Ref semantics: the
+    revenue-view + ``= (SELECT max(..))`` correlated filter.
+
+    Scale plan: one grouped_sums over the window-filtered lineitem (slim
+    (suppkey, cents) partials ride the shuffle; revenue is quantized to
+    integer cents per row BEFORE summing so the sum is order-independent);
+    the global max is a scalar Dataset aggregate (no collect); winners —
+    bounded by the tie count — drive a broadcast-filtered dimension
+    re-scan for names (the Q18/Q10 display-attribute pattern)."""
+    lo = _dt.datetime(1995, 1, 1)
+    hi = _dt.datetime(1995, 4, 1)
+    li = read(
+        sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
+        d = df[m.to_numpy()]
+        return pd.DataFrame(
+            {
+                "s_suppkey": d["l_suppkey"].to_numpy(np.int64),
+                "rev_cents": cents(
+                    d["l_extendedprice"].to_numpy(np.float64)
+                    * (1.0 - d["l_discount"].to_numpy(np.float64))
+                ),
+            }
+        )
+
+    agg = grouped_sums(
+        li.map_batches(rev, batch_format="pandas"),
+        ["s_suppkey"],
+        sums={"total_revenue": "rev_cents"},
+    )
+
+    empty = pd.DataFrame(
+        {
+            "s_suppkey": pd.Series([], dtype=np.int64),
+            "s_name": pd.Series([], dtype=str),
+            "total_revenue": pd.Series([], dtype=np.int64),
+        }
+    )
+    mx = agg.max("total_revenue")
+    if mx is None:  # empty ship window
+        return empty
+
+    winners = agg.filter(
+        expr=f"total_revenue == {int(mx)}"
+    ).to_pandas()  # bounded by the tie count
+
+    win_keys = np.sort(np.unique(winners["s_suppkey"].to_numpy(np.int64)))
+    keys_ref = broadcast(win_keys)
+
+    class PickSupp:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            hit = np.isin(df["s_suppkey"].to_numpy(np.int64), self.keys)
+            d = df[hit]
+            return pd.DataFrame(
+                {
+                    "s_suppkey": d["s_suppkey"].to_numpy(np.int64),
+                    "s_name": d["s_name"].astype(str),
+                }
+            )
+
+    names = (
+        read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(PickSupp, batch_format="pandas", concurrency=(1, 4))
+        .to_pandas()
+    )
+    out = winners.merge(names, on="s_suppkey")
+    return pd.DataFrame(
+        {
+            "s_suppkey": out["s_suppkey"].to_numpy(np.int64),
+            "s_name": out["s_name"].astype(str),
+            "total_revenue": out["total_revenue"].to_numpy(np.int64),
+        }
+    ).sort_values("s_suppkey", ignore_index=True)
+
+
+def q_lone_return_supplier(sf_dir: str, n_buckets: int | None = None):
+    """TPC-H Q21 shape adapted to this schema (which has no
+    commit/receipt dates): for each supplier, the number of
+    MULTI-supplier orders on which it was the ONLY supplier with a
+    returned line (``l_returnflag = 'R'``) — the double-correlated
+    EXISTS (another supplier shipped the order) + NOT EXISTS (another
+    supplier's line was returned) self-join, SURVEY §2 J2 family at
+    fact-fact scale.
+
+    Scale plan: ONE hash-bucketed shuffle on l_orderkey carrying
+    per-batch-deduped slim (orderkey, suppkey, returned) integer
+    partials; each bucket resolves both correlated quantifiers
+    vectorized (pandas groupby-transform over the whole bucket frame:
+    distinct-supplier count + returned-supplier count per order) and
+    emits only the lone-returner (suppkey) hits; a second,
+    supplier-bounded grouped_sums yields the final counts, and names
+    attach by broadcast-filtered dimension re-scan. No fact collect;
+    both shuffles carry integers only; bucket count scales with the
+    cluster (default_buckets) so per-task memory is ~|orders|/buckets."""
+    if n_buckets is None:
+        n_buckets = default_buckets()
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "ok": df["l_orderkey"].to_numpy(np.int64),
+                "sk": df["l_suppkey"].to_numpy(np.int64),
+                "ret": (df["l_returnflag"].astype(str) == "R").to_numpy(np.int64),
+            }
+        ).groupby(["ok", "sk"], as_index=False).agg(ret=("ret", "max"))
+        h = pd.util.hash_pandas_object(g["ok"], index=False).to_numpy()
+        g["_pb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    def lone(g: pd.DataFrame) -> pd.DataFrame:
+        # re-combine cross-batch partials, then both quantifiers at once
+        g = g.groupby(["ok", "sk"], as_index=False).agg(ret=("ret", "max"))
+        grp = g.groupby("ok")
+        n_supp = grp["sk"].transform("size").to_numpy(np.int64)
+        n_ret = grp["ret"].transform("sum").to_numpy(np.int64)
+        keep = (g["ret"].to_numpy(np.int64) == 1) & (n_supp >= 2) & (n_ret == 1)
+        return pd.DataFrame(
+            {
+                "s_suppkey": g["sk"].to_numpy(np.int64)[keep],
+                "one": np.ones(int(keep.sum()), dtype=np.int64),
+            }
+        )
+
+    hits = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(lone, batch_format="pandas")
+    )
+    counts = grouped_sums(hits, ["s_suppkey"], sums={"numwait": "one"}).to_pandas()
+    # ^ bounded by the supplier dimension
+
+    if len(counts) == 0:
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([], dtype=np.int64),
+                "s_name": pd.Series([], dtype=str),
+                "numwait": pd.Series([], dtype=np.int64),
+            }
+        )
+
+    keys_ref = broadcast(np.sort(counts["s_suppkey"].to_numpy(np.int64)))
+
+    class PickSupp:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            hit = np.isin(df["s_suppkey"].to_numpy(np.int64), self.keys)
+            d = df[hit]
+            return pd.DataFrame(
+                {
+                    "s_suppkey": d["s_suppkey"].to_numpy(np.int64),
+                    "s_name": d["s_name"].astype(str),
+                }
+            )
+
+    names = (
+        read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(PickSupp, batch_format="pandas", concurrency=(1, 4))
+        .to_pandas()
+    )
+    out = counts.merge(names, on="s_suppkey")
+    return pd.DataFrame(
+        {
+            "s_suppkey": out["s_suppkey"].to_numpy(np.int64),
+            "s_name": out["s_name"].astype(str),
+            "numwait": out["numwait"].to_numpy(np.int64),
+        }
+    ).sort_values("s_suppkey", ignore_index=True)

@@ -111,6 +111,11 @@ ORACLE_BACKED = [
     "match_classify",
     "media_nearest",
     "suffix_pairs",
+    # r4h: added after the r4 gate order was frozen — never driver-gated,
+    # so the rehearsal is their correctness evidence until the r5 row
+    "top_supplier",
+    "lone_return_supplier",
+    "monge_elkan_pairs",
 ]
 
 

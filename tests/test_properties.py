@@ -146,3 +146,29 @@ def test_winnow_fingerprints_bit_equal_plain_loop(s):
         return sel or [min(hs)]
 
     assert winnow_fingerprints(s).tolist() == plain(s)
+
+
+_tokens = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=8), min_size=1, max_size=4
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_tokens, _tokens)
+def test_monge_elkan_micro_bit_exact_vs_duckdb(ta, tb):
+    """The directed quantize-then-sum Monge-Elkan contract: per a-token
+    best JW rounded half-even to 1e-6 BEFORE the integer sum — the exact
+    expression q_monge_elkan_pairs' DuckDB oracle computes."""
+    from snomed_ct_entity_linking_ray.functions.similarity import monge_elkan_micro
+
+    con = duckdb.connect()
+    total = 0
+    for t in ta:
+        best = max(
+            con.execute(
+                "select jaro_winkler_similarity(?,?)", [t, u]
+            ).fetchone()[0]
+            for u in tb
+        )
+        total += int(np.rint(best * 1e6))
+    assert monge_elkan_micro(ta, tb) == total
