@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier": relational.q_top_supplier,
         "lone_return_supplier": relational.q_lone_return_supplier,
         "monge_elkan_pairs": er.q_monge_elkan_pairs,
+        "cube_summary": relational.q_cube_summary,
+        "exact_quantiles": relational.q_exact_quantiles,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -451,6 +453,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tbp AS DOUBLE) / CAST(tp AS DOUBLE)
                        AS pairs_completeness
             FROM tot, b, tr, tb
+        """,
+        "cube_summary": """
+            SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+                   coalesce(l_linestatus, '(all)') AS l_linestatus,
+                   CAST(SUM(CAST(round(l_quantity*100, 0) AS BIGINT))
+                        AS BIGINT) AS sum_qty_cents,
+                   CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
+                   CAST(SUM(CAST(round(l_discount*100, 0) AS BIGINT))
+                        AS BIGINT) AS sum_disc_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "exact_quantiles": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(quantile_disc(CAST(round(l_extendedprice*100, 0)
+                                           AS BIGINT), 0.5) AS BIGINT)
+                       AS p50_cents,
+                   CAST(quantile_disc(CAST(round(l_extendedprice*100, 0)
+                                           AS BIGINT), 0.9) AS BIGINT)
+                       AS p90_cents,
+                   CAST(quantile_disc(CAST(round(l_extendedprice*100, 0)
+                                           AS BIGINT), 0.99) AS BIGINT)
+                       AS p99_cents
+            FROM lineitem GROUP BY 1
         """,
         "top_supplier": """
             WITH rev AS (

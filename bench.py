@@ -194,6 +194,8 @@ def run_bench() -> dict:
         timed("top_supplier", relational.q_top_supplier)
         timed("lone_return_supplier", relational.q_lone_return_supplier)
         timed("monge_elkan_pairs", er.q_monge_elkan_pairs)
+        timed("cube_summary", relational.q_cube_summary)
+        timed("exact_quantiles", relational.q_exact_quantiles)
 
     result = {
         "metric": "entity_link_e2e",

@@ -29,6 +29,7 @@ from .common import (
     read,
     read_arrow,
     semi_anti_filter,
+    tree_to_pandas,
 )
 
 _PB = np.uint64(0x9E3779B97F4A7C15)
@@ -2456,3 +2457,190 @@ def q_lone_return_supplier(sf_dir: str, n_buckets: int | None = None):
             "numwait": out["numwait"].to_numpy(np.int64),
         }
     ).sort_values("s_suppkey", ignore_index=True)
+
+
+def q_cube_summary(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus) — all four grouping sets.
+    Same plan as q_rollup_summary: ONE corpus pass computes the finest
+    level; every coarser set (including the ROLLUP-missing
+    (NULL, linestatus) marginal) re-aggregates the BOUNDED finest-level
+    frame, so CUBE costs three tiny pandas passes on a group-count-sized
+    table, never extra shuffles. NULL levels carry the '(all)' sentinel
+    so the value-hash compare is string-typed at every level."""
+    fine = q_pricing_summary(sf_dir).to_pandas()  # bounded: one row per group
+
+    sums = ["sum_qty_cents", "sum_price_cents", "sum_disc_cents", "n_rows"]
+    by_rf = fine.groupby("l_returnflag", as_index=False)[sums].sum()
+    by_rf["l_linestatus"] = "(all)"
+    by_ls = fine.groupby("l_linestatus", as_index=False)[sums].sum()
+    by_ls["l_returnflag"] = "(all)"
+    top = fine[sums].sum().to_frame().T
+    top["l_returnflag"] = "(all)"
+    top["l_linestatus"] = "(all)"
+    cols = ["l_returnflag", "l_linestatus", *sums]
+    out = pd.concat(
+        [fine[cols], by_rf[cols], by_ls[cols], top[cols]], ignore_index=True
+    )
+    return out.astype({c: np.int64 for c in sums}).sort_values(
+        ["l_returnflag", "l_linestatus"]
+    ).reset_index(drop=True)
+
+
+QUANTILE_QS = (0.5, 0.9, 0.99)
+
+
+def q_exact_quantiles(sf_dir: str, n_bins: int = 4096):
+    """EXACT per-group quantiles (DuckDB ``quantile_disc`` semantics: the
+    ceil(q·n)-th smallest, pinned by 200-trial probe + property test) of
+    lineitem extendedprice cents per returnflag — for an UNBOUNDED value
+    domain with BOUNDED memory. q_grouped_median's value-count histogram
+    plan needs one row per DISTINCT value; at 100 TB a price-like column
+    can have ~10^9 distinct values per group, so that plan's combine
+    state is unbounded. This is the scale path: iterative-histogram
+    selection (the classic 2-round distributed selection).
+
+      pass 1 — grouped (min, max, count): per-batch pandas partials,
+        tree-combined; state = one row per group.
+      pass 2 — per-(group, linear-bin) counts with
+        bin = (v−min)·n_bins // (max−min+1); state = groups × n_bins
+        integers, INDEPENDENT of distinct-value count. The driver walks
+        each group's bin cumsum to the target bin + residual rank per
+        quantile (tiny).
+      pass 3 — per-(group, value) counts ONLY for rows inside a
+        candidate bin (≈ n/n_bins of the corpus rides the combine);
+        each group walks its now-bounded in-bin histogram to the
+        residual rank.
+
+    Three streaming scans, zero value-domain-sized state, all integers
+    across the oracle boundary."""
+    import math
+
+    qs = QUANTILE_QS
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "g": df["l_returnflag"].astype(str),
+                "v": cents(df["l_extendedprice"]),
+            }
+        )
+
+    def scan():
+        return read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    # pass 1: per-group min / max / count
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = to_cents(df)
+        return d.groupby("g", as_index=False).agg(
+            mn=("v", "min"), mx=("v", "max"), n=("v", "size")
+        )
+
+    def stat_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("g", as_index=False).agg(
+            mn=("mn", "min"), mx=("mx", "max"), n=("n", "sum")
+        )
+
+    stats = tree_to_pandas(
+        scan().map_batches(stat_partial, batch_format="pandas"), stat_combine
+    )
+    if len(stats) == 0:
+        return pd.DataFrame(
+            {
+                "l_returnflag": pd.Series([], dtype=str),
+                "n_rows": pd.Series([], dtype=np.int64),
+                **{
+                    f"p{int(q * 100)}_cents": pd.Series([], dtype=np.int64)
+                    for q in qs
+                },
+            }
+        )
+    smap = {
+        r.g: (int(r.mn), int(r.mx), int(r.n)) for r in stats.itertuples()
+    }
+    smap_ref = broadcast(smap)
+
+    # pass 2: per-(group, bin) counts against the broadcast stats
+    class BinCount:
+        def __init__(self):
+            self.smap = ray.get(smap_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            d = to_cents(df)
+            mn = d["g"].map({g: s[0] for g, s in self.smap.items()}).to_numpy(np.int64)
+            w = d["g"].map(
+                {g: s[1] - s[0] + 1 for g, s in self.smap.items()}
+            ).to_numpy(np.int64)
+            d["b"] = (d["v"].to_numpy(np.int64) - mn) * np.int64(n_bins) // w
+            return d.groupby(["g", "b"], as_index=False).size().rename(
+                columns={"size": "n"}
+            )
+
+    def bin_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["g", "b"], as_index=False).agg(n=("n", "sum"))
+
+    bins = tree_to_pandas(
+        scan().map_batches(BinCount, batch_format="pandas", concurrency=(1, 8)),
+        bin_combine,
+    )
+
+    # driver: target bin + residual rank per (group, quantile) — tiny
+    targets: dict[str, dict[float, tuple[int, int]]] = {}
+    for g, gb in bins.groupby("g"):
+        gb = gb.sort_values("b")
+        cum = gb["n"].cumsum().to_numpy(np.int64)
+        total = smap[g][2]
+        targets[g] = {}
+        for q in qs:
+            k = max(1, math.ceil(q * total))  # quantile_disc rank
+            i = int(np.searchsorted(cum, k, side="left"))
+            before = int(cum[i - 1]) if i > 0 else 0
+            targets[g][q] = (int(gb["b"].iloc[i]), k - before)
+    want = {g: {b for b, _ in t.values()} for g, t in targets.items()}
+    want_ref = broadcast(want)
+
+    # pass 3: per-(group, value) counts inside candidate bins only
+    class CandCount:
+        def __init__(self):
+            self.smap = ray.get(smap_ref)
+            self.want = ray.get(want_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            d = to_cents(df)
+            mn = d["g"].map({g: s[0] for g, s in self.smap.items()}).to_numpy(np.int64)
+            w = d["g"].map(
+                {g: s[1] - s[0] + 1 for g, s in self.smap.items()}
+            ).to_numpy(np.int64)
+            b = (d["v"].to_numpy(np.int64) - mn) * np.int64(n_bins) // w
+            d["b"] = b
+            keep = np.fromiter(
+                (bb in self.want.get(gg, ()) for gg, bb in zip(d["g"], b)),
+                dtype=bool,
+                count=len(d),
+            )
+            return d[keep].groupby(["g", "b", "v"], as_index=False).size().rename(
+                columns={"size": "n"}
+            )
+
+    def cand_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["g", "b", "v"], as_index=False).agg(n=("n", "sum"))
+
+    cand = tree_to_pandas(
+        scan().map_batches(CandCount, batch_format="pandas", concurrency=(1, 8)),
+        cand_combine,
+    )
+
+    rows = []
+    for g in sorted(targets):
+        rec: dict = {"l_returnflag": g, "n_rows": smap[g][2]}
+        cg = cand[cand["g"] == g]
+        for q in qs:
+            b, r = targets[g][q]
+            h = cg[cg["b"] == b].sort_values("v")
+            cum = h["n"].cumsum().to_numpy(np.int64)
+            i = int(np.searchsorted(cum, r, side="left"))
+            rec[f"p{int(q * 100)}_cents"] = int(h["v"].iloc[i])
+        rows.append(rec)
+    out = pd.DataFrame(rows)
+    return out.astype(
+        {c: np.int64 for c in out.columns if c != "l_returnflag"}
+    )

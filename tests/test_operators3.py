@@ -485,3 +485,36 @@ def test_empty_side_outer_join_semantics():
     ro = empty.join(orders, "right_outer", num_partitions=2,
                     on=("l_orderkey",), right_on=("o_orderkey",))
     assert ro.count() == n_orders
+
+
+def test_exact_quantiles_edge_shapes(tmp_path):
+    """q_exact_quantiles on degenerate groups: a constant-valued group
+    (min == max → every row lands in bin 0), a single-row group, and a
+    two-value group — the driver's bin walk and residual-rank walk must
+    agree with a plain sorted-rank computation on each."""
+    import math
+
+    import numpy as np
+
+    from snomed_ct_entity_linking_ray.pipelines.relational import q_exact_quantiles
+
+    rows = []
+    # constant group: 7 rows of the same price
+    rows += [("C", 12.34)] * 7
+    # singleton group
+    rows += [("S", 99.99)]
+    # two-value group, skewed counts
+    rows += [("T", 1.00)] * 9 + [("T", 2.00)]
+    df = pd.DataFrame(rows, columns=["l_returnflag", "l_extendedprice"])
+    df["l_quantity"] = 1.0
+    df["l_discount"] = 0.0
+    df["l_linestatus"] = "O"
+    df.to_parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = q_exact_quantiles(str(tmp_path)).set_index("l_returnflag")
+    for g, vals in (("C", [1234] * 7), ("S", [9999]), ("T", [100] * 9 + [200])):
+        s = sorted(vals)
+        assert out.loc[g, "n_rows"] == len(vals)
+        for q in (0.5, 0.9, 0.99):
+            k = max(1, math.ceil(q * len(vals)))
+            assert out.loc[g, f"p{int(q*100)}_cents"] == s[k - 1], (g, q)

@@ -116,6 +116,8 @@ ORACLE_BACKED = [
     "top_supplier",
     "lone_return_supplier",
     "monge_elkan_pairs",
+    "cube_summary",
+    "exact_quantiles",
 ]
 
 

@@ -172,3 +172,25 @@ def test_monge_elkan_micro_bit_exact_vs_duckdb(ta, tb):
         )
         total += int(np.rint(best * 1e6))
     assert monge_elkan_micro(ta, tb) == total
+
+
+_ints = st.lists(st.integers(min_value=0, max_value=10**7), min_size=1, max_size=60)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_ints)
+def test_quantile_disc_rank_semantics_vs_duckdb(vals):
+    """Pin q_exact_quantiles' rank contract: DuckDB quantile_disc(v, q)
+    == the ceil(q*n)-th smallest (1-indexed), for the exact q values the
+    operator ships. The distributed plan depends on this identity at the
+    driver's target-bin walk."""
+    import math
+
+    con = duckdb.connect()
+    s = sorted(vals)
+    n = len(vals)
+    for q in (0.5, 0.9, 0.99):
+        d = con.execute(
+            "SELECT quantile_disc(v, ?) FROM (SELECT unnest(?) AS v)", [q, vals]
+        ).fetchone()[0]
+        assert d == s[max(1, math.ceil(q * n)) - 1], (q, n, d)
