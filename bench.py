@@ -227,15 +227,21 @@ def run_scaling() -> dict:
             SCEL_BENCH_DOCS=os.environ.get("SCEL_BENCH_DOCS", SCALING_DOCS),
             SCEL_SCALING_LEG="1",
         )
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
             capture_output=True,
             text=True,
-            check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if proc.returncode != 0:
+            # Surface the child's stderr: a bare CalledProcessError hides
+            # the actual failure (the round-4i 3M campaign aborted opaquely).
+            raise RuntimeError(
+                f"scaling leg num_cpus={ncpu} exited {proc.returncode}; "
+                f"stderr tail:\n{proc.stderr[-4000:]}"
+            )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     # N vs 4N parallelism levels. DEFAULT 4 vs 16: both legs stay ≤ half
     # the 32-core box, so per-core resources (memory bandwidth, object
