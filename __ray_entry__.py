@@ -127,6 +127,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monge_elkan_pairs": er.q_monge_elkan_pairs,
         "cube_summary": relational.q_cube_summary,
         "exact_quantiles": relational.q_exact_quantiles,
+        "shipmode_priority": relational.q_shipmode_priority,
+        "bcubed_metrics": er.q_bcubed_metrics,
+        "token_diversity": text.q_token_diversity,
+        "length_band_filter": text.q_length_band_filter,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -479,6 +483,63 @@ def oracle_sql() -> dict[str, str]:
                                            AS BIGINT), 0.99) AS BIGINT)
                        AS p99_cents
             FROM lineitem GROUP BY 1
+        """,
+        "shipmode_priority": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "bcubed_metrics": """
+            WITH cell AS (
+              SELECT string_split(p_name, ' ')[1] AS pred, p_type AS gold,
+                     count(*) AS n
+              FROM part GROUP BY 1, 2)
+            SELECT 'pred' AS side, pred AS key,
+                   CAST(SUM(n) AS BIGINT) AS n_records,
+                   CAST(SUM(n*n) AS BIGINT) AS sum_sq,
+                   CAST(SUM(n*n) AS DOUBLE)
+                       / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE))
+                       AS score
+            FROM cell GROUP BY 2
+            UNION ALL
+            SELECT 'gold' AS side, gold AS key,
+                   CAST(SUM(n) AS BIGINT) AS n_records,
+                   CAST(SUM(n*n) AS BIGINT) AS sum_sq,
+                   CAST(SUM(n*n) AS DOUBLE)
+                       / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE))
+                       AS score
+            FROM cell GROUP BY 2
+        """,
+        "token_diversity": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE CAST(len(list_distinct(toks)) AS DOUBLE)
+                             / CAST(len(toks) AS DOUBLE) END AS ttr
+            FROM t
+        """,
+        "length_band_filter": """
+            WITH h AS (SELECT quantile_disc(n_chars, 0.05) AS lo,
+                              quantile_disc(n_chars, 0.95) AS hi
+                       FROM documents)
+            SELECT d.doc_id, d.n_chars
+            FROM documents d, h
+            WHERE d.n_chars >= h.lo AND d.n_chars <= h.hi
         """,
         "top_supplier": """
             WITH rev AS (

@@ -1979,3 +1979,62 @@ def q_monge_elkan_pairs(sf_dir: str):
             )
 
     return names.map_batches(MePairs, batch_format="pandas", concurrency=(1, 8))
+
+
+def q_bcubed_metrics(sf_dir: str):
+    """B-cubed cluster-quality evaluation (Bagga & Baldwin '98; Amigo et
+    al. IR'09 — the extrinsic clustering metric family complementing the
+    pairwise P/R/F of ``q_cluster_metrics``). For every PREDICTED cluster
+    i: B-cubed precision_i = avg over its items of |cell(i,j)|/|i| =
+    (SUM_j n_ij^2) / n_i^2; for every GOLD class j the same expression is
+    the per-class B-cubed recall. Predicted cluster = first name token,
+    gold = ``p_type`` (the same synthetic truth stand-in q_cluster_metrics
+    / q_match_weights use). One output row per cluster per side, so every
+    score is a deterministic expression of exact integers — the global
+    B-cubed P/R are item-weighted means of these rows and are left to the
+    consumer (a float reduction whose order SQL does not pin).
+
+    Scale shape: identical to q_cluster_metrics — NO pair and NO item ever
+    materializes; ONE grouped_sums pass builds the (pred, gold)
+    contingency table (cardinality = product of two dictionary-bounded
+    attributes), and all marginals derive driver-side from that tiny
+    table. sum_sq is exact int64 to ~3e9 rows per cell; the score is
+    formed as float64(sum_sq) / (float64(n) * float64(n)) — written
+    identically in the oracle SQL so the compare is bit-exact."""
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        nm = df["p_name"].astype(str)
+        return pd.DataFrame(
+            {
+                "pred": nm.str.split(" ", n=1).str[0],
+                "gold": df["p_type"].astype(str),
+            }
+        )
+
+    ds = read(sf_dir, "part", ["p_name", "p_type"]).map_batches(
+        keyed, batch_format="pandas"
+    )
+    c = grouped_sums(ds, ["pred", "gold"], sums={}, count_as="n").to_pandas()
+    c["sq"] = c["n"].to_numpy(np.int64) ** 2
+
+    def side(col: str, name: str) -> pd.DataFrame:
+        g = c.groupby(col, as_index=False).agg(
+            n_records=("n", "sum"), sum_sq=("sq", "sum")
+        )
+        n = g["n_records"].to_numpy(np.int64)
+        sq = g["sum_sq"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "side": name,
+                "key": g[col].astype(str),
+                "n_records": n,
+                "sum_sq": sq,
+                "score": sq.astype(np.float64)
+                / (n.astype(np.float64) * n.astype(np.float64)),
+            }
+        )
+
+    out = pd.concat(
+        [side("pred", "pred"), side("gold", "gold")], ignore_index=True
+    )
+    return rd.from_pandas(out)

@@ -2644,3 +2644,61 @@ def q_exact_quantiles(sf_dir: str, n_bins: int = 4096):
     return out.astype(
         {c: np.int64 for c in out.columns if c != "l_returnflag"}
     )
+
+
+def q_shipmode_priority(sf_dir: str):
+    """TPC-H Q12 shape (shipping modes and order priority): for lineitems
+    shipped in 1996, count per line-status the lines belonging to
+    high-priority orders ('1-URGENT'/'2-HIGH') vs all others. The testdata
+    lineitem carries no l_shipmode/commitdate, so l_linestatus stands in
+    for the mode axis and l_shipdate for the receipt window — the operator
+    shape (fact-fact equi-join + conditional CASE counts) is Q12's.
+    Ref semantics: the reference's eval join classifies joined rows by a
+    category attribute the same way (SURVEY.md §2.4 J8).
+
+    Scale plan: both facts prune map-side at the read (lineitem to a
+    2-column year slice, orders to (orderkey, one int flag) — the priority
+    string never rides the shuffle); they meet in the empty-safe hash join
+    on orderkey (the Q10/Q21 fact-fact pattern, num_partitions sized to
+    the cluster), and reduce via grouped_sums to a 2-row result. No
+    driver-side loop, no full materialization."""
+    lo = _dt.datetime(1996, 1, 1)
+    hi = _dt.datetime(1997, 1, 1)
+
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"])
+
+    def prep_li(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        return pd.DataFrame(
+            {
+                "l_orderkey": d["l_orderkey"].to_numpy(np.int64),
+                "l_linestatus": d["l_linestatus"].astype(str),
+            }
+        )
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def prep_o(df: pd.DataFrame) -> pd.DataFrame:
+        pri = df["o_orderpriority"].astype(str)
+        hi_flag = pri.isin(["1-URGENT", "2-HIGH"]).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "hi": hi_flag,
+                "lo": np.int64(1) - hi_flag,
+            }
+        )
+
+    n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    j = li.map_batches(prep_li, batch_format="pandas").join(
+        orders.map_batches(prep_o, batch_format="pandas"),
+        "inner",
+        num_partitions=n_part,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return grouped_sums(
+        j,
+        ["l_linestatus"],
+        sums={"high_line_count": "hi", "low_line_count": "lo"},
+    )

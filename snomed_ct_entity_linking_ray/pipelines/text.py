@@ -604,3 +604,99 @@ def q_posting_lists(sf_dir: str):
         .groupby("_tb")
         .map_groups(assemble, batch_format="pandas")
     )
+
+
+def q_token_diversity(sf_dir: str):
+    """Per-doc lexical diversity (type-token ratio) — the vocabulary-
+    richness quality signal used alongside repetition stats in web-corpus
+    filtering (Gopher-family rules penalize low-TTR boilerplate). Token =
+    maximal [a-z0-9] run of the lowercased text, so Arrow's regex split
+    and DuckDB's regexp_split_to_array agree on the non-empty pieces by
+    construction (empty split artifacts are filtered on both sides).
+
+    Fully vectorized, zero-copy per batch: pyarrow split_pattern_regex →
+    list_flatten + list_parent_indices, one hash drop_duplicates for the
+    per-doc distinct count, np.bincount for totals — no per-row Python.
+    ttr is ONE division of two exact int64s (0.0 for token-less docs),
+    matching the oracle expression bit-exactly. Streams: one map_batches,
+    no shuffle, output one row per input row."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_rows = t.num_rows
+        low = pc.utf8_lower(t["text"])
+        lists = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        toks = pc.filter(flat, keep).to_pandas()
+        idx = pc.filter(parent, keep).to_numpy(zero_copy_only=False)
+        n_tokens = np.bincount(idx, minlength=n_rows).astype(np.int64)
+        dd = pd.DataFrame({"i": idx, "t": toks}).drop_duplicates()
+        n_distinct = np.bincount(
+            dd["i"].to_numpy(), minlength=n_rows
+        ).astype(np.int64)
+        ttr = np.zeros(n_rows, dtype=np.float64)
+        nz = n_tokens > 0
+        ttr[nz] = n_distinct[nz].astype(np.float64) / n_tokens[nz].astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_distinct": pa.array(n_distinct, pa.int64()),
+                "ttr": pa.array(ttr, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _disc_quantiles_int(ds, col: str, qs: tuple[float, ...]) -> list[int]:
+    """Exact percentile_disc over a driver-bounded-cardinality int column:
+    per-batch value_counts partials → bucketed grouped_sums combine → the
+    BOUNDED histogram (one row per distinct value) walks cumulative counts
+    on the driver. Same machinery/semantics as q_len_quantiles (smallest v
+    with cum_count >= max(1, ceil(q*N)), verified vs DuckDB
+    quantile_disc); shared here so filters can consume the thresholds."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[col].value_counts()
+        return pd.DataFrame(
+            {
+                col: vc.index.to_numpy().astype(np.int64),
+                "n": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    hist = (
+        grouped_sums(ds.map_batches(partial, batch_format="pandas"),
+                     [col], sums={"n": "n"})
+        .sort(col)
+        .to_pandas()
+    )
+    cum = hist["n"].cumsum().to_numpy()
+    total = int(cum[-1]) if len(cum) else 0
+    vals = hist[col].to_numpy()
+    out = []
+    for q in qs:
+        k = max(1, int(np.ceil(q * total)))
+        out.append(int(vals[int(np.searchsorted(cum, k, side="left"))]))
+    return out
+
+
+def q_length_band_filter(sf_dir: str, q_lo: float = 0.05, q_hi: float = 0.95):
+    """Outlier-length document filter — drop the shortest/longest tails by
+    GLOBAL exact percentiles (the standard corpus-prep step: truncated or
+    concatenated crawl artifacts live in the length tails). Two passes:
+    (1) the bounded value-count histogram yields exact percentile_disc
+    thresholds (never a per-doc collect), (2) a predicate-pushdown filter
+    streams the corpus through `n_chars BETWEEN lo AND hi` — the
+    thresholds are two ints baked into the filter expression, so nothing
+    is broadcast and no shuffle occurs. Resumable: both passes are
+    deterministic functions of the input."""
+    stats = read(sf_dir, "documents", ["n_chars"])
+    lo, hi = _disc_quantiles_int(stats, "n_chars", (q_lo, q_hi))
+    docs = read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return docs.filter(expr=f"n_chars >= {lo} and n_chars <= {hi}")

@@ -118,6 +118,11 @@ ORACLE_BACKED = [
     "monge_elkan_pairs",
     "cube_summary",
     "exact_quantiles",
+    # r4i: Q12 shape, B-cubed eval, lexical diversity, length-band filter
+    "shipmode_priority",
+    "bcubed_metrics",
+    "token_diversity",
+    "length_band_filter",
 ]
 
 
