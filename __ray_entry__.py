@@ -131,6 +131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bcubed_metrics": er.q_bcubed_metrics,
         "token_diversity": text.q_token_diversity,
         "length_band_filter": text.q_length_band_filter,
+        "user_modal_event": relational.q_user_modal_event,
+        "canonical_names": er.q_canonical_names,
+        "length_cdf": text.q_length_cdf,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -540,6 +543,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.n_chars
             FROM documents d, h
             WHERE d.n_chars >= h.lo AND d.n_chars <= h.hi
+        """,
+        "length_cdf": """
+            SELECT doc_id, n_chars,
+                   cume_dist() OVER (ORDER BY n_chars) AS cdf
+            FROM documents
+        """,
+        "user_modal_event": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            r AS (
+              SELECT user_id, event_type, n,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY n DESC, event_type) AS rn
+              FROM c)
+            SELECT user_id, event_type AS mode_event,
+                   CAST(n AS BIGINT) AS n_events
+            FROM r WHERE rn = 1
+        """,
+        "canonical_names": """
+            WITH c AS (
+              SELECT p_name,
+                     array_to_string(
+                       list_sort(list_filter(
+                         regexp_split_to_array(lower(p_name), '[^a-z0-9]+'),
+                         x -> x <> '')), ' ') AS canon
+              FROM part)
+            SELECT canon,
+                   CAST(count(DISTINCT p_name) AS BIGINT) AS n_names,
+                   CAST(count(*) AS BIGINT) AS n_records
+            FROM c GROUP BY 1
         """,
         "top_supplier": """
             WITH rev AS (

@@ -196,6 +196,15 @@ def run_bench() -> dict:
         timed("monge_elkan_pairs", er.q_monge_elkan_pairs)
         timed("cube_summary", relational.q_cube_summary)
         timed("exact_quantiles", relational.q_exact_quantiles)
+        # r4i: Q12 shape, B-cubed eval, standardization, grouped mode,
+        # lexical diversity, percentile-band filtering
+        timed("shipmode_priority", relational.q_shipmode_priority)
+        timed("bcubed_metrics", er.q_bcubed_metrics)
+        timed("canonical_names", er.q_canonical_names)
+        timed("user_modal_event", relational.q_user_modal_event)
+        timed("token_diversity", text.q_token_diversity)
+        timed("length_band_filter", text.q_length_band_filter)
+        timed("length_cdf", text.q_length_cdf)
 
     result = {
         "metric": "entity_link_e2e",

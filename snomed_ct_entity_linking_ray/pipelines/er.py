@@ -25,6 +25,7 @@ import logging
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -2038,3 +2039,53 @@ def q_bcubed_metrics(sf_dir: str):
         [side("pred", "pred"), side("gold", "gold")], ignore_index=True
     )
     return rd.from_pandas(out)
+
+
+def q_canonical_names(sf_dir: str):
+    """Record standardization — the first stage of every classic linkage
+    pipeline (Fellegi-Sunter preprocessing; the reference normalizes
+    surfaces before dictionary lookup, `1st Place/src/
+    generate_annotations.py` lowercase/strip keys): canonical form =
+    lowercase, tokenized on non-alphanumeric runs, tokens SORTED and
+    re-joined — so token-order and punctuation variants of a name collapse
+    to one key. Output: one row per canonical key with the distinct-name
+    and record counts it absorbs.
+
+    Scale shape: canonicalization is a stateless map (Arrow regex split;
+    the per-row token sort is one np.lexsort over the exploded batch, not
+    a per-row Python sort); the (canon, p_name) partial-count shuffle is
+    bounded by the distinct-name vocabulary, and the final per-canon
+    reduction is a grouped_sums over that dictionary-bounded stream."""
+    ds = read(sf_dir, "part", ["p_name"])
+
+    def canon(t: pa.Table) -> pd.DataFrame:
+        low = pc.utf8_lower(t["p_name"])
+        lists = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        toks = pc.filter(flat, keep).to_pandas().to_numpy()
+        idx = pc.filter(parent, keep).to_numpy(zero_copy_only=False)
+        # one lexsort over the exploded batch orders every row's tokens
+        order = np.lexsort((toks, idx))
+        joined = (
+            pd.Series(toks[order])
+            .groupby(idx[order])
+            .agg(" ".join)
+            .reindex(range(t.num_rows), fill_value="")
+        )
+        return pd.DataFrame(
+            {
+                "canon": joined.to_numpy(),
+                "p_name": t["p_name"].to_pandas().astype(str),
+            }
+        )
+
+    pairs = grouped_sums(
+        ds.map_batches(canon, batch_format="pyarrow"),
+        ["canon", "p_name"],
+        sums={},
+        count_as="n",
+    )
+    out = grouped_sums(pairs, ["canon"], sums={"n_records": "n"}, count_as="n_names")
+    return out.select_columns(["canon", "n_names", "n_records"])

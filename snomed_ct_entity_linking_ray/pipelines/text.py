@@ -700,3 +700,56 @@ def q_length_band_filter(sf_dir: str, q_lo: float = 0.05, q_hi: float = 0.95):
     lo, hi = _disc_quantiles_int(stats, "n_chars", (q_lo, q_hi))
     docs = read(sf_dir, "documents", ["doc_id", "n_chars"])
     return docs.filter(expr=f"n_chars >= {lo} and n_chars <= {hi}")
+
+
+def q_length_cdf(sf_dir: str):
+    """Distribution-rank window (SQL ``cume_dist() OVER (ORDER BY
+    n_chars)``) for every document — the percentile-rank signal corpus
+    curricula sort on (length percentile as a difficulty proxy). A global
+    ORDER-BY window normally forces a total sort; here the value domain is
+    bounded, so ONE value-count histogram pass (the len_quantiles
+    machinery) collects to a driver-bounded table, its cumulative counts
+    broadcast once, and a second streamed pass resolves every row's rank
+    by vectorized searchsorted — zero shuffle, no sort, no per-doc
+    collect. cume_dist = (rows with value <= mine) / N: ONE division of
+    exact int64s per row, formed identically to the SQL definition, so
+    the compare is bit-exact."""
+    stats = read(sf_dir, "documents", ["n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["n_chars"].value_counts()
+        return pd.DataFrame(
+            {
+                "n_chars": vc.index.to_numpy().astype(np.int64),
+                "n": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    hist = (
+        grouped_sums(stats.map_batches(partial, batch_format="pandas"),
+                     ["n_chars"], sums={"n": "n"})
+        .sort("n_chars")
+        .to_pandas()
+    )
+    vals = hist["n_chars"].to_numpy(np.int64)
+    cum = hist["n"].cumsum().to_numpy(np.int64)
+    total = int(cum[-1]) if len(cum) else 0
+    cdf_ref = broadcast((vals, cum))
+
+    class Cdf:
+        def __init__(self):
+            self.vals, self.cum = ray.get(cdf_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            x = df["n_chars"].to_numpy(np.int64)
+            le = self.cum[np.searchsorted(self.vals, x, side="right") - 1]
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(np.int64),
+                    "n_chars": x,
+                    "cdf": le.astype(np.float64) / np.float64(total),
+                }
+            )
+
+    docs = read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return docs.map_batches(Cdf, batch_format="pandas", concurrency=(1, 8))

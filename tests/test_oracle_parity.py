@@ -123,6 +123,9 @@ ORACLE_BACKED = [
     "bcubed_metrics",
     "token_diversity",
     "length_band_filter",
+    "user_modal_event",
+    "canonical_names",
+    "length_cdf",
 ]
 
 
