@@ -134,6 +134,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_modal_event": relational.q_user_modal_event,
         "canonical_names": er.q_canonical_names,
         "length_cdf": text.q_length_cdf,
+        "ari_metric": er.q_ari_metric,
+        "edit_neighbors": er.q_edit_neighbors,
+        "hamming_neighbors": er.q_hamming_neighbors,
+        "oov_rate": text.q_oov_rate,
+        "grouped_variance": relational.q_grouped_variance,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -574,6 +579,91 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT p_name) AS BIGINT) AS n_names,
                    CAST(count(*) AS BIGINT) AS n_records
             FROM c GROUP BY 1
+        """,
+        "ari_metric": """
+            WITH base AS (
+                SELECT split_part(p_name, ' ', 1) AS pred, p_type AS gold
+                FROM part),
+            cell AS (SELECT pred, gold, COUNT(*) AS n FROM base GROUP BY 1, 2),
+            prow AS (SELECT pred, SUM(n) AS n FROM cell GROUP BY 1),
+            grow AS (SELECT gold, SUM(n) AS n FROM cell GROUP BY 1),
+            s AS (SELECT
+                (SELECT CAST(SUM(n) AS BIGINT) FROM cell) AS n_records,
+                (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) FROM cell)
+                    AS tp_pairs,
+                (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) FROM prow)
+                    AS pred_pairs,
+                (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) FROM grow)
+                    AS gold_pairs),
+            e AS (SELECT *,
+                CAST(pred_pairs AS DOUBLE) * CAST(gold_pairs AS DOUBLE)
+                    / CAST(n_records * (n_records - 1) // 2 AS DOUBLE)
+                    AS expected_tp
+                FROM s)
+            SELECT n_records, tp_pairs, pred_pairs, gold_pairs, expected_tp,
+                   (CAST(tp_pairs AS DOUBLE) - expected_tp)
+                     / (CAST(pred_pairs + gold_pairs AS DOUBLE) / 2.0
+                        - expected_tp) AS ari
+            FROM e
+        """,
+        "edit_neighbors": """
+            WITH d AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM d a, d b
+            WHERE a.p_name < b.p_name
+              AND levenshtein(a.p_name, b.p_name) <= 1
+        """,
+        "hamming_neighbors": """
+            WITH d AS (SELECT DISTINCT p_name FROM part),
+            m AS (SELECT p_name,
+                    bit_or(1::BIGINT <<
+                      (strpos('abcdefghijklmnopqrstuvwxyz0123456789', c) - 1))
+                      AS mask
+                  FROM (SELECT p_name,
+                          unnest(regexp_extract_all(lower(p_name), '[a-z0-9]'))
+                            AS c
+                        FROM d)
+                  GROUP BY 1)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(bit_count(xor(a.mask, b.mask)) AS BIGINT) AS dist
+            FROM m a, m b
+            WHERE a.p_name < b.p_name
+              AND bit_count(xor(a.mask, b.mask)) <= 2
+        """,
+        "oov_rate": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            vocab AS (
+              SELECT tok FROM (
+                SELECT tok, COUNT(*) AS n FROM nz GROUP BY 1
+                ORDER BY n DESC, tok LIMIT 16)),
+            per AS (
+              SELECT t.doc_id,
+                     COUNT(*) AS n_tokens,
+                     CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_oov
+              FROM nz t LEFT JOIN vocab v USING (tok)
+              GROUP BY 1)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_oov,
+                   CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+            FROM per
+        """,
+        "grouped_variance": """
+            WITH m AS (
+              SELECT l_returnflag,
+                     COUNT(*) AS n,
+                     SUM(CAST(l_quantity AS BIGINT)) AS s,
+                     SUM(CAST(l_quantity AS BIGINT)
+                         * CAST(l_quantity AS BIGINT)) AS ss
+              FROM lineitem GROUP BY 1)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   CAST(s AS BIGINT) AS sum_qty,
+                   CAST(n * ss - s * s AS DOUBLE)
+                     / CAST(n * (n - 1) AS DOUBLE) AS var_qty
+            FROM m
         """,
         "top_supplier": """
             WITH rev AS (

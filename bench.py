@@ -205,6 +205,12 @@ def run_bench() -> dict:
         timed("token_diversity", text.q_token_diversity)
         timed("length_band_filter", text.q_length_band_filter)
         timed("length_cdf", text.q_length_cdf)
+        # r4j: exact-distance neighbor joins, ARI, OOV, moments variance
+        timed("edit_neighbors", er.q_edit_neighbors)
+        timed("hamming_neighbors", er.q_hamming_neighbors)
+        timed("ari_metric", er.q_ari_metric)
+        timed("oov_rate", text.q_oov_rate)
+        timed("grouped_variance", relational.q_grouped_variance)
 
     result = {
         "metric": "entity_link_e2e",

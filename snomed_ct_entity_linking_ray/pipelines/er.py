@@ -2089,3 +2089,306 @@ def q_canonical_names(sf_dir: str):
     )
     out = grouped_sums(pairs, ["canon"], sums={"n_records": "n"}, count_as="n_names")
     return out.select_columns(["canon", "n_names", "n_records"])
+
+
+def q_ari_metric(sf_dir: str):
+    """Adjusted Rand Index (Hubert & Arabie '85) of the same predicted-vs-
+    gold clustering q_cluster_metrics / q_bcubed_metrics evaluate — the
+    chance-corrected pairwise agreement score, completing the standard
+    ER-evaluation triple (pairwise P/R/F1, B-cubed, ARI).
+
+    ARI = (tp - E[tp]) / (max_tp - E[tp]) with
+    E[tp] = pred_pairs * gold_pairs / total_pairs and
+    max_tp = (pred_pairs + gold_pairs) / 2.
+
+    Scale shape: identical to q_cluster_metrics — ONE ``grouped_sums``
+    contingency pass at the dictionary-bounded (pred, gold) key; every
+    pair term derives driver-side as exact int64 n(n-1)/2 sums; the three
+    float outputs are single expressions of those exact integers formed
+    identically to the oracle SQL, so the compare is bit-exact."""
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        nm = df["p_name"].astype(str)
+        return pd.DataFrame(
+            {
+                "pred": nm.str.split(" ", n=1).str[0],
+                "gold": df["p_type"].astype(str),
+            }
+        )
+
+    ds = read(sf_dir, "part", ["p_name", "p_type"]).map_batches(
+        keyed, batch_format="pandas"
+    )
+    c = grouped_sums(ds, ["pred", "gold"], sums={}, count_as="n").to_pandas()
+
+    def pair_sum(n: pd.Series) -> int:
+        v = n.to_numpy(np.int64)
+        return int((v * (v - 1) // 2).sum())
+
+    n_records = int(c["n"].sum())
+    tp = pair_sum(c["n"])
+    pred_pairs = pair_sum(c.groupby("pred")["n"].sum())
+    gold_pairs = pair_sum(c.groupby("gold")["n"].sum())
+    total_pairs = n_records * (n_records - 1) // 2
+    expected = (
+        np.float64(pred_pairs) * np.float64(gold_pairs) / np.float64(total_pairs)
+    )
+    max_tp = np.float64(pred_pairs + gold_pairs) / np.float64(2.0)
+    out = pd.DataFrame(
+        [
+            {
+                "n_records": np.int64(n_records),
+                "tp_pairs": np.int64(tp),
+                "pred_pairs": np.int64(pred_pairs),
+                "gold_pairs": np.int64(gold_pairs),
+                "expected_tp": expected,
+                "ari": (np.float64(tp) - expected) / (max_tp - expected),
+            }
+        ]
+    )
+    return rd.from_pandas(out)
+
+
+# --- exact-distance neighbor joins ---------------------------------------------
+
+
+def q_edit_neighbors(sf_dir: str):
+    """Exact edit-distance-1 self-join over distinct part names via the
+    FastSS deletion neighborhood (Bocek et al. '07): every name emits
+    itself plus its len(s) single-character deletions; ED(a,b) <= 1 implies
+    a and b SHARE a variant (equal -> self; substitution at i -> both
+    deletion-at-i variants; indel -> the longer one's deletion equals the
+    shorter's self), so grouping by variant is a blocking scheme with NO
+    false negatives — unlike the JW/phonetic blockers above whose recall
+    is the declared predicate. Candidates are then verified with the exact
+    Levenshtein kernel (shared, property-tested vs DuckDB).
+
+    Scale shape: the variant shuffle carries (variant, name) — O(total
+    chars) rows over the DISTINCT-name vocabulary, dictionary-bounded;
+    deletions are generated per LENGTH CLASS with one numpy byte-matrix
+    slice per deletion position (no per-string Python); pair emission
+    loops only over variant groups with >= 2 members (collision count,
+    not corpus size); the candidate set is deduped on the (name_a, name_b)
+    key by a second slim ``grouped_sums`` shuffle before verification, so
+    each pair is scored exactly once."""
+    names = distinct_column(read(sf_dir, "part", ["p_name"]), "p_name")
+    n_buckets = default_buckets()
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        nm = df["p_name"].astype(str).to_numpy(object)
+        var_out: list = []
+        name_out: list = []
+        lens = np.array([len(s) for s in nm], dtype=np.int64)
+        for L in np.unique(lens):
+            grp = nm[lens == L]
+            var_out.append(grp)  # the self variant
+            name_out.append(grp)
+            if L == 0:
+                continue
+            # byte matrix (names are ASCII in this schema; the fallback
+            # below covers any non-ASCII batch with a per-string path)
+            try:
+                chars = np.frombuffer(
+                    "".join(grp.tolist()).encode("ascii"), dtype="S1"
+                ).reshape(len(grp), L)
+            except UnicodeEncodeError:
+                for s in grp:
+                    for d in range(len(s)):
+                        var_out.append(np.array([s[:d] + s[d + 1 :]], object))
+                        name_out.append(np.array([s], object))
+                continue
+            cols = np.arange(L - 1)
+            for d in range(int(L)):
+                sub = np.ascontiguousarray(chars[:, cols + (cols >= d)])
+                dels = np.char.decode(sub.view(f"S{L-1}").ravel(), "ascii")
+                var_out.append(dels.astype(object))
+                name_out.append(grp)
+        v = np.concatenate(var_out) if var_out else np.array([], object)
+        n = np.concatenate(name_out) if name_out else np.array([], object)
+        g = pd.DataFrame({"variant": v, "p_name": n})
+        h = pd.util.hash_pandas_object(g["variant"], index=False).to_numpy()
+        g["_vb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    pair_schema = pa.schema([("name_a", pa.string()), ("name_b", pa.string())])
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        a_out: list = []
+        b_out: list = []
+        sizes = g.groupby("variant")["p_name"].nunique()
+        hot = sizes[sizes >= 2].index
+        for v in hot:
+            mem = np.sort(g.loc[g["variant"] == v, "p_name"].unique().astype(object))
+            ia, ib = np.triu_indices(len(mem), k=1)
+            a_out.append(mem[ia])
+            b_out.append(mem[ib])
+        a = np.concatenate(a_out) if a_out else np.array([], object)
+        b = np.concatenate(b_out) if b_out else np.array([], object)
+        # Arrow output: empty object columns in pandas blocks trip Ray's
+        # sampling size estimator (the distinct_column note)
+        return pa.Table.from_arrays(
+            [pa.array(a, pa.string()), pa.array(b, pa.string())],
+            schema=pair_schema,
+        )
+
+    cand = (
+        names.map_batches(variants, batch_format="pandas")
+        .groupby("_vb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    cand = grouped_sums(cand, ["name_a", "name_b"], sums={}, count_as="n_shared")
+
+    out_schema = pa.schema(
+        [("name_a", pa.string()), ("name_b", pa.string()), ("dist", pa.int64())]
+    )
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        d = np.array(
+            [levenshtein(a, b) for a, b in zip(df["name_a"], df["name_b"])],
+            dtype=np.int64,
+        )
+        keep = d <= 1
+        return pa.Table.from_arrays(
+            [
+                pa.array(df["name_a"].to_numpy(object)[keep], pa.string()),
+                pa.array(df["name_b"].to_numpy(object)[keep], pa.string()),
+                pa.array(d[keep], pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    return cand.map_batches(verify, batch_format="pandas")
+
+
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy < 2.0 has no bitwise_count)."""
+    x = x.astype(np.uint64)
+    out = _POP16[(x & np.uint64(0xFFFF)).astype(np.int64)]
+    for shift in (16, 32, 48):
+        out = out + _POP16[((x >> np.uint64(shift)) & np.uint64(0xFFFF)).astype(np.int64)]
+    return out
+
+
+HAMMING_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def q_hamming_neighbors(sf_dir: str, max_dist: int = 2):
+    """Exact Hamming-distance join over 36-bit character-set fingerprints
+    (bit i set iff the name contains alphabet char i): every distinct-name
+    pair whose fingerprints differ in <= ``max_dist`` bits. The blocking is
+    the classic multi-index Hamming pigeonhole (Norouzi et al. — and the
+    band trick SimHash dedup rests on): the 36 bits split into
+    ``max_dist + 1`` disjoint bands, and any pair within distance d <=
+    max_dist must match EXACTLY on at least one band — a no-false-negative
+    candidate scheme, verified by exact popcount(xor).
+
+    Scale shape: fingerprints are 36 vectorized contains-scans per batch
+    (alphabet-bounded, not corpus-bounded); the shuffle carries
+    (band_key, name, mask) — 3 slim rows per distinct name; pair emission
+    loops only over band groups with >= 2 members; candidates dedup on the
+    pair key via ``grouped_sums`` (masks ride as functional keys), then one
+    vectorized popcount verifies. Exact int64 end-to-end."""
+    names = distinct_column(read(sf_dir, "part", ["p_name"]), "p_name")
+    n_buckets = default_buckets()
+    n_bands = max_dist + 1
+    width = (len(HAMMING_ALPHABET) + n_bands - 1) // n_bands
+    band_mask = (1 << width) - 1
+
+    def masks(df: pd.DataFrame) -> pd.DataFrame:
+        nm = df["p_name"].astype(str)
+        low = nm.str.lower()
+        mask = np.zeros(len(df), dtype=np.int64)
+        for i, ch in enumerate(HAMMING_ALPHABET):
+            mask |= low.str.contains(ch, regex=False).to_numpy() << np.int64(i)
+        rows = []
+        for b in range(n_bands):
+            band_val = (mask >> np.int64(b * width)) & np.int64(band_mask)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "band_key": (np.int64(b) << np.int64(40)) | band_val,
+                        "p_name": nm.to_numpy(object),
+                        "mask": mask,
+                    }
+                )
+            )
+        g = pd.concat(rows, ignore_index=True)
+        g["_hb"] = (
+            g["band_key"].to_numpy(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return g
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a_out: list = []
+        b_out: list = []
+        ma_out: list = []
+        mb_out: list = []
+        sizes = g.groupby("band_key")["p_name"].nunique()
+        hot = sizes[sizes >= 2].index
+        for v in hot:
+            mem = g.loc[g["band_key"] == v, ["p_name", "mask"]].drop_duplicates(
+                subset=["p_name"]
+            )
+            mem = mem.sort_values("p_name")
+            nm = mem["p_name"].to_numpy(object)
+            mk = mem["mask"].to_numpy(np.int64)
+            ia, ib = np.triu_indices(len(nm), k=1)
+            a_out.append(nm[ia])
+            b_out.append(nm[ib])
+            ma_out.append(mk[ia])
+            mb_out.append(mk[ib])
+        a = np.concatenate(a_out) if a_out else np.array([], object)
+        b = np.concatenate(b_out) if b_out else np.array([], object)
+        ma = np.concatenate(ma_out) if ma_out else np.array([], np.int64)
+        mb = np.concatenate(mb_out) if mb_out else np.array([], np.int64)
+        # Arrow output: empty object columns in pandas blocks trip Ray's
+        # sampling size estimator (the distinct_column note)
+        return pa.Table.from_arrays(
+            [
+                pa.array(a, pa.string()),
+                pa.array(b, pa.string()),
+                pa.array(ma, pa.int64()),
+                pa.array(mb, pa.int64()),
+            ],
+            schema=pa.schema(
+                [
+                    ("name_a", pa.string()),
+                    ("name_b", pa.string()),
+                    ("mask_a", pa.int64()),
+                    ("mask_b", pa.int64()),
+                ]
+            ),
+        )
+
+    cand = (
+        names.map_batches(masks, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # masks are functions of the names, so keying on all four just dedups pairs
+    cand = grouped_sums(
+        cand, ["name_a", "name_b", "mask_a", "mask_b"], sums={}, count_as="n_bands"
+    )
+
+    out_schema = pa.schema(
+        [("name_a", pa.string()), ("name_b", pa.string()), ("dist", pa.int64())]
+    )
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        d = _popcount64(
+            df["mask_a"].to_numpy(np.int64) ^ df["mask_b"].to_numpy(np.int64)
+        )
+        keep = d <= max_dist
+        return pa.Table.from_arrays(
+            [
+                pa.array(df["name_a"].to_numpy(object)[keep], pa.string()),
+                pa.array(df["name_b"].to_numpy(object)[keep], pa.string()),
+                pa.array(d[keep], pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    return cand.map_batches(verify, batch_format="pandas")

@@ -2747,3 +2747,50 @@ def q_user_modal_event(sf_dir: str):
         .groupby("_ub")
         .map_groups(bucket_mode, batch_format="pandas")
     )
+
+
+def q_grouped_variance(sf_dir: str):
+    """Per-group sample variance from exact mergeable moments — the
+    algebraic-aggregate class (count / sum / sum-of-squares are the
+    textbook mergeable sketch; variance is a closed-form post-expression).
+    Demonstrated on l_quantity per l_returnflag.
+
+    Scale shape: ONE ``grouped_sums`` pass carries three exact int64
+    moments per (group, batch) — quantities are small integers stored as
+    doubles, so n*ss and s*s stay far inside int64 — and the variance is
+    formed over the dictionary-bounded group table as a single
+    ((n*ss - s*s) / (n*(n-1))) expression of exact integers written
+    identically to the oracle SQL (Python arbitrary-precision ints mirror
+    DuckDB's HUGEINT intermediates), so the float compares bit-exactly."""
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["l_quantity"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"].astype(str),
+                "s": q,
+                "ss": q * q,
+            }
+        )
+
+    m = grouped_sums(
+        ds.map_batches(moments, batch_format="pandas"),
+        ["l_returnflag"],
+        sums={"s": "s", "ss": "ss"},
+        count_as="n",
+    ).to_pandas()
+
+    var = np.empty(len(m), dtype=np.float64)
+    for i, (n, s, ss) in enumerate(zip(m["n"], m["s"], m["ss"])):
+        n, s, ss = int(n), int(s), int(ss)
+        var[i] = np.float64(n * ss - s * s) / np.float64(n * (n - 1))
+    out = pd.DataFrame(
+        {
+            "l_returnflag": m["l_returnflag"].astype(str),
+            "n": m["n"].to_numpy(np.int64),
+            "sum_qty": m["s"].to_numpy(np.int64),
+            "var_qty": var,
+        }
+    )
+    return ray.data.from_pandas(out)

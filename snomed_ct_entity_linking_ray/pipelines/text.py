@@ -753,3 +753,66 @@ def q_length_cdf(sf_dir: str):
 
     docs = read(sf_dir, "documents", ["doc_id", "n_chars"])
     return docs.map_batches(Cdf, batch_format="pandas", concurrency=(1, 8))
+
+
+def q_oov_rate(sf_dir: str, k: int = 16):
+    """Out-of-vocabulary rate per document — the vocabulary-coverage
+    quality signal tokenizer-fit audits use (what fraction of a doc's
+    tokens fall outside the top-``k`` corpus vocabulary; docs dominated by
+    tail tokens are flagged for review or re-tokenization). Two streamed
+    passes over the corpus, the q_bm25/q_decontaminate discipline:
+
+    1. corpus token counts via the per-batch-partial + ``grouped_sums``
+       combine (shuffle carries one row per distinct token per batch,
+       vocabulary-bounded); the top-k (count DESC, token ASC — the
+       deterministic tie-break, same as the oracle's ORDER BY) collects
+       driver-side as k strings and broadcasts ONCE via ``ray.put``;
+    2. one map_batches resolves every doc: vectorized split + isin +
+       bincount. n_tokens / n_oov are exact int64; oov_rate is ONE
+       division formed identically to the oracle expression.
+    """
+    ds = read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ").explode()
+        words = words[words != ""]
+        vc = words.value_counts()
+        return pd.DataFrame({"word": vc.index, "n": vc.to_numpy().astype(np.int64)})
+
+    counts = grouped_sums(
+        ds.map_batches(partial, batch_format="pandas"), ["word"], sums={"n": "n"}
+    ).to_pandas()
+    vocab = (
+        counts.sort_values(["n", "word"], ascending=[False, True], kind="mergesort")
+        .head(k)["word"]
+        .tolist()
+    )
+    vocab_ref = broadcast(frozenset(vocab))
+
+    class Oov:
+        def __init__(self):
+            self.vocab = ray.get(vocab_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.reset_index(drop=True)
+            n_rows = len(df)
+            ex = df["text"].str.split(" ").explode()
+            ex = ex[ex != ""]
+            idx = ex.index.to_numpy()
+            n_tokens = np.bincount(idx, minlength=n_rows).astype(np.int64)
+            oov = ~ex.isin(self.vocab).to_numpy()
+            n_oov = np.bincount(idx[oov], minlength=n_rows).astype(np.int64)
+            rate = np.zeros(n_rows, dtype=np.float64)
+            nz = n_tokens > 0
+            rate[nz] = n_oov[nz].astype(np.float64) / n_tokens[nz].astype(np.float64)
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(np.int64),
+                    "n_tokens": n_tokens,
+                    "n_oov": n_oov,
+                    "oov_rate": rate,
+                }
+            )
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(Oov, batch_format="pandas", concurrency=(1, 8))

@@ -126,6 +126,11 @@ ORACLE_BACKED = [
     "user_modal_event",
     "canonical_names",
     "length_cdf",
+    "ari_metric",
+    "edit_neighbors",
+    "hamming_neighbors",
+    "oov_rate",
+    "grouped_variance",
 ]
 
 
