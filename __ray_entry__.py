@@ -139,6 +139,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hamming_neighbors": er.q_hamming_neighbors,
         "oov_rate": text.q_oov_rate,
         "grouped_variance": relational.q_grouped_variance,
+        "knn_classify": vectors.q_knn_classify,
+        "prefix_dups": dedup.q_prefix_dups,
+        "user_event_path": relational.q_user_event_path,
+        "priority_revenue_share": relational.q_priority_revenue_share,
+        "freq_of_freqs": text.q_freq_of_freqs,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -664,6 +669,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * ss - s * s AS DOUBLE)
                      / CAST(n * (n - 1) AS DOUBLE) AS var_qty
             FROM m
+        """,
+        "knn_classify": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id < 16),
+            c AS (SELECT vec_id, embedding, label FROM embeddings
+                  WHERE vec_id >= 16),
+            r AS (SELECT q.vec_id AS query_id, c.label,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_cosine_similarity(q.embedding,
+                                                      c.embedding) DESC,
+                               c.vec_id) AS rank
+                  FROM q, c),
+            k AS (SELECT query_id, label FROM r WHERE rank <= 5),
+            v AS (SELECT query_id, label, COUNT(*) AS n FROM k GROUP BY 1, 2),
+            w AS (SELECT query_id, label, n,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY n DESC, label) AS rn
+                  FROM v)
+            SELECT query_id, CAST(label AS BIGINT) AS pred_label,
+                   CAST(n AS BIGINT) AS n_votes
+            FROM w WHERE rn = 1
+        """,
+        "prefix_dups": """
+            SELECT a.doc_id AS prefix_doc, b.doc_id AS super_doc,
+                   a.n_chars AS prefix_len
+            FROM documents a, documents b
+            WHERE a.doc_id <> b.doc_id
+              AND a.n_chars < b.n_chars
+              AND a.text = substr(b.text, 1, CAST(a.n_chars AS INT))
+        """,
+        "user_event_path": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "priority_revenue_share": """
+            WITH g AS (
+              SELECT o_orderpriority,
+                     SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS revenue_ccents
+              FROM orders GROUP BY 1)
+            SELECT o_orderpriority,
+                   CAST(revenue_ccents AS BIGINT) AS revenue_ccents,
+                   CAST(revenue_ccents AS DOUBLE)
+                     / CAST((SELECT SUM(revenue_ccents) FROM g) AS DOUBLE)
+                     AS share
+            FROM g
+        """,
+        "freq_of_freqs": """
+            WITH toks AS (
+              SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+            c AS (SELECT tok, COUNT(*) AS n FROM toks WHERE tok <> ''
+                  GROUP BY 1)
+            SELECT n AS freq, CAST(COUNT(*) AS BIGINT) AS n_types
+            FROM c GROUP BY 1
         """,
         "top_supplier": """
             WITH rev AS (

@@ -211,6 +211,11 @@ def run_bench() -> dict:
         timed("ari_metric", er.q_ari_metric)
         timed("oov_rate", text.q_oov_rate)
         timed("grouped_variance", relational.q_grouped_variance)
+        timed("knn_classify", vectors.q_knn_classify)
+        timed("prefix_dups", dedup.q_prefix_dups)
+        timed("user_event_path", relational.q_user_event_path)
+        timed("priority_revenue_share", relational.q_priority_revenue_share)
+        timed("freq_of_freqs", text.q_freq_of_freqs)
 
     result = {
         "metric": "entity_link_e2e",

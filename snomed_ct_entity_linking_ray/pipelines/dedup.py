@@ -726,3 +726,129 @@ def q_dup_clusters(sf_dir: str):
         return pd.DataFrame({"doc_id": d, "cluster_id": cluster.astype(np.int64)})
 
     return ds.map_batches(attach, batch_format="pandas")
+
+
+PREFIX_KEY_LEN = 8
+
+
+def q_prefix_dups(sf_dir: str, key_len: int = PREFIX_KEY_LEN, cap: int = BLOCK_CAP):
+    """Prefix-containment dedup: every (a, b) doc pair where a's FULL text
+    is a proper prefix of b's — the truncation/boilerplate-expansion near-
+    dup class exact hashing misses (a crawl snapshot cut mid-page, a doc
+    re-published with an appended footer). Exact, no false negatives:
+
+    - pairs with len(a) >= ``key_len`` must share the first-``key_len``
+      characters, so blocking on that key is lossless for them;
+    - the rare shorter docs (len < key_len) block on their FIRST CHARACTER
+      against all docs sharing it — still lossless, and bounded by
+      alphabet x short-doc count. Which first chars need a short block is
+      discovered by a PRUNED pre-pass (``n_chars < key_len`` pushes down
+      to the parquet read, so the pre-pass never scans normal docs) whose
+      result — a set bounded by the alphabet — broadcasts once; corpora
+      with no short docs (the common case) skip the stream entirely.
+
+    Both candidate streams verify with an exact vectorized startswith.
+    The two streams are DISJOINT by construction (a pair's prefix side is
+    either >= key_len or not), so no distinct pass is needed. The text
+    rides only the blocking shuffle (one slim row per doc per stream),
+    and blocks are capped at ``cap`` members (deterministic, logged)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    # pruned pre-pass: the first characters of short docs (alphabet-bounded)
+    short_docs = read(sf_dir, "documents", ["text", "n_chars"]).filter(
+        expr=f"n_chars < {key_len}"
+    )
+
+    def first_chars(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"c": df["text"].astype(str).str[:1].unique()})
+
+    sc = short_docs.map_batches(first_chars, batch_format="pandas").to_pandas()
+    short_first = frozenset(sc["c"]) if len(sc) else frozenset()
+    short_ref = broadcast(short_first)
+
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        txt = df["text"].astype(str)
+        n = df["n_chars"].to_numpy(np.int64)
+        long_side = pd.DataFrame(
+            {
+                "bkey": "8:" + txt.str[:key_len],
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_chars": n,
+                "text": txt,
+                # in the long stream every member may play both roles
+                "short_a": np.zeros(len(df), dtype=bool),
+            }
+        )
+        sf = ray.get(short_ref)
+        if not sf:
+            return long_side
+        first = txt.str[:1]
+        m = first.isin(sf).to_numpy()
+        if not m.any():
+            return long_side
+        short_side = pd.DataFrame(
+            {
+                "bkey": "1:" + first[m],
+                "doc_id": df["doc_id"].to_numpy(np.int64)[m],
+                "n_chars": n[m],
+                "text": txt[m],
+                "short_a": n[m] < key_len,
+            }
+        )
+        return pd.concat([long_side, short_side], ignore_index=True)
+
+    out_schema = pa.schema(
+        [
+            ("prefix_doc", pa.int64()),
+            ("super_doc", pa.int64()),
+            ("prefix_len", pa.int64()),
+        ]
+    )
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        g = _cap_block(g, "doc_id", "prefix", cap)
+        is_short_stream = bool(len(g)) and g["bkey"].iloc[0].startswith("1:")
+        txt = g["text"].to_numpy(object)
+        ids = g["doc_id"].to_numpy(np.int64)
+        n = g["n_chars"].to_numpy(np.int64)
+        a_idx: list = []
+        b_idx: list = []
+        if len(g) >= 2:
+            ia, ib = np.triu_indices(len(g), k=1)
+            # orient each unordered pair so a is strictly shorter
+            swap = n[ia] >= n[ib]
+            a = np.where(swap, ib, ia)
+            b = np.where(swap, ia, ib)
+            keep = n[a] < n[b]
+            if is_short_stream:
+                # the short stream only owns pairs whose PREFIX side is
+                # short (len(a) >= key_len pairs belong to the long stream)
+                keep &= g["short_a"].to_numpy()[a]
+            else:
+                keep &= n[a] >= key_len
+            a_idx, b_idx = a[keep], b[keep]
+        if len(a_idx) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64())] * 3, schema=out_schema
+            )
+        av = txt[a_idx]
+        bv = txt[b_idx]
+        ok = np.fromiter(
+            (bb.startswith(aa) for aa, bb in zip(av, bv)),
+            dtype=bool,
+            count=len(av),
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids[a_idx][ok], pa.int64()),
+                pa.array(ids[b_idx][ok], pa.int64()),
+                pa.array(n[a_idx][ok], pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(keys, batch_format="pandas")
+        .groupby("bkey")
+        .map_groups(pairs, batch_format="pandas")
+    )

@@ -2794,3 +2794,76 @@ def q_grouped_variance(sf_dir: str):
         }
     )
     return ray.data.from_pandas(out)
+
+
+def q_user_event_path(sf_dir: str):
+    """Per-user ordered event path (SQL ``string_agg(event_type, '>'
+    ORDER BY ts, event_id)``) — the collect-list/path-analysis window
+    class behind funnel mining and session-replay features. Ordering
+    spans batches, so unlike the count-style reducers the partial CANNOT
+    pre-aggregate; the honest shape is ONE user-bucketed shuffle of the
+    slim (user, ts, event_id, type) projection, then one vectorized
+    sort + groupby-join per bucket (the sessionize discipline — never a
+    Python-level group per user). Path length is bounded by per-user
+    event count; a production corpus with unbounded users per bucket
+    scales ``n_buckets`` exactly like grouped_sums."""
+    ds = read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    n_buckets = default_buckets()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_ub"] = _user_bucket(df["user_id"].to_numpy(np.int64), n_buckets)
+        return df
+
+    def bucket_path(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        agg = g.groupby("user_id", sort=False)["event_type"].agg(
+            path=">".join, n_events="size"
+        )
+        return pd.DataFrame(
+            {
+                "user_id": agg.index.to_numpy(np.int64),
+                "path": agg["path"].to_numpy(object),
+                "n_events": agg["n_events"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(bucket_path, batch_format="pandas")
+    )
+
+
+def q_priority_revenue_share(sf_dir: str):
+    """Percent-of-total (the ``ratio_to_report`` / ``SUM() OVER ()``
+    window class): each order priority's share of total order revenue.
+    The grand-total window never needs a global pass over rows — revenue
+    collapses to the dictionary-bounded per-priority table via ONE
+    ``grouped_sums``, and the total + share form over that table as a
+    single exact-int division written identically to the oracle."""
+    ds = read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": df["o_orderpriority"].astype(str),
+                "cc": cents(df["o_totalprice"]),
+            }
+        )
+
+    g = grouped_sums(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority"],
+        sums={"revenue_ccents": "cc"},
+    ).to_pandas()
+    total = int(g["revenue_ccents"].sum())
+    out = pd.DataFrame(
+        {
+            "o_orderpriority": g["o_orderpriority"].astype(str),
+            "revenue_ccents": g["revenue_ccents"].to_numpy(np.int64),
+            "share": g["revenue_ccents"].to_numpy(np.int64).astype(np.float64)
+            / np.float64(total),
+        }
+    )
+    return ray.data.from_pandas(out)

@@ -816,3 +816,36 @@ def q_oov_rate(sf_dir: str, k: int = 16):
 
     docs = read(sf_dir, "documents", ["doc_id", "text"])
     return docs.map_batches(Oov, batch_format="pandas", concurrency=(1, 8))
+
+
+def q_freq_of_freqs(sf_dir: str):
+    """Good-Turing frequency-of-frequencies table: for each corpus token
+    frequency r, the number of distinct token types occurring exactly r
+    times — the N_r table smoothing estimators (Good-Turing, Katz) are
+    built from, and the standard first diagnostic of a corpus's Zipf
+    tail. Two bounded reductions: the unigram ``grouped_sums`` combine
+    (shuffle carries one row per distinct token per batch), then a
+    second grouped count over the token-count table, whose output is
+    bounded by the number of DISTINCT frequencies (<= O(sqrt(total
+    tokens)) by a counting argument — tiny at any scale)."""
+    ds = read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ").explode()
+        words = words[words != ""]
+        vc = words.value_counts()
+        return pd.DataFrame({"word": vc.index, "n": vc.to_numpy().astype(np.int64)})
+
+    counts = grouped_sums(
+        ds.map_batches(partial, batch_format="pandas"), ["word"], sums={"n": "n"}
+    )
+
+    def as_freq(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"freq": df["n"].to_numpy(np.int64)})
+
+    return grouped_sums(
+        counts.map_batches(as_freq, batch_format="pandas"),
+        ["freq"],
+        sums={},
+        count_as="n_types",
+    )

@@ -512,3 +512,73 @@ def q_kmeans_clusters(sf_dir: str, k: int = KMEANS_K, n_iter: int = KMEANS_ITERS
         )
 
     return slim.map_batches(label, batch_format="pandas")
+
+
+def q_knn_classify(sf_dir: str, k: int = 5):
+    """k-NN classification over the embedding column: each query vector
+    (vec_id < N_QUERIES) takes the majority label of its k nearest
+    candidates by exact cosine — the label-propagation primitive of
+    embedding-based data curation (label a new example from its nearest
+    curated neighbors; the reference's retrieval+vote resolution is the
+    same shape, `1st Place/src/mimic_dev_main.py` most-common-concept
+    vote over retrieved candidates).
+
+    Scale shape: identical to ``q_cosine_topk`` — broadcast normalized
+    query matrix, per-batch partial top-k (now carrying the candidate
+    label), per-query final top-k + ONE vectorized vote (count DESC,
+    label ASC — the deterministic tie-break, same expression as the
+    oracle's window). Exact int64 votes; ranking inherits the
+    cosine_topk float discipline."""
+    qids, Q = _query_matrix(sf_dir)
+    ref = broadcast((qids, Q))
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    class Score:
+        def __init__(self):
+            self.qids, self.Q = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            cand = df[df["vec_id"] >= N_QUERIES]
+            if len(cand) == 0:
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series([], dtype=np.int64),
+                        "match_id": pd.Series([], dtype=np.int64),
+                        "label": pd.Series([], dtype=np.int64),
+                        "cos": pd.Series([], dtype=np.float64),
+                    }
+                )
+            C = np.stack(cand["embedding"].to_numpy()).astype(np.float64)
+            C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+            sims = self.Q @ C.T
+            ids = cand["vec_id"].to_numpy()
+            labels = cand["label"].to_numpy(np.int64)
+            nq, nc = sims.shape
+            kk = min(k, nc)
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(self.qids, kk)
+            cols = idx.ravel()
+            return pd.DataFrame(
+                {
+                    "query_id": rows.astype(np.int64),
+                    "match_id": ids[cols].astype(np.int64),
+                    "label": labels[cols],
+                    "cos": sims[np.repeat(np.arange(nq), kk), cols],
+                }
+            )
+
+    partial = ds.map_batches(Score, batch_format="pandas", concurrency=(1, 4))
+
+    def vote(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "match_id"], ascending=[False, True]).head(k)
+        c = g.groupby("label", as_index=False).size().rename(columns={"size": "n"})
+        c = c.sort_values(["n", "label"], ascending=[False, True])
+        return pd.DataFrame(
+            {
+                "query_id": np.array([g["query_id"].iloc[0]], dtype=np.int64),
+                "pred_label": np.array([c["label"].iloc[0]], dtype=np.int64),
+                "n_votes": np.array([c["n"].iloc[0]], dtype=np.int64),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(vote, batch_format="pandas")

@@ -131,6 +131,11 @@ ORACLE_BACKED = [
     "hamming_neighbors",
     "oov_rate",
     "grouped_variance",
+    "knn_classify",
+    "prefix_dups",
+    "user_event_path",
+    "priority_revenue_share",
+    "freq_of_freqs",
 ]
 
 
