@@ -144,6 +144,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_path": relational.q_user_event_path,
         "priority_revenue_share": relational.q_priority_revenue_share,
         "freq_of_freqs": text.q_freq_of_freqs,
+        "multipass_pairs": er.q_multipass_pairs,
+        "substring_contamination": training.q_substring_contamination,
+        "event_transitions": relational.q_event_transitions,
+        "hourly_distinct_users": relational.q_hourly_distinct_users,
+        "next_event_after_order": relational.q_next_event_after_order,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -725,6 +730,57 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY 1)
             SELECT n AS freq, CAST(COUNT(*) AS BIGINT) AS n_types
             FROM c GROUP BY 1
+        """,
+        "multipass_pairs": """
+            WITH d AS (SELECT DISTINCT p_name FROM part),
+            s AS (
+              SELECT a.p_name AS name_a, b.p_name AS name_b, 1 AS bit
+              FROM d a, d b WHERE a.p_name < b.p_name
+                AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+              UNION ALL
+              SELECT a.p_name, b.p_name, 2
+              FROM d a, d b WHERE a.p_name < b.p_name
+                AND length(a.p_name) = length(b.p_name)
+              UNION ALL
+              SELECT a.p_name, b.p_name, 4
+              FROM d a, d b WHERE a.p_name < b.p_name
+                AND substr(a.p_name, -1, 1) = substr(b.p_name, -1, 1))
+            SELECT name_a, name_b, CAST(SUM(bit) AS BIGINT) AS schemes,
+                   CAST(COUNT(*) AS BIGINT) AS n_schemes
+            FROM s GROUP BY 1, 2
+        """,
+        "substring_contamination": """
+            WITH ev AS (
+              SELECT array_to_string(
+                       (string_split(text, ' '))[1:3], ' ') AS frag
+              FROM documents WHERE doc_id % 97 = 0),
+            f AS (SELECT DISTINCT frag FROM ev WHERE frag <> '')
+            SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_frags
+            FROM documents d JOIN f ON contains(d.text, f.frag)
+            WHERE d.doc_id % 97 <> 0
+            GROUP BY 1
+        """,
+        "event_transitions": """
+            WITH o AS (
+              SELECT event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                       AS next_type
+              FROM events)
+            SELECT event_type AS from_type, next_type AS to_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2
+        """,
+        "hourly_distinct_users": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "next_event_after_order": """
+            SELECT o.o_orderkey, MIN(e.ts) AS next_event_ts
+            FROM orders o JOIN events e
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            GROUP BY 1
         """,
         "top_supplier": """
             WITH rev AS (

@@ -216,6 +216,11 @@ def run_bench() -> dict:
         timed("user_event_path", relational.q_user_event_path)
         timed("priority_revenue_share", relational.q_priority_revenue_share)
         timed("freq_of_freqs", text.q_freq_of_freqs)
+        timed("multipass_pairs", er.q_multipass_pairs)
+        timed("substring_contamination", training.q_substring_contamination)
+        timed("event_transitions", relational.q_event_transitions)
+        timed("hourly_distinct_users", relational.q_hourly_distinct_users)
+        timed("next_event_after_order", relational.q_next_event_after_order)
 
     result = {
         "metric": "entity_link_e2e",

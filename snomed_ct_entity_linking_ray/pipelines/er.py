@@ -2392,3 +2392,73 @@ def q_hamming_neighbors(sf_dir: str, max_dist: int = 2):
         )
 
     return cand.map_batches(verify, batch_format="pandas")
+
+
+def q_multipass_pairs(sf_dir: str):
+    """Multi-pass blocking (Hernandez & Stolfo SIGMOD'95's central
+    recommendation: several CHEAP independent blocking passes, union the
+    candidate sets — each pass's false negatives are covered by the
+    others): three equi-key schemes over distinct part names — first
+    character (bit 1), exact length (bit 2), last character (bit 4) —
+    with each candidate pair annotated by the bitmask of schemes that
+    produced it (the meta-blocking evidence signal: pairs found by more
+    passes are likelier matches).
+
+    Scale shape: each scheme emits ONE (key, name) row per name (3 slim
+    rows/name total, one shuffle); within-key pair emission is the capped
+    phonetic-block kernel; a pair is unique WITHIN a scheme (one key per
+    name per scheme), so the final ``grouped_sums`` over the pair key
+    sums scheme bits into the exact bitmask and counts passes — no
+    bit_or machinery needed."""
+    names = distinct_column(read(sf_dir, "part", ["p_name"]), "p_name")
+
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        nm = df["p_name"].astype(str)
+        out = []
+        for prefix, key, bit in (
+            ("f:", nm.str[:1], 1),
+            ("l:", nm.str.len().astype(str), 2),
+            ("z:", nm.str[-1:], 4),
+        ):
+            out.append(
+                pd.DataFrame(
+                    {
+                        "bkey": prefix + key,
+                        "p_name": nm.to_numpy(object),
+                        "bit": np.full(len(df), bit, dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    pair_schema = pa.schema(
+        [("name_a", pa.string()), ("name_b", pa.string()), ("bit", pa.int64())]
+    )
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        nm = np.sort(g["p_name"].unique().astype(object))
+        bit = int(g["bit"].iloc[0]) if len(g) else 0
+        if len(nm) < 2:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string()),
+                 pa.array([], pa.int64())],
+                schema=pair_schema,
+            )
+        ia, ib = np.triu_indices(len(nm), k=1)
+        return pa.Table.from_arrays(
+            [
+                pa.array(nm[ia], pa.string()),
+                pa.array(nm[ib], pa.string()),
+                pa.array(np.full(len(ia), bit, dtype=np.int64), pa.int64()),
+            ],
+            schema=pair_schema,
+        )
+
+    cand = (
+        names.map_batches(keys, batch_format="pandas")
+        .groupby("bkey")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return grouped_sums(
+        cand, ["name_a", "name_b"], sums={"schemes": "bit"}, count_as="n_schemes"
+    )

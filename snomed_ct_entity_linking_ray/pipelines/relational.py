@@ -2867,3 +2867,157 @@ def q_priority_revenue_share(sf_dir: str):
         }
     )
     return ray.data.from_pandas(out)
+
+
+def q_event_transitions(sf_dir: str):
+    """Event-type transition counts (the Markov-chain / sequence-mining
+    primitive: for each consecutive (from, to) pair within a user's
+    ts-ordered stream, how often it occurs — SQL ``lead() OVER (PARTITION
+    BY user ORDER BY ts)`` + GROUP BY). ONE user-bucketed shuffle of the
+    slim (user, ts, event_id, type) projection; each bucket sorts once and
+    derives every transition with a vectorized shift + user-boundary mask
+    (no per-user Python — the sessionize discipline), emitting
+    dictionary-bounded (from, to) partials into a tiny final combine."""
+    ds = read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    n_buckets = default_buckets()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_ub"] = _user_bucket(df["user_id"].to_numpy(np.int64), n_buckets)
+        return df
+
+    def bucket_transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["event_type"].to_numpy(object)
+        same_user = u[:-1] == u[1:]
+        frm = t[:-1][same_user]
+        to = t[1:][same_user]
+        c = (
+            pd.DataFrame({"from_type": frm, "to_type": to})
+            .groupby(["from_type", "to_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        c["n"] = c["n"].astype(np.int64)
+        return c
+
+    partials = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(bucket_transitions, batch_format="pandas")
+    )
+    return grouped_sums(partials, ["from_type", "to_type"], sums={"n": "n"})
+
+
+def q_hourly_distinct_users(sf_dir: str):
+    """Distinct users per tumbling hour (COUNT(DISTINCT) inside a window
+    — the distinct-aggregation class, NOT expressible as a mergeable sum):
+    per-batch (hour, user) dedup bounds the first shuffle at one row per
+    distinct pair per batch; a keyed ``grouped_sums`` collapses to the
+    exact global distinct set; the second reduction is a bounded count per
+    hour. The epoch-hour int64 key discipline of q_hourly_user_activity
+    (datetime shuffle keys measured 200x slower there)."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "hour_idx": (
+                    df["ts"].astype("datetime64[us]").astype("int64")
+                    // (3600 * 10**6)
+                ).astype(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+            }
+        )
+        return g.drop_duplicates()
+
+    pairs = grouped_sums(
+        read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(prep, batch_format="pandas"),
+        ["hour_idx", "user_id"],
+        sums={},
+        count_as="_dup",
+    )
+    per_hour = grouped_sums(pairs, ["hour_idx"], sums={}, count_as="n_users")
+
+    def restore(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "hour": (df["hour_idx"].to_numpy(np.int64) * (3600 * 10**6)).astype(
+                    "datetime64[us]"
+                ),
+                "n_users": df["n_users"].to_numpy(np.int64),
+            }
+        )
+
+    return per_hour.map_batches(restore, batch_format="pandas")
+
+
+def q_next_event_after_order(sf_dir: str):
+    """Forward as-of join: for each order, the FIRST event of the same
+    user at/after the order date — the complement of
+    q_latest_order_before_event (backward), covering both directions of
+    the as-of class. Same co-partitioned shape: both fact tables
+    hash-bucket by user in one union shuffle, each bucket runs ONE
+    vectorized ``pd.merge_asof(direction='forward')`` over sorted frames;
+    orders with no later event drop (inner semantics, mirroring the
+    oracle's join)."""
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    ev = read(sf_dir, "events", ["user_id", "ts"])
+    n_buckets = default_buckets()
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["o_custkey"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": u,
+                "ts": df["o_orderdate"].astype("datetime64[us]"),
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "_side": np.zeros(len(df), dtype=np.int8),
+                "_ub": _user_bucket(u, n_buckets),
+            }
+        )
+
+    def tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": u,
+                "ts": df["ts"].astype("datetime64[us]"),
+                "o_orderkey": np.zeros(len(df), dtype=np.int64),
+                "_side": np.ones(len(df), dtype=np.int8),
+                "_ub": _user_bucket(u, n_buckets),
+            }
+        )
+
+    both = orders.map_batches(tag_orders, batch_format="pandas").union(
+        ev.map_batches(tag_events, batch_format="pandas")
+    )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([], dtype=np.int64),
+                "next_event_ts": pd.Series([], dtype="datetime64[us]"),
+            }
+        )
+        side = g["_side"].to_numpy()
+        og = g[side == 0][["user_id", "ts", "o_orderkey"]]
+        eg = g[side == 1][["user_id", "ts"]].rename(columns={"ts": "next_event_ts"})
+        if not len(og) or not len(eg):
+            return empty
+        m = pd.merge_asof(
+            og.sort_values("ts", kind="mergesort"),
+            eg.sort_values("next_event_ts", kind="mergesort"),
+            left_on="ts",
+            right_on="next_event_ts",
+            by="user_id",
+            direction="forward",  # first event ts >= order date
+        ).dropna(subset=["next_event_ts"])
+        return pd.DataFrame(
+            {
+                "o_orderkey": m["o_orderkey"].to_numpy(np.int64),
+                "next_event_ts": m["next_event_ts"].astype("datetime64[us]"),
+            }
+        )
+
+    return both.groupby("_ub").map_groups(asof, batch_format="pandas")

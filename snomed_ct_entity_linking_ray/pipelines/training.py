@@ -603,3 +603,72 @@ def q_novel_docs(sf_dir: str):
         .groupby("_fb")
         .map_groups(anti, batch_format="pandas")
     )
+
+
+SUBSTR_FRAG_TOKENS = 3
+
+
+def q_substring_contamination(sf_dir: str, frag_tokens: int = SUBSTR_FRAG_TOKENS):
+    """Exact-substring decontamination (the complement of the n-gram-set
+    plan in q_decontaminate: eval PASSAGES are searched verbatim inside
+    every training doc — the GPT-3/C4 appendix discipline for detecting
+    copied eval strings rather than overlapping vocabularies). Eval
+    fragment = the first ``frag_tokens`` tokens of each eval doc
+    (doc_id % DECONTAM_EVAL_MOD == 0); output counts, per training doc,
+    how many DISTINCT fragments occur as substrings.
+
+    Scale shape: distinct fragments are computed distributively
+    (``distinct_column`` — the eval split is ~1%, fragments are short and
+    dictionary-bounded), compiled ONCE into the shared Aho-Corasick
+    automaton (state/automaton.py — the M18 static-dict scanner), and
+    broadcast to an actor pool; each actor scans its batches in one
+    automaton pass per doc (all fragments simultaneously, independent of
+    fragment count), so no per-fragment re-scan and no eval-side
+    re-shipping per batch."""
+    from ..state.automaton import AhoCorasick
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def frags(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % DECONTAM_EVAL_MOD == 0]
+        f = (
+            df["text"].astype(str).str.split(" ").str[:frag_tokens].str.join(" ")
+        )
+        f = f[f != ""]
+        return pd.DataFrame({"frag": f.to_numpy(object)}).drop_duplicates()
+
+    distinct = distinct_column(
+        ds.map_batches(frags, batch_format="pandas"), "frag"
+    ).to_pandas()
+    frag_list = sorted(distinct["frag"].tolist()) if "frag" in distinct.columns else []
+    frag_ref = broadcast(frag_list)
+
+    class Scan:
+        def __init__(self):
+            pats = ray.get(frag_ref)
+            self.ac = AhoCorasick({p: i for i, p in enumerate(pats)}) if pats else None
+            self.n_pats = len(pats)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out_ids: list = []
+            out_n: list = []
+            if self.ac is not None:
+                train = df[df["doc_id"] % DECONTAM_EVAL_MOD != 0]
+                for doc_id, text in zip(train["doc_id"], train["text"]):
+                    hits = {pid for _, _, pid in self.ac.find_all(text)}
+                    if hits:
+                        out_ids.append(int(doc_id))
+                        out_n.append(len(hits))
+            import pyarrow as pa
+
+            # Arrow output with pinned schema: an all-empty pandas result
+            # collects to a column-less frame (the distinct_column note)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(np.array(out_ids, dtype=np.int64), pa.int64()),
+                    pa.array(np.array(out_n, dtype=np.int64), pa.int64()),
+                ],
+                schema=pa.schema([("doc_id", pa.int64()), ("n_frags", pa.int64())]),
+            )
+
+    return ds.map_batches(Scan, batch_format="pandas", concurrency=(1, 8))

@@ -136,6 +136,11 @@ ORACLE_BACKED = [
     "user_event_path",
     "priority_revenue_share",
     "freq_of_freqs",
+    "multipass_pairs",
+    "substring_contamination",
+    "event_transitions",
+    "hourly_distinct_users",
+    "next_event_after_order",
 ]
 
 
