@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": relational.q_event_transitions,
         "hourly_distinct_users": relational.q_hourly_distinct_users,
         "next_event_after_order": relational.q_next_event_after_order,
+        "mmr_topk": vectors.q_mmr_topk,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -293,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
             "quality_score",
             "kmeans_clusters",
             "phonetic_pairs",
+            "mmr_topk",
         )
     }
 

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 12  # r4e: + phonetic_pairs oracle
+ORACLE_VERSION = 13  # r4j: + mmr_topk oracle
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -93,6 +93,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "quality_score": lambda: _quality_score(sf_dir),
         "kmeans_clusters": lambda: _kmeans_clusters(sf_dir),
         "phonetic_pairs": lambda: _phonetic_pairs(sf_dir),
+        "mmr_topk": lambda: _mmr_topk(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -967,5 +968,73 @@ def _phonetic_pairs(sf_dir: str) -> pa.Table:
             "code": pa.array(codes, pa.string()),
             "name_a": pa.array(a_out, pa.string()),
             "name_b": pa.array(b_out, pa.string()),
+        }
+    )
+
+
+def _mmr_topk(
+    sf_dir: str,
+    k: int = 8,
+    pool: int = 32,
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> pa.Table:
+    """Single-process mirror of pipelines.vectors.q_mmr_topk: global
+    top-pool by quantized relevance (1e-6 int grid, smaller-id ties), then
+    the integer-exact greedy MMR sweep — plain per-query Python loops, no
+    batching, no partial combines."""
+    t = _read(sf_dir, "embeddings")
+    df = t.select(["vec_id", "embedding"]).to_pandas().sort_values("vec_id")
+    ids = df["vec_id"].to_numpy(np.int64)
+    V = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+    is_q = ids < N_QUERIES
+    qids, Q = ids[is_q], V[is_q]
+    cids, C = ids[~is_q], V[~is_q]
+
+    out_q: list = []
+    out_m: list = []
+    out_r: list = []
+    for qi in range(len(qids)):
+        rel = np.rint((C @ Q[qi]) * 1e6).astype(np.int64)
+        order = sorted(range(len(cids)), key=lambda i: (-rel[i], cids[i]))
+        take = order[:pool]
+        p_ids = cids[take]
+        p_rel = rel[take]
+        P = C[take]
+        sim = np.rint((P @ P.T) * 1e6).astype(np.int64)
+        picked: list[int] = []
+        maxsim = [None] * len(take)
+        avail = [True] * len(take)
+        for step in range(min(k, len(take))):
+            best = None
+            best_key = None
+            for i in range(len(take)):
+                if not avail[i]:
+                    continue
+                if step == 0:
+                    s = lam_den * int(p_rel[i])
+                else:
+                    s = lam_num * int(p_rel[i]) - (lam_den - lam_num) * int(
+                        maxsim[i]
+                    )
+                key = (-s, int(p_ids[i]))
+                if best is None or key < best_key:
+                    best, best_key = i, key
+            picked.append(best)
+            avail[best] = False
+            for i in range(len(take)):
+                s = int(sim[i][best])
+                if maxsim[i] is None or s > maxsim[i]:
+                    maxsim[i] = s
+        for r, i in enumerate(picked, start=1):
+            out_q.append(int(qids[qi]))
+            out_m.append(int(p_ids[i]))
+            out_r.append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "match_id": pa.array(out_m, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
         }
     )

@@ -582,3 +582,108 @@ def q_knn_classify(sf_dir: str, k: int = 5):
         )
 
     return partial.groupby("query_id").map_groups(vote, batch_format="pandas")
+
+
+def q_mmr_topk(
+    sf_dir: str,
+    k: int = 8,
+    pool: int = 32,
+    lam_num: int = 7,
+    lam_den: int = 10,
+):
+    """MMR-diversified top-k retrieval (Maximal Marginal Relevance,
+    Carbonell & Goldstein '98): per query, greedily pick k results
+    maximizing ``lam*rel(q,c) - (1-lam)*max_{s in picked} sim(c,s)`` —
+    the de-redundancy retrieval the reference's Faiss top-20 + LLM re-rank
+    stage approximates by prompt (3rd Place/src/snomedctentitylinking.py:
+    603-646 picks ONE of the top-10; MMR is the classical diversified
+    variant a training-data pipeline uses for example selection).
+
+    Distributed shape: the greedy step is inherently sequential but only
+    over a POOL of the top ``pool`` candidates per query, so the pipeline
+    is exact-top-``pool`` retrieval (broadcast query matrix; per-batch
+    partial top-pool — shuffle carries ``O(n_queries x pool x n_batches)``
+    rows, each with its embedding so the final step never re-reads the
+    corpus) followed by a tiny per-query ``map_groups`` that runs the
+    integer-exact greedy over <=pool vectors.
+
+    Determinism contract: every cosine is quantized to an int64 1e-6 grid
+    BEFORE any comparison and the MMR objective is evaluated in integers
+    (``lam_num*rel - (lam_den-lam_num)*maxsim``), ties broken by smaller
+    match_id — bit-equal between this dataflow and the single-process
+    oracle regardless of batch layout or accumulation order."""
+    qids, Q = _query_matrix(sf_dir)
+    ref = broadcast((qids, Q))
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    class PoolTopK:
+        def __init__(self):
+            self.qids, self.Q = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            cand = df[df["vec_id"] >= N_QUERIES]
+            empty = {
+                "query_id": pd.Series([], dtype=np.int64),
+                "match_id": pd.Series([], dtype=np.int64),
+                "rel": pd.Series([], dtype=np.int64),
+                "embedding": pd.Series([], dtype=object),
+            }
+            if len(cand) == 0:
+                return pd.DataFrame(empty)
+            C = np.stack(cand["embedding"].to_numpy()).astype(np.float64)
+            C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+            rel = np.rint((self.Q @ C.T) * 1e6).astype(np.int64)  # [nq, nc]
+            ids = cand["vec_id"].to_numpy(np.int64)
+            nq, nc = rel.shape
+            kk = min(pool, nc)
+            # batch-local top-pool per query: (rel desc, match_id asc)
+            order = np.lexsort((ids[None, :].repeat(nq, 0), -rel), axis=1)[:, :kk]
+            out_q = np.repeat(self.qids, kk).astype(np.int64)
+            cols = order.ravel()
+            # normalized embeddings ride the (bounded) shuffle as lists
+            emb = [C[c] for c in cols]
+            return pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "match_id": ids[cols],
+                    "rel": rel[np.repeat(np.arange(nq), kk), cols],
+                    "embedding": emb,
+                }
+            )
+
+    partial = ds.map_batches(PoolTopK, batch_format="pandas", concurrency=(1, 4))
+
+    def mmr(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rel", "match_id"], ascending=[False, True],
+                          kind="mergesort").head(pool)
+        ids = g["match_id"].to_numpy(np.int64)
+        rel = g["rel"].to_numpy(np.int64)
+        E = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        sim = np.rint((E @ E.T) * 1e6).astype(np.int64)
+        n = len(ids)
+        picked: list[int] = []
+        maxsim = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        avail = np.ones(n, dtype=bool)
+        for step in range(min(k, n)):
+            if step == 0:
+                score = lam_den * rel
+            else:
+                score = lam_num * rel - (lam_den - lam_num) * maxsim
+            # sentinel must survive negation in the lexsort (−int64.min
+            # wraps back to itself), so use −2^62, far below any real score
+            score = np.where(avail, score, -(np.int64(1) << 62))
+            # argmax with smaller-match_id tiebreak
+            best = np.lexsort((ids, -score))[0]
+            picked.append(best)
+            avail[best] = False
+            maxsim = np.maximum(maxsim, sim[:, best])
+        sel = np.asarray(picked, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(sel), g["query_id"].iloc[0], dtype=np.int64),
+                "match_id": ids[sel],
+                "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(mmr, batch_format="pandas")

@@ -518,3 +518,38 @@ def test_exact_quantiles_edge_shapes(tmp_path):
         for q in (0.5, 0.9, 0.99):
             k = max(1, math.ceil(q * len(vals)))
             assert out.loc[g, f"p{int(q*100)}_cents"] == s[k - 1], (g, q)
+
+
+def test_mmr_topk_invariants(ray_session):
+    """MMR structural contract on the fixture: per-query ranks contiguous
+    from 1 with no repeated match; rank-1 equals the pure-relevance top-1
+    (the first greedy pick is relevance-only); and the picked set is a
+    subset of the relevance top-pool (MMR reorders within the pool, it
+    never reaches outside it)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from snomed_ct_entity_linking_ray.pipelines import vectors
+
+    sf = "/root/testdata/sf0.001"
+    out = vectors.q_mmr_topk(sf, k=6, pool=24).to_pandas()
+    assert len(out) > 0
+
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    vid = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+    isq = vid < vectors.N_QUERIES
+    qid, Q = vid[isq], E[isq]
+    cid, C = vid[~isq], E[~isq]
+
+    for q, g in out.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert g["match_id"].is_unique
+        rel = np.rint((C @ Q[list(qid).index(q)]) * 1e6).astype(np.int64)
+        order = sorted(range(len(cid)), key=lambda i: (-rel[i], cid[i]))
+        top1 = int(cid[order[0]])
+        pool = {int(cid[i]) for i in order[:24]}
+        assert int(g["match_id"].iloc[0]) == top1
+        assert set(g["match_id"].astype(int)) <= pool

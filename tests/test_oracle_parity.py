@@ -141,6 +141,8 @@ ORACLE_BACKED = [
     "event_transitions",
     "hourly_distinct_users",
     "next_event_after_order",
+    # r4j: MMR diversified top-k
+    "mmr_topk",
 ]
 
 
