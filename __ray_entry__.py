@@ -150,6 +150,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_distinct_users": relational.q_hourly_distinct_users,
         "next_event_after_order": relational.q_next_event_after_order,
         "mmr_topk": vectors.q_mmr_topk,
+        "nation_profit": relational.q_nation_profit,
+        "qualified_suppliers": relational.q_qualified_suppliers,
+        "brand_supplier_counts": relational.q_brand_supplier_counts,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -772,6 +775,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS from_type, next_type AS to_type,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2
+        """,
+        "nation_profit": f"""
+            SELECT n_name, o_year,
+                   CAST(SUM({rev_cc}) AS BIGINT) AS profit_ccents
+            FROM (SELECT n_name,
+                         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                         l_extendedprice, l_discount
+                  FROM lineitem
+                  JOIN orders ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN part ON l_partkey = p_partkey
+                  WHERE p_name LIKE '%bolt%')
+            GROUP BY 1, 2
+        """,
+        "qualified_suppliers": """
+            SELECT s_suppkey, s_name, total_qty_cents
+            FROM supplier JOIN (
+              SELECT l_suppkey AS s_suppkey,
+                     CAST(SUM(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT)
+                         AS total_qty_cents
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE '%red%'
+                AND l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1) USING (s_suppkey)
+            WHERE total_qty_cents > 30000
+        """,
+        "brand_supplier_counts": """
+            SELECT p_brand, p_type,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+            GROUP BY 1, 2
         """,
         "hourly_distinct_users": """
             SELECT date_trunc('hour', ts) AS hour,

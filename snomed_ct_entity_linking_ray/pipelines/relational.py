@@ -3021,3 +3021,226 @@ def q_next_event_after_order(sf_dir: str):
         )
 
     return both.groupby("_ub").map_groups(asof, batch_format="pandas")
+
+
+# --- TPC-H Q9/Q20/Q16 shapes (r4j) -----------------------------------------
+
+def _supplier_nation_refs(sf_dir: str):
+    """Broadcast supplier→nationkey arrays + nationkey→name map (the Q5
+    dimension-attach pattern, q_local_supplier_volume). Supplier is 10x
+    smaller than customer at TPC-H scale and ships ONCE via ray.put; the
+    documented fallback above ~100M suppliers is a hash join."""
+    supp = read_arrow(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    s_keys = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    s_nat = supp.set_index("s_suppkey").loc[s_keys, "s_nationkey"].to_numpy(np.int64)
+    nation = read_arrow(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    return broadcast((s_keys, s_nat, name_of))
+
+
+def q_nation_profit(sf_dir: str, token: str = "bolt"):
+    """TPC-H Q9 shape (profit by nation and order year, adapted: no
+    partsupp table in this schema, so profit = discounted revenue): for
+    lineitems of parts whose name contains ``token``, sum revenue grouped
+    by the SUPPLIER's nation and the order year.
+
+    Scale plan: the part-name filter reduces part to a key set broadcast
+    once (dimension-bounded; the ``semi_anti_filter`` hash-join plan is the
+    documented fallback at 10^9 parts); supplier→nation is the same
+    broadcast attach as Q5; the only fact-fact exchange is the
+    lineitem ⋈ orders hash join, and the final groupby moves one partial
+    row per (nation, year) per batch (``grouped_sums``)."""
+    part = read_arrow(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    keep = part[part["p_name"].str.contains(token, regex=False)]
+    p_ref = broadcast(np.sort(keep["p_partkey"].to_numpy(np.int64)))
+    sn_ref = _supplier_nation_refs(sf_dir)
+
+    li = read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    class PrepLi:
+        def __init__(self):
+            self.p_keys = ray.get(p_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            pk = df["l_partkey"].to_numpy(np.int64)
+            if len(self.p_keys):
+                pos = np.searchsorted(self.p_keys, pk)
+                pos[pos == len(self.p_keys)] = 0
+                hit = self.p_keys[pos] == pk
+            else:
+                hit = np.zeros(len(pk), dtype=bool)
+            d = df[hit]
+            return pd.DataFrame(
+                {
+                    "l_orderkey": d["l_orderkey"].to_numpy(np.int64),
+                    "l_suppkey": d["l_suppkey"].to_numpy(np.int64),
+                    "rev_cc": cents(d["l_extendedprice"])
+                    * (100 - cents(d["l_discount"])),
+                }
+            )
+
+    li_f = li.map_batches(PrepLi, batch_format="pandas", concurrency=(1, 4))
+
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def prep_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "o_year": df["o_orderdate"].dt.year.to_numpy(np.int64),
+            }
+        )
+
+    o_f = orders.map_batches(prep_orders, batch_format="pandas")
+    n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    j = li_f.join(o_f, "inner", num_partitions=n_part,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+
+    class AttachNation:
+        def __init__(self):
+            self.s_keys, self.s_nat, self.name_of = ray.get(sn_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            sk = df["l_suppkey"].to_numpy(np.int64)
+            pos = np.searchsorted(self.s_keys, sk)
+            pos[pos == len(self.s_keys)] = 0
+            ok = self.s_keys[pos] == sk
+            d = df[ok]
+            snat = self.s_nat[pos[ok]]
+            return pd.DataFrame(
+                {
+                    "n_name": pd.Series(snat).map(self.name_of).to_numpy(object),
+                    "o_year": d["o_year"].to_numpy(np.int64),
+                    "rev_cc": d["rev_cc"].to_numpy(np.int64),
+                }
+            )
+
+    tagged = j.map_batches(AttachNation, batch_format="pandas", concurrency=(1, 4))
+    return grouped_sums(tagged, ["n_name", "o_year"], {"profit_ccents": "rev_cc"})
+
+
+def q_qualified_suppliers(sf_dir: str, token: str = "red", min_qty_cents: int = 30_000):
+    """TPC-H Q20 shape (suppliers who shipped a significant volume of the
+    filtered parts in 1997; adapted — no partsupp availqty, so the
+    qualification is a HAVING on the shipped-quantity sum): suppliers whose
+    total 1997 shipped quantity of ``token``-named parts exceeds the
+    threshold, with name attached.
+
+    Scale plan: part filter → broadcast key set; date + membership filters
+    prune at the map; the shuffle carries one (suppkey, qty) partial per
+    batch (``grouped_sums``); the supplier-name attach is the broadcast
+    dimension map."""
+    part = read_arrow(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    keep = part[part["p_name"].str.contains(token, regex=False)]
+    p_ref = broadcast(np.sort(keep["p_partkey"].to_numpy(np.int64)))
+    supp = read_arrow(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    name_ref = broadcast(dict(zip(supp["s_suppkey"].astype(int), supp["s_name"])))
+
+    lo = _dt.datetime(1997, 1, 1)
+    hi = _dt.datetime(1998, 1, 1)
+    li = read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+    class Prep:
+        def __init__(self):
+            self.p_keys = ray.get(p_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            d = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+            pk = d["l_partkey"].to_numpy(np.int64)
+            if len(self.p_keys):
+                pos = np.searchsorted(self.p_keys, pk)
+                pos[pos == len(self.p_keys)] = 0
+                hit = self.p_keys[pos] == pk
+            else:
+                hit = np.zeros(len(pk), dtype=bool)
+            d = d[hit]
+            return pd.DataFrame(
+                {
+                    "l_suppkey": d["l_suppkey"].to_numpy(np.int64),
+                    "qty_cents": cents(d["l_quantity"]),
+                }
+            )
+
+    f = li.map_batches(Prep, batch_format="pandas", concurrency=(1, 4))
+    sums = grouped_sums(f, ["l_suppkey"], {"total_qty_cents": "qty_cents"})
+
+    class Qualify:
+        def __init__(self):
+            self.name_of = ray.get(name_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            d = df[df["total_qty_cents"] > min_qty_cents]
+            return pd.DataFrame(
+                {
+                    "s_suppkey": d["l_suppkey"].to_numpy(np.int64),
+                    "s_name": pd.Series(d["l_suppkey"]).map(self.name_of).to_numpy(object),
+                    "total_qty_cents": d["total_qty_cents"].to_numpy(np.int64),
+                }
+            )
+
+    return sums.map_batches(Qualify, batch_format="pandas", concurrency=(1, 4))
+
+
+def q_brand_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape (distinct suppliers per part group; adapted — the
+    part↔supplier relation comes from lineitem, there being no partsupp):
+    COUNT(DISTINCT l_suppkey) per (p_brand, p_type) for parts not of brand
+    'Brand#1'.
+
+    Shuffle shape: per-batch distinct (brand, type, suppkey) triples bound
+    the exchange; the combine hash-buckets by (brand, type) so all of a
+    group's triples co-locate, then ONE vectorized drop_duplicates +
+    groupby-size per bucket (the q_user_event_type_counts discipline — no
+    per-group Python dispatch)."""
+    part = read_arrow(sf_dir, "part", ["p_partkey", "p_brand", "p_type"]).to_pandas()
+    keep = part[part["p_brand"] != "Brand#1"]
+    p_keys = np.sort(keep["p_partkey"].to_numpy(np.int64))
+    bt = keep.set_index("p_partkey").loc[p_keys]
+    p_ref = broadcast(
+        (p_keys, bt["p_brand"].to_numpy(object), bt["p_type"].to_numpy(object))
+    )
+    n_buckets = default_buckets()
+
+    li = read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    class DistinctTriples:
+        def __init__(self):
+            self.p_keys, self.brand, self.ptype = ray.get(p_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            pk = df["l_partkey"].to_numpy(np.int64)
+            if len(self.p_keys):
+                pos = np.searchsorted(self.p_keys, pk)
+                pos[pos == len(self.p_keys)] = 0
+                hit = self.p_keys[pos] == pk
+            else:
+                hit = np.zeros(len(pk), dtype=bool)
+            g = pd.DataFrame(
+                {
+                    "p_brand": self.brand[pos[hit]],
+                    "p_type": self.ptype[pos[hit]],
+                    "supp": df["l_suppkey"].to_numpy(np.int64)[hit],
+                }
+            ).drop_duplicates()
+            h = pd.util.hash_pandas_object(
+                g["p_brand"].astype(str) + "|" + g["p_type"].astype(str), index=False
+            ).to_numpy()
+            g["_kb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    triples = li.map_batches(DistinctTriples, batch_format="pandas", concurrency=(1, 4))
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop_duplicates(subset=["p_brand", "p_type", "supp"])
+            .groupby(["p_brand", "p_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "supplier_cnt"})
+        )
+        out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
+        return out
+
+    return triples.groupby("_kb").map_groups(bucket_count, batch_format="pandas")

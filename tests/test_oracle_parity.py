@@ -141,8 +141,11 @@ ORACLE_BACKED = [
     "event_transitions",
     "hourly_distinct_users",
     "next_event_after_order",
-    # r4j: MMR diversified top-k
+    # r4j: MMR diversified top-k + TPC-H Q9/Q20/Q16 shapes
     "mmr_topk",
+    "nation_profit",
+    "qualified_suppliers",
+    "brand_supplier_counts",
 ]
 
 
