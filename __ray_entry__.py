@@ -153,6 +153,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_profit": relational.q_nation_profit,
         "qualified_suppliers": relational.q_qualified_suppliers,
         "brand_supplier_counts": relational.q_brand_supplier_counts,
+        "span_kind_signature": multimodal.q_span_kind_signature,
+        "pair_triangles": er.q_pair_triangles,
+        "char_entropy": text.q_char_entropy,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -298,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
             "kmeans_clusters",
             "phonetic_pairs",
             "mmr_topk",
+            "char_entropy",
         )
     }
 
@@ -809,6 +813,29 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE p_brand <> 'Brand#1'
             GROUP BY 1, 2
+        """,
+        "span_kind_signature": f"""
+            SELECT array_to_string(list_transform(spans, s -> s.kind), ',')
+                       AS sig,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM read_parquet('{docs_tbl}')
+            GROUP BY 1
+        """,
+        "pair_triangles": """
+            WITH names AS (SELECT DISTINCT p_name FROM part),
+            e AS (
+              SELECT a.p_name AS name_a, b.p_name AS name_b
+              FROM names a JOIN names b
+                ON substr(a.p_name,1,1) = substr(b.p_name,1,1)
+               AND abs(length(a.p_name) - length(b.p_name)) <= 3
+               AND a.p_name < b.p_name
+              WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8)
+            SELECT e1.name_a, e1.name_b, e2.name_c
+            FROM e e1
+            JOIN (SELECT name_a AS mid, name_b AS name_c FROM e) e2
+              ON e1.name_b = e2.mid
+            JOIN e e3
+              ON e3.name_a = e1.name_a AND e3.name_b = e2.name_c
         """,
         "hourly_distinct_users": """
             SELECT date_trunc('hour', ts) AS hour,

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 13  # r4j: + mmr_topk oracle
+ORACLE_VERSION = 14  # r4j: + mmr_topk, char_entropy oracles
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -94,6 +94,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "kmeans_clusters": lambda: _kmeans_clusters(sf_dir),
         "phonetic_pairs": lambda: _phonetic_pairs(sf_dir),
         "mmr_topk": lambda: _mmr_topk(sf_dir),
+        "char_entropy": lambda: _char_entropy(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -1036,5 +1037,32 @@ def _mmr_topk(
             "query_id": pa.array(out_q, pa.int64()),
             "match_id": pa.array(out_m, pa.int64()),
             "rank": pa.array(out_r, pa.int64()),
+        }
+    )
+
+
+def _char_entropy(sf_dir: str) -> pa.Table:
+    """Single-process mirror of pipelines.text.q_char_entropy: per-doc
+    character counts via collections.Counter (no composite-key trick),
+    the identical int64 nano-nat quantization per (doc, char) term, summed
+    per doc — plain loops, no batching."""
+    from collections import Counter
+
+    t = _read(sf_dir, "documents").select(["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    out: list = []
+    for txt in texts:
+        txt = str(txt)
+        n = max(len(txt), 1)
+        h = 0
+        for _ch, c in Counter(txt).items():
+            p = np.float64(c) / np.float64(n)
+            h += int(np.rint(-p * np.log(p) * 1e9))
+        out.append(h)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+            "entropy_nnats": pa.array(out, pa.int64()),
         }
     )

@@ -389,3 +389,37 @@ def q_media_nearest(sf_dir: str):
         media.map_batches(tag_media, batch_format="pandas")
     )
     return both.groupby("_db").map_groups(nearest, batch_format="pandas")
+
+
+def q_span_kind_signature(sf_dir: str):
+    """Per-doc interleaving SIGNATURE of the spans column — the
+    comma-joined kind sequence (e.g. ``text,media,text``) — grouped into
+    corpus-level counts. The per-row span-sequence invariant
+    (BASELINE.json input_hint: kind/text/media_ref ORDER must survive
+    every stage) made queryable: any engine stage that reorders spans
+    changes a signature and breaks the oracle hash.
+
+    Arrow shape: flatten the list<struct> once, rebuild a ListArray over
+    the ORIGINAL offsets from the kind child, and ``binary_join`` it —
+    zero per-row Python; the shuffle then carries one (sig, count)
+    partial per batch (``grouped_sums``), bounded by the distinct
+    signature vocabulary, not the corpus."""
+    import pandas as pd
+
+    from .common import grouped_sums
+
+    fdir = fixtures.fixture_dir(fixtures.spec_for_sf_dir(sf_dir))
+    docs = rd.read_parquet(f"{fdir}/docs.parquet")
+
+    def sig(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        kinds = spans.flatten().field("kind")
+        lst = pa.ListArray.from_arrays(spans.offsets, kinds)
+        return pa.table({"sig": pc.binary_join(lst.cast(pa.list_(pa.string())), ",")})
+
+    sigs = docs.map_batches(sig, batch_format="pyarrow")
+    return grouped_sums(sigs, ["sig"], {}, count_as="n_docs")

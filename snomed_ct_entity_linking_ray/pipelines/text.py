@@ -849,3 +849,49 @@ def q_freq_of_freqs(sf_dir: str):
         sums={},
         count_as="n_types",
     )
+
+
+def q_char_entropy(sf_dir: str):
+    """Per-document character-distribution Shannon entropy in integer
+    nano-nats — the cheap randomness/quality signal a training-data
+    pipeline uses to drop boilerplate (near-zero entropy) and binary
+    garbage (near-log|alphabet| entropy) before heavier scoring (the
+    Gopher-rules companion to q_repetition_stats).
+
+    Vectorized shape: a batch's texts are concatenated ONCE and decoded
+    to a uint32 codepoint array (no per-row Python); per-(doc, char)
+    counts come from one ``np.unique`` over a composite int64 key; each
+    count's entropy term is quantized to int64 nano-nats BEFORE the
+    per-doc sum (``np.add.at``), so the result is bit-identical however
+    the docs are batched — the accumulation-order discipline of
+    q_bm25_topk. Shuffle-free: one row per doc rides to the sink.
+
+    Oracle: independent single-process numpy implementation
+    (oracles._char_entropy) — identical quantization contract, no SQL ln()
+    because DuckDB's round-half-away vs numpy's rint would diverge on the
+    grid boundary."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def entropy(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "entropy_nnats": pd.Series([], dtype=np.int64)}
+            )
+        texts = df["text"].astype(str).tolist()
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        codes = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        key = doc_idx * (np.int64(1) << 32) + codes.astype(np.int64)
+        uk, counts = np.unique(key, return_counts=True)
+        u_doc = (uk >> 32).astype(np.int64)
+        n = np.maximum(lens[u_doc], 1).astype(np.float64)
+        p = counts.astype(np.float64) / n
+        terms = np.rint(-p * np.log(p) * 1e9).astype(np.int64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        np.add.at(out, u_doc, terms)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64), "entropy_nnats": out}
+        )
+
+    return ds.map_batches(entropy, batch_format="pandas")

@@ -146,6 +146,9 @@ ORACLE_BACKED = [
     "nation_profit",
     "qualified_suppliers",
     "brand_supplier_counts",
+    "span_kind_signature",
+    "pair_triangles",
+    "char_entropy",
 ]
 
 
