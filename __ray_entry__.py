@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_kind_signature": multimodal.q_span_kind_signature,
         "pair_triangles": er.q_pair_triangles,
         "char_entropy": text.q_char_entropy,
+        "em_weights": er.q_em_weights,
+        "value_histogram": relational.q_value_histogram,
+        "strip_media_remap": multimodal.q_strip_media_remap,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -302,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
             "phonetic_pairs",
             "mmr_topk",
             "char_entropy",
+            "em_weights",
         )
     }
 
@@ -836,6 +840,31 @@ def oracle_sql() -> dict[str, str]:
               ON e1.name_b = e2.mid
             JOIN e e3
               ON e3.name_a = e1.name_a AND e3.name_b = e2.name_c
+        """,
+        "value_histogram": """
+            WITH v AS (SELECT CAST(round(value*100,0) AS BIGINT) AS c
+                       FROM events),
+            s AS (SELECT min(c) AS mn, max(c) AS mx FROM v),
+            w AS (SELECT mn, GREATEST(1, (mx - mn + 20) // 20) AS width
+                  FROM s)
+            SELECT (c - mn) // width AS bin,
+                   mn + ((c - mn) // width) * width AS lo_cents,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM v, w GROUP BY 1, 2
+        """,
+        "strip_media_remap": f"""
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY ord) - 1 AS BIGINT) AS k,
+                   CAST(COALESCE(SUM(length(s.text)) OVER (
+                       PARTITION BY doc_id ORDER BY ord
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS new_offset,
+                   CAST(length(s.text) AS BIGINT) AS span_len
+            FROM (SELECT doc_id, unnest(spans) AS s,
+                         generate_subscripts(spans, 1) AS ord
+                  FROM read_parquet('{docs_tbl}'))
+            WHERE s.kind = 'text'
         """,
         "hourly_distinct_users": """
             SELECT date_trunc('hour', ts) AS hour,

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 14  # r4j: + mmr_topk, char_entropy oracles
+ORACLE_VERSION = 15  # r4j: + mmr_topk, char_entropy, em_weights oracles
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -95,6 +95,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "phonetic_pairs": lambda: _phonetic_pairs(sf_dir),
         "mmr_topk": lambda: _mmr_topk(sf_dir),
         "char_entropy": lambda: _char_entropy(sf_dir),
+        "em_weights": lambda: _em_weights(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -1064,5 +1065,81 @@ def _char_entropy(sf_dir: str) -> pa.Table:
         {
             "doc_id": pa.array([int(i) for i in ids], pa.int64()),
             "entropy_nnats": pa.array(out, pa.int64()),
+        }
+    )
+
+
+def _em_weights(sf_dir: str, n_iter: int = 20) -> pa.Table:
+    """Single-process mirror of pipelines.er.q_em_weights: brute-force
+    agreement-pattern histogram over (first-char, brand)-blocked part
+    pairs (double loop, no chunked bincounts), then scalar-loop EM with
+    the same init/iterations; the shared jaro_winkler kernel is
+    property-pinned vs DuckDB. Patterns enumerate in (0,0,0)..(1,1,1)
+    order on both sides so the float folds see identical operand order."""
+    from .functions.similarity import jaro_winkler
+
+    t = _read(sf_dir, "part")
+    df = t.select(["p_partkey", "p_name", "p_brand", "p_type", "p_size"]).to_pandas()
+    blocks: dict = {}
+    for r in df.itertuples(index=False):
+        blocks.setdefault((str(r.p_name)[:1], str(r.p_brand)), []).append(
+            (str(r.p_name), str(r.p_type), int(r.p_size))
+        )
+    counts = [0] * 8
+    for rows in blocks.values():
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i], rows[j]
+                g1 = 1 if jaro_winkler(a[0], b[0]) >= 0.85 else 0
+                g2 = 1 if a[1] == b[1] else 0
+                g3 = 1 if abs(a[2] - b[2]) <= 2 else 0
+                counts[(g1 << 2) | (g2 << 1) | g3] += 1
+
+    total = float(sum(counts))
+    pi = 0.1
+    m = [0.9, 0.9, 0.9]
+    u = [0.1, 0.1, 0.1]
+    pats = [((k >> 2) & 1, (k >> 1) & 1, k & 1) for k in range(8)]
+    for _ in range(n_iter):
+        wm_sum = 0.0
+        wu_sum = 0.0
+        m_num = [0.0, 0.0, 0.0]
+        u_num = [0.0, 0.0, 0.0]
+        for k in range(8):
+            pm = 1.0
+            pu = 1.0
+            for jf in range(3):
+                g = pats[k][jf]
+                pm *= m[jf] * g + (1.0 - m[jf]) * (1.0 - g)
+                pu *= u[jf] * g + (1.0 - u[jf]) * (1.0 - g)
+            w = pi * pm / (pi * pm + (1.0 - pi) * pu)
+            wm = counts[k] * w
+            wu = counts[k] * (1.0 - w)
+            wm_sum += wm
+            wu_sum += wu
+            for jf in range(3):
+                m_num[jf] += wm * pats[k][jf]
+                u_num[jf] += wu * pats[k][jf]
+        pi = wm_sum / total
+        m = [x / wm_sum for x in m_num]
+        u = [x / wu_sum for x in u_num]
+
+    def q(x: float) -> int:
+        return int(np.rint(np.float64(x) * 1e6))
+
+    import math
+
+    return pa.table(
+        {
+            "field": pa.array(["agree_name", "agree_type", "agree_size"]),
+            "m_micro": pa.array([q(x) for x in m], pa.int64()),
+            "u_micro": pa.array([q(x) for x in u], pa.int64()),
+            "w_agree_micro": pa.array(
+                [q(math.log(m[j] / u[j])) for j in range(3)], pa.int64()
+            ),
+            "w_disagree_micro": pa.array(
+                [q(math.log((1.0 - m[j]) / (1.0 - u[j]))) for j in range(3)],
+                pa.int64(),
+            ),
         }
     )

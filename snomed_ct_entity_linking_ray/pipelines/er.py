@@ -2505,3 +2505,61 @@ def q_pair_triangles(sf_dir: str):
         right_on=("ca", "cc"),
     )
     return tri.select_columns(["name_a", "name_b", "name_c"])
+
+
+def _em_from_hist(hist: pd.DataFrame, n_iter: int = 20) -> pd.DataFrame:
+    """Fixed-iteration Fellegi-Sunter EM (Winkler '88 unsupervised m/u
+    estimation under conditional independence) on an 8-row agreement-
+    pattern histogram. Pure float64 on an integer-exact input; outputs
+    quantized to the 1e-6 grid (micro-units) — EM fixed points are far
+    from grid boundaries, so the quantization is stable across
+    independently-written implementations."""
+    fields = ["agree_name", "agree_type", "agree_size"]
+    gamma = hist[fields].to_numpy(np.float64)  # [K, 3]
+    n = hist["n_pairs"].to_numpy(np.float64)  # [K]
+    total = n.sum()
+    pi = 0.1
+    m = np.array([0.9, 0.9, 0.9])
+    u = np.array([0.1, 0.1, 0.1])
+    for _ in range(n_iter):
+        pm = np.prod(m * gamma + (1.0 - m) * (1.0 - gamma), axis=1)
+        pu = np.prod(u * gamma + (1.0 - u) * (1.0 - gamma), axis=1)
+        w = pi * pm / (pi * pm + (1.0 - pi) * pu)
+        wm = n * w
+        wu = n * (1.0 - w)
+        pi = wm.sum() / total
+        m = (wm[:, None] * gamma).sum(axis=0) / wm.sum()
+        u = (wu[:, None] * gamma).sum(axis=0) / wu.sum()
+    q = lambda x: np.rint(np.asarray(x) * 1e6).astype(np.int64)  # noqa: E731
+    return pd.DataFrame(
+        {
+            "field": fields,
+            "m_micro": q(m),
+            "u_micro": q(u),
+            "w_agree_micro": q(np.log(m / u)),
+            "w_disagree_micro": q(np.log((1.0 - m) / (1.0 - u))),
+        }
+    )
+
+
+def q_em_weights(sf_dir: str, n_iter: int = 20):
+    """UNSUPERVISED m/u estimation: Fellegi-Sunter EM over the agreement-
+    pattern histogram (vs q_match_weights, which uses gold labels). The
+    distributed work is exactly the ``q_match_patterns`` histogram — the
+    sufficient statistic — after which EM runs driver-side on 8 rows for
+    a FIXED iteration count; per-field match/unmatch probabilities and
+    log-weights come back as integer micro-units.
+
+    Scale note: the histogram pass is the same blocked chunked-bincount
+    dataflow as q_match_patterns (no pair materialization); EM itself is
+    O(8 x 3 x n_iter) regardless of corpus size."""
+    hist = q_match_patterns(sf_dir).to_pandas()
+    full = (
+        pd.MultiIndex.from_product([[0, 1]] * 3,
+                                   names=["agree_name", "agree_type", "agree_size"])
+        .to_frame(index=False)
+    )
+    hist = full.merge(hist, how="left",
+                      on=["agree_name", "agree_type", "agree_size"]).fillna(0)
+    hist["n_pairs"] = hist["n_pairs"].astype(np.int64)
+    return _em_from_hist(hist, n_iter=n_iter)

@@ -423,3 +423,64 @@ def q_span_kind_signature(sf_dir: str):
 
     sigs = docs.map_batches(sig, batch_format="pyarrow")
     return grouped_sums(sigs, ["sig"], {}, count_as="n_docs")
+
+
+def q_strip_media_remap(sf_dir: str):
+    """Media-strip OFFSET REMAP over the interleaved docs (the
+    cut_headers semantics of SURVEY.md §2.8 — 2nd Place/src/
+    cut_headers.py:53-84 shifts spans left when sections are removed —
+    applied to the media axis): drop ``media`` spans and emit, per
+    surviving text span, its index among text spans and its NEW character
+    offset in the media-free concatenation. This is the exact offset
+    arithmetic any downstream stage needs when media payloads are
+    detached to a sidecar table and the text is re-flowed.
+
+    Arrow shape: one flatten of the list<struct> column; parents by
+    repeat; per-doc EXCLUSIVE cumsum of text-span lengths via one global
+    cumsum minus segment-start correction — no per-row Python, no
+    shuffle (per-doc order is within-block by construction, SURVEY §2.9)."""
+    fdir = fixtures.fixture_dir(fixtures.spec_for_sf_dir(sf_dir))
+    docs = rd.read_parquet(f"{fdir}/docs.parquet")
+
+    def remap(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        offsets = spans.offsets.to_numpy(zero_copy_only=False)
+        parents = np.repeat(np.arange(len(batch), dtype=np.int64), np.diff(offsets))
+        is_text = pc.equal(flat.field("kind"), "text").to_numpy(zero_copy_only=False)
+        p = parents[is_text]
+        lens = pc.utf8_length(flat.field("text")).to_numpy(zero_copy_only=False)[
+            is_text
+        ].astype(np.int64)
+        n = len(p)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "k": pa.array([], pa.int64()),
+                    "new_offset": pa.array([], pa.int64()),
+                    "span_len": pa.array([], pa.int64()),
+                }
+            )
+        idx = np.arange(n, dtype=np.int64)
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = p[1:] != p[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_seg, idx, 0))
+        k = idx - seg_start
+        cs = np.concatenate(([0], np.cumsum(lens)))  # inclusive prefix
+        new_offset = cs[idx] - cs[seg_start]
+        return pa.table(
+            {
+                "doc_id": pc.take(batch["doc_id"], pa.array(p)),
+                "k": pa.array(k, pa.int64()),
+                "new_offset": pa.array(new_offset, pa.int64()),
+                "span_len": pa.array(lens, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(remap, batch_format="pyarrow")

@@ -3244,3 +3244,46 @@ def q_brand_supplier_counts(sf_dir: str):
         return out
 
     return triples.groupby("_kb").map_groups(bucket_count, batch_format="pandas")
+
+
+def q_value_histogram(sf_dir: str, n_bins: int = 20):
+    """Equi-width histogram of event value cents — the two-pass
+    distributed histogram: pass 1 computes global (min, max) from
+    per-batch partials (a driver-side fold over one tiny row per batch);
+    pass 2 broadcasts the integer bin arithmetic and bincounts each batch,
+    with ``grouped_sums`` folding the per-batch partial counts. All
+    arithmetic integer: width = ceil((max-min+1)/n_bins) via
+    (max-min+n_bins)//n_bins, bin = (v-min)//width — bit-equal to the
+    oracle's BIGINT // expressions."""
+    ds = read(sf_dir, "events", ["value"])
+
+    def minmax(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"mn": pd.Series([], dtype=np.int64),
+                                 "mx": pd.Series([], dtype=np.int64)})
+        v = cents(df["value"])
+        return pd.DataFrame({"mn": [v.min()], "mx": [v.max()]})
+
+    stats = ds.map_batches(minmax, batch_format="pandas").to_pandas()
+    mn = int(stats["mn"].min())
+    mx = int(stats["mx"].max())
+    width = max(1, (mx - mn + n_bins) // n_bins)
+
+    def binned(df: pd.DataFrame) -> pd.DataFrame:
+        v = cents(df["value"])
+        b = (v - mn) // width
+        cnt = np.bincount(b, minlength=1)
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame(
+            {
+                "bin": nz.astype(np.int64),
+                "lo_cents": (mn + nz * width).astype(np.int64),
+                "n_events": cnt[nz].astype(np.int64),
+            }
+        )
+
+    return grouped_sums(
+        ds.map_batches(binned, batch_format="pandas"),
+        ["bin", "lo_cents"],
+        {"n_events": "n_events"},
+    )

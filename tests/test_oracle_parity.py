@@ -149,6 +149,9 @@ ORACLE_BACKED = [
     "span_kind_signature",
     "pair_triangles",
     "char_entropy",
+    "em_weights",
+    "value_histogram",
+    "strip_media_remap",
 ]
 
 
