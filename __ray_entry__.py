@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "em_weights": er.q_em_weights,
         "value_histogram": relational.q_value_histogram,
         "strip_media_remap": multimodal.q_strip_media_remap,
+        "lm_perplexity": text.q_lm_perplexity,
+        "late_events": relational.q_late_events,
+        "segment_runs": relational.q_segment_runs,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -306,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
             "mmr_topk",
             "char_entropy",
             "em_weights",
+            "lm_perplexity",
         )
     }
 
@@ -865,6 +869,41 @@ def oracle_sql() -> dict[str, str]:
                          generate_subscripts(spans, 1) AS ord
                   FROM read_parquet('{docs_tbl}'))
             WHERE s.kind = 'text'
+        """,
+        "late_events": """
+            WITH a AS (SELECT event_id, user_id, ts,
+                              (CAST(event_id AS HUGEINT)
+                               * 11400714819323198485)
+                              % 18446744073709551616 AS ak
+                       FROM events)
+            SELECT event_id, user_id,
+                   CAST(epoch_us(prior_max) - epoch_us(ts) AS BIGINT) AS lag_us
+            FROM (SELECT event_id, user_id, ts,
+                         max(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ak, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prior_max
+                  FROM a)
+            WHERE prior_max IS NOT NULL
+              AND ts < prior_max - INTERVAL 1 HOUR
+        """,
+        "segment_runs": """
+            WITH x AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(event_type) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id)
+                          IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS is_start
+              FROM events),
+            y AS (SELECT user_id,
+                         SUM(is_start) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS run_id
+                  FROM x),
+            r AS (SELECT user_id, run_id, count(*) AS run_len
+                  FROM y GROUP BY 1, 2)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_runs,
+                   CAST(max(run_len) AS BIGINT) AS max_run_len
+            FROM r GROUP BY 1
         """,
         "hourly_distinct_users": """
             SELECT date_trunc('hour', ts) AS hour,

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 15  # r4j: + mmr_topk, char_entropy, em_weights oracles
+ORACLE_VERSION = 16  # r4j: + mmr/char_entropy/em_weights/lm_perplexity
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -96,6 +96,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "mmr_topk": lambda: _mmr_topk(sf_dir),
         "char_entropy": lambda: _char_entropy(sf_dir),
         "em_weights": lambda: _em_weights(sf_dir),
+        "lm_perplexity": lambda: _lm_perplexity(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -1141,5 +1142,42 @@ def _em_weights(sf_dir: str, n_iter: int = 20) -> pa.Table:
                 [q(math.log((1.0 - m[j]) / (1.0 - u[j]))) for j in range(3)],
                 pa.int64(),
             ),
+        }
+    )
+
+
+def _lm_perplexity(sf_dir: str) -> pa.Table:
+    """Single-process mirror of pipelines.text.q_lm_perplexity: Counter
+    passes for the unigram/bigram model (plain loops, no explode), the
+    same add-one smoothing p=(c_bi+1)/(c_uni+V), each term quantized to
+    int64 micro-nats before the per-doc sum — log of a ratio of exact
+    ints is the same float64 on both sides."""
+    from collections import Counter
+
+    t = _read(sf_dir, "documents").select(["doc_id", "text"])
+    ids = [int(i) for i in t.column("doc_id").to_pylist()]
+    texts = [str(x) for x in t.column("text").to_pylist()]
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for txt in texts:
+        w = txt.split()
+        uni.update(w)
+        bi.update(a + " " + b for a, b in zip(w, w[1:]))
+    V = len(uni)
+    nll_out: list = []
+    nbi_out: list = []
+    for txt in texts:
+        w = txt.split()
+        total = 0
+        for a, b in zip(w, w[1:]):
+            p = np.float64(bi[a + " " + b] + 1) / np.float64(uni[a] + V)
+            total += int(np.rint(-np.log(p) * 1e6))
+        nll_out.append(total)
+        nbi_out.append(max(len(w) - 1, 0))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "nll_micro": pa.array(nll_out, pa.int64()),
+            "n_bigrams": pa.array(nbi_out, pa.int64()),
         }
     )

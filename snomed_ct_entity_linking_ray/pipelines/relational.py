@@ -3287,3 +3287,125 @@ def q_value_histogram(sf_dir: str, n_bins: int = 20):
         ["bin", "lo_cents"],
         {"n_events": "n_events"},
     )
+
+
+def q_late_events(sf_dir: str, tolerance_hours: int = 1):
+    """Late-arrival detection (the watermark primitive of §2.9 streaming
+    semantics, batch-expressed): an event is LATE if its event time is
+    more than ``tolerance_hours`` behind the maximum event time among the
+    user's PRIOR arrivals. The fixture's events are perfectly time-
+    ordered, so the ARRIVAL sequence is a deterministic hash permutation
+    of event_id (the golden-ratio multiplier, wrap-exact in both numpy
+    uint64 and the oracle's HUGEINT-mod SQL) — the stand-in for the
+    arrival-order column a real stream would carry. This is exactly the
+    allowed-lateness test a streaming engine applies before dropping /
+    side-outputting a record.
+
+    Shuffle shape: ONE hash-bucketed-by-user exchange; each bucket sorts
+    once by (user, arrival_key) and computes the running prior-max with
+    cythonized groupby cummax+shift — no per-user Python dispatch (the
+    q_rolling_user_value discipline)."""
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    n_buckets = default_buckets()
+    tol = np.timedelta64(tolerance_hours * 3600 * 10**6, "us")
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        ak = (eid.astype(np.uint64) * _PB).astype(np.uint64)
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "user_id": u,
+                "ts": df["ts"].astype("datetime64[us]"),
+                "_ak": ak.view(np.int64),  # order-preserving? no — see late()
+                "_ub": _user_bucket(u, n_buckets),
+            }
+        )
+
+    def late(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype=np.int64),
+                 "user_id": pd.Series([], dtype=np.int64),
+                 "lag_us": pd.Series([], dtype=np.int64)}
+            )
+        # int64 view of the uint64 arrival key does NOT sort like the
+        # oracle's HUGEINT — restore unsigned order before sorting
+        g = g.assign(_aku=g["_ak"].to_numpy(np.int64).view(np.uint64))
+        g = g.sort_values(["user_id", "_aku", "event_id"], kind="mergesort")
+        prior_max = g.groupby("user_id")["ts"].cummax().groupby(
+            g["user_id"]
+        ).shift(1)
+        is_late = prior_max.notna() & (
+            g["ts"].to_numpy() < (prior_max - tol).to_numpy()
+        )
+        d = g[is_late.to_numpy()]
+        lag = (
+            prior_max[is_late.to_numpy()].to_numpy("datetime64[us]")
+            - d["ts"].to_numpy("datetime64[us]")
+        ).astype("timedelta64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": d["event_id"].to_numpy(np.int64),
+                "user_id": d["user_id"].to_numpy(np.int64),
+                "lag_us": lag,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(late, batch_format="pandas")
+    )
+
+
+def q_segment_runs(sf_dir: str):
+    """Gaps-and-islands (run-length encoding) per user: consecutive
+    same-``event_type`` runs in (ts, event_id) order → per-user run count
+    and longest run. The classic sessionize-adjacent SQL shape the engine
+    must own for behavioural segmentation.
+
+    Shuffle shape: the sessionize discipline — one user-bucketed exchange,
+    then per bucket ONE mergesort + boundary-mask cumsum for run ids and
+    ONE vectorized bincount/groupby for lengths; no per-user dispatch."""
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    n_buckets = default_buckets()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        out = df[["event_id", "user_id", "ts", "event_type"]].copy()
+        out["_ub"] = _user_bucket(u, n_buckets)
+        return out
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "n_runs": pd.Series([], dtype=np.int64),
+                 "max_run_len": pd.Series([], dtype=np.int64)}
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        et = pd.factorize(g["event_type"])[0]
+        n = len(g)
+        start = np.empty(n, dtype=bool)
+        start[0] = True
+        start[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        run_id = np.cumsum(start) - 1
+        run_len = np.bincount(run_id)
+        run_user = u[start]
+        out = (
+            pd.DataFrame({"user_id": run_user, "run_len": run_len})
+            .groupby("user_id", as_index=False)
+            .agg(n_runs=("run_len", "size"), max_run_len=("run_len", "max"))
+        )
+        out["n_runs"] = out["n_runs"].astype(np.int64)
+        out["max_run_len"] = out["max_run_len"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(runs, batch_format="pandas")
+    )

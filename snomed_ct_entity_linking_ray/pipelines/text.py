@@ -895,3 +895,98 @@ def q_char_entropy(sf_dir: str):
         )
 
     return ds.map_batches(entropy, batch_format="pandas")
+
+
+def q_lm_perplexity(sf_dir: str):
+    """Bigram-LM negative log-likelihood per document — the CCNet-style
+    quality signal (Wenzek et al. '20 filter web text by LM perplexity;
+    here the LM is trained on the corpus itself in the same job): pass 1
+    counts corpus unigrams and bigrams (``grouped_sums`` partials — the
+    shuffle carries one row per distinct gram per batch, vocabulary-
+    bounded); the model broadcasts ONCE (add-one smoothing,
+    p(w|v) = (c(v,w)+1)/(c(v)+V)); pass 2 scores each doc's bigrams in a
+    vectorized lookup.
+
+    Integer contract: each bigram term quantizes to int64 micro-nats
+    BEFORE the per-doc sum (the q_char_entropy discipline), so results
+    are bit-identical across batch layouts and vs the single-process
+    oracle (log of a ratio of exact ints is the same float64 on both
+    sides)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].astype(str).str.split().explode().dropna()
+        doc_idx = ex.index.to_numpy()
+        w = ex.to_numpy(object)
+        uni = pd.Series(w).value_counts()
+        same = doc_idx[1:] == doc_idx[:-1]
+        bkeys = pd.Series(w[:-1][same]).astype(str) + " " + pd.Series(
+            w[1:][same]
+        ).astype(str)
+        bi = bkeys.value_counts()
+        return pd.DataFrame(
+            {
+                "gram": np.concatenate(
+                    [uni.index.to_numpy(object), bi.index.to_numpy(object)]
+                ),
+                "is_bi": np.concatenate(
+                    [np.zeros(len(uni), np.int64), np.ones(len(bi), np.int64)]
+                ),
+                "n": np.concatenate(
+                    [uni.to_numpy(np.int64), bi.to_numpy(np.int64)]
+                ),
+            }
+        )
+
+    counts = grouped_sums(
+        ds.map_batches(grams, batch_format="pandas"), ["gram", "is_bi"], {"n": "n"}
+    ).to_pandas()
+    uni = dict(
+        zip(counts.loc[counts["is_bi"] == 0, "gram"],
+            counts.loc[counts["is_bi"] == 0, "n"])
+    )
+    bi = dict(
+        zip(counts.loc[counts["is_bi"] == 1, "gram"],
+            counts.loc[counts["is_bi"] == 1, "n"])
+    )
+    V = len(uni)
+    model_ref = broadcast((uni, bi, V))
+
+    class Score:
+        def __init__(self):
+            self.uni, self.bi, self.V = ray.get(model_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.reset_index(drop=True)
+            splits = df["text"].astype(str).str.split()
+            ex = splits.explode().dropna()
+            doc_idx = ex.index.to_numpy(np.int64)
+            w = ex.to_numpy(object)
+            same = (
+                doc_idx[1:] == doc_idx[:-1]
+                if len(w)
+                else np.zeros(0, dtype=bool)
+            )
+            wa = pd.Series(w[:-1][same]) if len(w) else pd.Series([], dtype=object)
+            wb = pd.Series(w[1:][same]) if len(w) else pd.Series([], dtype=object)
+            c_bi = (
+                (wa.astype(str) + " " + wb.astype(str))
+                .map(self.bi)
+                .fillna(0)
+                .to_numpy(np.int64)
+            )
+            c_uni = wa.map(self.uni).fillna(0).to_numpy(np.int64)
+            p = (c_bi + 1).astype(np.float64) / (c_uni + self.V).astype(np.float64)
+            terms = np.rint(-np.log(p) * 1e6).astype(np.int64)
+            nll = np.zeros(len(df), dtype=np.int64)
+            np.add.at(nll, doc_idx[:-1][same] if len(w) else [], terms)
+            nbi = np.maximum(splits.str.len().fillna(0).to_numpy(np.int64) - 1, 0)
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(np.int64),
+                    "nll_micro": nll,
+                    "n_bigrams": nbi,
+                }
+            )
+
+    return ds.map_batches(Score, batch_format="pandas", concurrency=(1, 4))

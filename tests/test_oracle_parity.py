@@ -152,6 +152,9 @@ ORACLE_BACKED = [
     "em_weights",
     "value_histogram",
     "strip_media_remap",
+    "lm_perplexity",
+    "late_events",
+    "segment_runs",
 ]
 
 
