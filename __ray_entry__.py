@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": text.q_lm_perplexity,
         "late_events": relational.q_late_events,
         "segment_runs": relational.q_segment_runs,
+        "pq_codes": vectors.q_pq_codes,
+        "soft_tfidf_pairs": er.q_soft_tfidf_pairs,
+        "dup_rate_by_source": dedup.q_dup_rate_by_source,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -310,6 +313,8 @@ def oracle_sql() -> dict[str, str]:
             "char_entropy",
             "em_weights",
             "lm_perplexity",
+            "pq_codes",
+            "soft_tfidf_pairs",
         )
     }
 
@@ -904,6 +909,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_runs,
                    CAST(max(run_len) AS BIGINT) AS max_run_len
             FROM r GROUP BY 1
+        """,
+        "dup_rate_by_source": """
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+                   CAST(count(*) - count(DISTINCT text) AS BIGINT)
+                       AS n_dup_docs
+            FROM documents GROUP BY 1, 2
         """,
         "hourly_distinct_users": """
             SELECT date_trunc('hour', ts) AS hour,

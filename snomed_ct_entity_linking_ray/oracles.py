@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 16  # r4j: + mmr/char_entropy/em_weights/lm_perplexity
+ORACLE_VERSION = 18  # r4j: + pq_codes, soft_tfidf_pairs
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -97,6 +97,8 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "char_entropy": lambda: _char_entropy(sf_dir),
         "em_weights": lambda: _em_weights(sf_dir),
         "lm_perplexity": lambda: _lm_perplexity(sf_dir),
+        "pq_codes": lambda: _pq_codes(sf_dir),
+        "soft_tfidf_pairs": lambda: _soft_tfidf_pairs(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -1179,5 +1181,94 @@ def _lm_perplexity(sf_dir: str) -> pa.Table:
             "doc_id": pa.array(ids, pa.int64()),
             "nll_micro": pa.array(nll_out, pa.int64()),
             "n_bigrams": pa.array(nbi_out, pa.int64()),
+        }
+    )
+
+
+def _pq_codes(sf_dir: str, m: int = 4, k: int = 16, n_iter: int = 5) -> pa.Table:
+    """Single-process mirror of pipelines.vectors.q_pq_codes: per-subspace
+    integer k-means (same quantization/distance/tie/update contract as
+    _kmeans_clusters) trained on flat numpy arrays, then 4-bit code
+    packing — no streaming, no partial folds."""
+    t = _read(sf_dir, "embeddings")
+    df = t.select(["vec_id", "embedding"]).to_pandas().sort_values("vec_id")
+    ids = df["vec_id"].to_numpy(np.int64)
+    V = np.round(
+        np.stack(df["embedding"].to_numpy()).astype(np.float64) * (1 << 15)
+    ).astype(np.int64)
+    d = V.shape[1]
+    sub = d // m
+
+    def assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+        diff = X[:, None, :] - C[None, :, :]
+        return np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
+
+    init = np.isin(ids, np.arange(k))
+    order = np.argsort(ids[init])
+    code = np.zeros(len(ids), dtype=np.int64)
+    for j in range(m):
+        X = V[:, j * sub : (j + 1) * sub]
+        C = X[init][order].copy()
+        for _ in range(n_iter):
+            a = assign(X, C)
+            C = C.copy()
+            for c in range(k):
+                msk = a == c
+                if msk.any():
+                    C[c] = np.floor_divide(X[msk].sum(axis=0), int(msk.sum()))
+        code |= assign(X, C).astype(np.int64) << (4 * j)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids.tolist(), pa.int64()),
+            "pq_code": pa.array(code.tolist(), pa.int64()),
+        }
+    )
+
+
+def _soft_tfidf_pairs(sf_dir: str) -> pa.Table:
+    """Single-process mirror of pipelines.er.q_soft_tfidf_pairs: df counts
+    by plain dict loops over distinct names, the same milli-nat idf and
+    micro-JW quantization (shared property-pinned kernel), brute-force
+    blocked pairs (same first char, |len diff| <= 3, jw >= 0.8)."""
+    from .functions.similarity import jaro_winkler
+
+    names = sorted(set(str(x) for x in _read(sf_dir, "part").column("p_name").to_pylist()))
+    n_names = len(names)
+    df_of: dict = {}
+    for nm in names:
+        for t in set(nm.split()):
+            df_of[t] = df_of.get(t, 0) + 1
+    idf = {
+        t: int(np.rint(np.log(np.float64(n_names + 1) / np.float64(c + 1)) * 1e3))
+        for t, c in df_of.items()
+    }
+    a_out: list = []
+    b_out: list = []
+    s_out: list = []
+    for i in range(n_names):
+        for j in range(i + 1, n_names):
+            a, b = names[i], names[j]
+            if a[:1] != b[:1] or abs(len(a) - len(b)) > 3:
+                continue
+            if jaro_winkler(a, b) < 0.8:
+                continue
+            total = 0
+            tb = sorted(b.split())
+            for t in a.split():
+                best_jw, best_s = -1, None
+                for s in tb:
+                    jwm = int(np.rint(jaro_winkler(t, s) * 1e6))
+                    if jwm > best_jw:
+                        best_jw, best_s = jwm, s
+                if best_s is not None and best_jw >= 900_000:
+                    total += idf.get(t, 0) * idf.get(best_s, 0) * best_jw
+            a_out.append(a)
+            b_out.append(b)
+            s_out.append(total)
+    return pa.table(
+        {
+            "name_a": pa.array(a_out, pa.string()),
+            "name_b": pa.array(b_out, pa.string()),
+            "soft_tfidf": pa.array(s_out, pa.int64()),
         }
     )

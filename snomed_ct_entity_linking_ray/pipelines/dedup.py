@@ -852,3 +852,64 @@ def q_prefix_dups(sf_dir: str, key_len: int = PREFIX_KEY_LEN, cap: int = BLOCK_C
         .groupby("bkey")
         .map_groups(pairs, batch_format="pandas")
     )
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Dedup-rate REPORT per (lang, source) — the per-provenance duplicate
+    accounting a corpus-curation pipeline publishes before choosing what
+    to drop (n_docs, n_unique texts, n_dup_docs = docs beyond the first
+    of each distinct text).
+
+    Shuffle discipline: texts never ride a shuffle — per-batch rows
+    collapse to (lang, source, md5-fp, partial count); the combine
+    hash-buckets by FP so a fingerprint's partials co-locate (one
+    vectorized groupby per bucket), then each bucket emits per-(lang,
+    source) sub-totals and a final tiny ``grouped_sums`` folds buckets.
+    Grouped COUNT + COUNT DISTINCT in one pass, never materializing the
+    distinct set on the driver."""
+    import pandas as pd
+
+    from ..functions.hashing import md5_hex
+    from .common import default_buckets, grouped_sums, read
+
+    ds = read(sf_dir, "documents", ["lang", "source", "text"])
+    n_buckets = default_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "lang": df["lang"].astype(str),
+                "source": df["source"].astype(str),
+                "fp": [md5_hex(t) for t in df["text"].astype(str)],
+            }
+        )
+        out = g.groupby(["lang", "source", "fp"], as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        h = pd.util.hash_pandas_object(out["fp"], index=False).to_numpy()
+        out["_fb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        per_fp = g.groupby(["lang", "source", "fp"], as_index=False)["n"].sum()
+        out = per_fp.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n", "sum"), n_unique=("fp", "size")
+        )
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["n_unique"] = out["n_unique"].astype(np.int64)
+        return out
+
+    folded = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_fb")
+        .map_groups(bucket_fold, batch_format="pandas")
+    )
+    sums = grouped_sums(
+        folded, ["lang", "source"], {"n_docs": "n_docs", "n_unique": "n_unique"}
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_dup_docs"] = (df["n_docs"] - df["n_unique"]).astype(np.int64)
+        return df
+
+    return sums.map_batches(finish, batch_format="pandas")

@@ -2563,3 +2563,86 @@ def q_em_weights(sf_dir: str, n_iter: int = 20):
                       on=["agree_name", "agree_type", "agree_size"]).fillna(0)
     hist["n_pairs"] = hist["n_pairs"].astype(np.int64)
     return _em_from_hist(hist, n_iter=n_iter)
+
+
+SOFT_TFIDF_JW_MIN = 900_000  # token-closeness gate, micro-JW
+
+
+def q_soft_tfidf_pairs(sf_dir: str):
+    """Soft TF-IDF pair scoring (Cohen, Ravikumar & Fienberg IIWeb'03 —
+    the classical hybrid that beat plain JW/Levenshtein on name matching):
+    for each blocked candidate pair, every token of A is matched to its
+    closest token of B by Jaro-Winkler; CLOSE matches (jw ≥ 0.9)
+    contribute idf(t_A)·idf(t_B)·jw. Corpus weighting (the IDF table) is
+    a GLOBAL aggregate feeding a pair scorer — the cross-family
+    composition a real linkage stack runs.
+
+    Integer contract: df counts are exact; idf quantizes to milli-nats
+    (rint(ln((N+1)/(df+1))·1e3) — log of a ratio of exact ints, same
+    float64 on both sides); jw quantizes to micro (the property-pinned
+    kernel); each contribution is a product of three int64s (≤ ~5e13) and
+    the final score an int64 sum — bit-equal however pairs are batched.
+    Tie-break for the argmax token: (jw desc, token asc).
+
+    Scale shape: the IDF table is vocabulary-bounded and broadcast once;
+    candidate pairs come from the exact dual-band blocking of
+    ``q_fuzzy_name_pairs``; scoring is a per-pair token kernel (tokens/
+    name is O(few)) inside an actor pool that holds the IDF dict."""
+    names = distinct_column(read(sf_dir, "part", ["p_name"]), "p_name")
+
+    # df(t) over distinct names, distributed (explode -> grouped count)
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["p_name"].astype(str).str.split().explode().dropna()
+        pairs_ = pd.DataFrame(
+            {"row": ex.index.to_numpy(), "token": ex.to_numpy(object)}
+        ).drop_duplicates()  # one (name, token) occurrence
+        out = pairs_.groupby("token", as_index=False).size()
+        out = out.rename(columns={"size": "n_df"})
+        out["n_df"] = out["n_df"].astype(np.int64)
+        return out
+
+    df_counts = grouped_sums(
+        names.map_batches(toks, batch_format="pandas"), ["token"], {"n_df": "n_df"}
+    ).to_pandas()
+    n_names = int(names.count())
+    idf = {
+        t: int(np.rint(np.log(np.float64(n_names + 1) / np.float64(c + 1)) * 1e3))
+        for t, c in zip(df_counts["token"], df_counts["n_df"])
+    }
+    idf_ref = broadcast(idf)
+
+    pairs = q_fuzzy_name_pairs(sf_dir)
+
+    class Score:
+        def __init__(self):
+            self.idf = ray.get(idf_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            scores = np.zeros(len(df), dtype=np.int64)
+            a_col = df["name_a"].astype(str).to_numpy(object)
+            b_col = df["name_b"].astype(str).to_numpy(object)
+            for i in range(len(df)):
+                ta = a_col[i].split()
+                tb = sorted(b_col[i].split())
+                total = 0
+                for t in ta:
+                    best_jw = -1
+                    best_s = None
+                    for s in tb:
+                        jwm = int(np.rint(jaro_winkler(t, s) * 1e6))
+                        if jwm > best_jw:
+                            best_jw, best_s = jwm, s
+                    if best_s is not None and best_jw >= SOFT_TFIDF_JW_MIN:
+                        total += (
+                            self.idf.get(t, 0) * self.idf.get(best_s, 0) * best_jw
+                        )
+                scores[i] = total
+            return pd.DataFrame(
+                {
+                    "name_a": df["name_a"].astype(str),
+                    "name_b": df["name_b"].astype(str),
+                    "soft_tfidf": scores,
+                }
+            )
+
+    return pairs.map_batches(Score, batch_format="pandas", concurrency=(1, 4))

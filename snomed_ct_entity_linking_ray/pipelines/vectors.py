@@ -687,3 +687,121 @@ def q_mmr_topk(
         )
 
     return partial.groupby("query_id").map_groups(mmr, batch_format="pandas")
+
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # centroids per subspace (4-bit codes)
+
+
+def q_pq_codes(sf_dir: str, m: int = PQ_M, k: int = PQ_K, n_iter: int = KMEANS_ITERS):
+    """Product-quantization codebook training + encoding (Jégou et al.
+    TPAMI'11 — the memory-bound ANN representation: d dims split into
+    ``m`` subspaces, an independent k-means per subspace, each vector
+    stored as m small centroid ids). The 4-bit×4 code packs into one
+    int64 — a 128× compression of the fixture's 64-float rows, which is
+    what makes 10^12-vector search RAM-feasible.
+
+    Distributed shape: the ``q_kmeans_clusters`` broadcast-iterate plan
+    with the m codebooks trained in the SAME streamed passes — each pass
+    emits ≤ m×k partial rows (subspace, cluster, count, int64 colsum) per
+    batch, the driver folds them and re-broadcasts all m codebooks. All
+    arithmetic is the integer k-means contract (quantize 2^15, int64
+    distances, lowest-id ties, floor_divide update), so codes are exact
+    and batch-layout-independent."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    init_t = pq_.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    )
+    init_df = init_t.to_pandas().sort_values("vec_id")
+    C0 = np.round(
+        np.stack(init_df["embedding"].to_numpy()).astype(np.float64) * KMEANS_SCALE
+    ).astype(np.int64)
+    d = C0.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by {m} subspaces")
+    sub = d // m
+    # codebooks[j] : [k, sub]
+    books = [C0[:, j * sub : (j + 1) * sub].copy() for j in range(m)]
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quantize(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                 "qv": pd.Series([], dtype=object)})
+        V = np.round(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64) * KMEANS_SCALE
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy(np.int64), "qv": list(V)}
+        )
+
+    slim = ds.map_batches(quantize, batch_format="pandas").materialize()
+
+    def _assign(V: np.ndarray, C_: np.ndarray) -> np.ndarray:
+        diff = V[:, None, :] - C_[None, :, :]
+        return np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
+
+    for _ in range(n_iter):
+        ref = broadcast(books)
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"sub": pd.Series([], dtype=np.int64),
+                                     "cluster": pd.Series([], dtype=np.int64),
+                                     "n": pd.Series([], dtype=np.int64),
+                                     "s": pd.Series([], dtype=object)})
+            bks = ray.get(ref)
+            V = np.stack(df["qv"].to_numpy())
+            rows_j, rows_c, rows_n, rows_s = [], [], [], []
+            for j, Cj in enumerate(bks):
+                Vj = V[:, j * sub : (j + 1) * sub]
+                a = _assign(Vj, Cj)
+                for c in np.unique(a):
+                    msk = a == c
+                    rows_j.append(j)
+                    rows_c.append(int(c))
+                    rows_n.append(int(msk.sum()))
+                    rows_s.append(Vj[msk].sum(axis=0))
+            return pd.DataFrame(
+                {"sub": rows_j, "cluster": rows_c, "n": rows_n, "s": rows_s}
+            )
+
+        p = slim.map_batches(partials, batch_format="pandas").to_pandas()
+        new_books = []
+        for j in range(m):
+            counts = np.zeros(k, dtype=np.int64)
+            sums = np.zeros((k, sub), dtype=np.int64)
+            pj = p[p["sub"] == j]
+            cj = pj["cluster"].to_numpy(np.int64)
+            np.add.at(counts, cj, pj["n"].to_numpy(np.int64))
+            if len(pj):
+                np.add.at(sums, cj, np.stack(pj["s"].to_numpy()))
+            Cj = books[j].copy()
+            nz = counts > 0
+            Cj[nz] = np.floor_divide(sums[nz], counts[nz, None])
+            new_books.append(Cj)
+        books = new_books
+
+    final_ref = broadcast(books)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                 "pq_code": pd.Series([], dtype=np.int64)})
+        bks = ray.get(final_ref)
+        V = np.stack(df["qv"].to_numpy())
+        code = np.zeros(len(V), dtype=np.int64)
+        for j, Cj in enumerate(bks):
+            a = _assign(V[:, j * sub : (j + 1) * sub], Cj).astype(np.int64)
+            code |= a << (4 * j)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy(np.int64), "pq_code": code}
+        )
+
+    return slim.map_batches(encode, batch_format="pandas")

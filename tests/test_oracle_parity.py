@@ -155,6 +155,9 @@ ORACLE_BACKED = [
     "lm_perplexity",
     "late_events",
     "segment_runs",
+    "pq_codes",
+    "soft_tfidf_pairs",
+    "dup_rate_by_source",
 ]
 
 
