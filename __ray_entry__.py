@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": vectors.q_pq_codes,
         "soft_tfidf_pairs": er.q_soft_tfidf_pairs,
         "dup_rate_by_source": dedup.q_dup_rate_by_source,
+        "decontaminate_bloom": training.q_decontaminate_bloom,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -315,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
             "lm_perplexity",
             "pq_codes",
             "soft_tfidf_pairs",
+            "decontaminate_bloom",
         )
     }
 

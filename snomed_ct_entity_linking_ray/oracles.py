@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 18  # r4j: + pq_codes, soft_tfidf_pairs
+ORACLE_VERSION = 19  # r4j: + pq_codes, soft_tfidf_pairs, decontaminate_bloom
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -99,6 +99,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "lm_perplexity": lambda: _lm_perplexity(sf_dir),
         "pq_codes": lambda: _pq_codes(sf_dir),
         "soft_tfidf_pairs": lambda: _soft_tfidf_pairs(sf_dir),
+        "decontaminate_bloom": lambda: _decontaminate_bloom(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -1270,5 +1271,66 @@ def _soft_tfidf_pairs(sf_dir: str) -> pa.Table:
             "name_a": pa.array(a_out, pa.string()),
             "name_b": pa.array(b_out, pa.string()),
             "soft_tfidf": pa.array(s_out, pa.int64()),
+        }
+    )
+
+
+def _decontaminate_bloom(sf_dir: str, n: int = 3) -> pa.Table:
+    """Single-process mirror of pipelines.training.q_decontaminate_bloom:
+    plain-loop eval-gram set, one flat Bloom build (16 bits/key, 8
+    double-hashed probes; pandas SipHash with the same two keys — a
+    public deterministic primitive, shared for the same reason as
+    DuckDB's jaro_winkler), per-doc probe counts."""
+    t = _read(sf_dir, "documents").select(["doc_id", "text"])
+    ids = [int(i) for i in t.column("doc_id").to_pylist()]
+    texts = [str(x) for x in t.column("text").to_pylist()]
+
+    def grams_of(txt: str) -> list:
+        w = txt.split(" ")
+        return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+    ev = sorted({g for i, txt in zip(ids, texts) if i % 97 == 0
+                 for g in grams_of(txt)})
+    m_bits = 1 << int(np.ceil(np.log2(max(len(ev) * 16, 64))))
+    import pandas as pd_
+
+    bits = np.zeros(m_bits // 64, dtype=np.uint64)
+    if ev:
+        s = pd_.Series(ev)
+        h1 = pd_.util.hash_pandas_object(
+            s, index=False, hash_key="0123456789123456").to_numpy()
+        h2 = pd_.util.hash_pandas_object(
+            s, index=False, hash_key="fedcba9876543210").to_numpy()
+        for i in range(8):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+
+    out_id: list = []
+    out_n: list = []
+    for i, txt in zip(ids, texts):
+        if i % 97 == 0:
+            continue
+        gs = grams_of(txt)
+        if not gs:
+            continue
+        s = pd_.Series(gs)
+        h1 = pd_.util.hash_pandas_object(
+            s, index=False, hash_key="0123456789123456").to_numpy()
+        h2 = pd_.util.hash_pandas_object(
+            s, index=False, hash_key="fedcba9876543210").to_numpy()
+        hit = np.ones(len(gs), dtype=bool)
+        for j in range(8):
+            pos = (h1 + np.uint64(j) * h2) % np.uint64(m_bits)
+            word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+            hit &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        c = int(hit.sum())
+        if c:
+            out_id.append(i)
+            out_n.append(c)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_contaminated": pa.array(out_n, pa.int64()),
         }
     )

@@ -672,3 +672,17 @@ def q_substring_contamination(sf_dir: str, frag_tokens: int = SUBSTR_FRAG_TOKENS
             )
 
     return ds.map_batches(Scan, batch_format="pandas", concurrency=(1, 8))
+
+
+def q_decontaminate_bloom(sf_dir: str, n: int = DECONTAM_N):
+    """The Bloom-filter decontamination plan under the correctness gate:
+    ``q_decontaminate`` with ``max_broadcast=0`` so the distributed
+    OR-tree Bloom build + packed-bits broadcast + vectorized probe is the
+    path that runs at EVERY scale (at real corpus sizes it activates on
+    its own above 2M distinct eval grams). The oracle is an independent
+    single-process implementation of the same Bloom spec (16 bits/key,
+    8 Kirsch-Mitzenmacher double-hashed probes over pandas SipHash keys)
+    — false positives are a deterministic function of the spec, so the
+    compare is exact, and the no-false-negative property is additionally
+    pinned by tests/test_training.py."""
+    return q_decontaminate(sf_dir, n=n, max_broadcast=0)

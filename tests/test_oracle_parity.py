@@ -158,6 +158,7 @@ ORACLE_BACKED = [
     "pq_codes",
     "soft_tfidf_pairs",
     "dup_rate_by_source",
+    "decontaminate_bloom",
 ]
 
 
