@@ -166,6 +166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft_tfidf_pairs": er.q_soft_tfidf_pairs,
         "dup_rate_by_source": dedup.q_dup_rate_by_source,
         "decontaminate_bloom": training.q_decontaminate_bloom,
+        "qgram_overlap_pairs": er.q_qgram_overlap_pairs,
+        "audience_overlap": relational.q_audience_overlap,
+        "media_context": multimodal.q_media_context,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -919,6 +922,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - count(DISTINCT text) AS BIGINT)
                        AS n_dup_docs
             FROM documents GROUP BY 1, 2
+        """,
+        "qgram_overlap_pairs": """
+            WITH names AS (SELECT DISTINCT p_name FROM part),
+            g AS (SELECT DISTINCT p_name, substr(p_name, i, 4) AS gram
+                  FROM names, generate_series(1, 256) AS t(i)
+                  WHERE i <= length(p_name) - 3),
+            ok AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 64)
+            SELECT name_a, name_b, CAST(n AS BIGINT) AS n_shared FROM (
+              SELECT a.p_name AS name_a, b.p_name AS name_b, count(*) AS n
+              FROM g a JOIN g b ON a.gram = b.gram AND a.p_name < b.p_name
+              JOIN ok ON ok.gram = a.gram
+              GROUP BY 1, 2)
+            WHERE n >= 3
+        """,
+        "audience_overlap": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_common_users
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        """,
+        "media_context": f"""
+            WITH x AS (SELECT doc_id, s.kind AS kind, s.text AS txt,
+                              s.media_ref AS media_ref, ord
+                       FROM (SELECT doc_id, unnest(spans) AS s,
+                                    generate_subscripts(spans, 1) AS ord
+                             FROM read_parquet('{docs_tbl}'))),
+            y AS (SELECT doc_id, kind, media_ref,
+                         lag(kind) OVER w AS pk, lag(txt) OVER w AS pt,
+                         lead(kind) OVER w AS nk, lead(txt) OVER w AS nt
+                  FROM x WINDOW w AS (PARTITION BY doc_id ORDER BY ord))
+            SELECT doc_id, media_ref,
+                   CASE WHEN pk = 'text' THEN right(pt, 24) ELSE '' END
+                       AS before_ctx,
+                   CASE WHEN nk = 'text' THEN substr(nt, 1, 24) ELSE '' END
+                       AS after_ctx
+            FROM y WHERE kind = 'media'
         """,
         "hourly_distinct_users": """
             SELECT date_trunc('hour', ts) AS hour,

@@ -2646,3 +2646,103 @@ def q_soft_tfidf_pairs(sf_dir: str):
             )
 
     return pairs.map_batches(Score, batch_format="pandas", concurrency=(1, 4))
+
+
+QGRAM_Q = 4
+QGRAM_OVERLAP_MIN = 3
+QGRAM_HOT_DF_CAP = 64  # inverted-list length above which a gram is skipped
+
+
+def q_qgram_overlap_pairs(sf_dir: str, min_overlap: int = QGRAM_OVERLAP_MIN):
+    """Q-gram set-similarity join via INVERTED LISTS (Gravano et al.
+    VLDB'01 — the posting-list plan of PPJoin-family joins): name pairs
+    sharing at least ``min_overlap`` distinct character 4-grams, with the
+    exact shared-gram count. The co-occurrence shuffle is keyed by GRAM —
+    each gram's posting list yields its within-list pairs, and a grouped
+    sum folds per-gram contributions into exact overlap counts (the
+    winnow_dups shared-count shape on character q-grams).
+
+    Skew discipline: a stop-gram with df=d yields C(d,2) pairs; grams
+    with df > ``QGRAM_HOT_DF_CAP`` are DROPPED with a logged count (they
+    carry ~zero similarity signal — the blacklist rationale of the
+    reference's frequency gates, 1st Place/src/process_data.py:425-444).
+    The oracle applies the same df cap, so the contract is explicit."""
+    names = distinct_column(read(sf_dir, "part", ["p_name"]), "p_name")
+
+    n_buckets = default_buckets()
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        nm = df["p_name"].astype(str)
+        # vectorized positional q-grams: str.slice sweep, melt, distinct
+        cols = {
+            i: nm.str.slice(i, i + QGRAM_Q)
+            for i in range(int(nm.str.len().max() or 0) - QGRAM_Q + 1)
+        }
+        if not cols:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "p_name": pd.Series([], dtype=object),
+                                 "_tb": pd.Series([], dtype=np.int64)})
+        wide = pd.DataFrame(cols)
+        wide["p_name"] = nm
+        long = wide.melt(id_vars="p_name", value_name="token")[
+            ["token", "p_name"]
+        ]
+        long = long[long["token"].str.len() == QGRAM_Q].drop_duplicates()
+        out = long.reset_index(drop=True)
+        h = pd.util.hash_pandas_object(out["token"], index=False).to_numpy()
+        out["_tb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pa.Table:
+        # one Ray-level group per BUCKET (the VERDICT r3 #1 discipline);
+        # per-token posting lists are contiguous segments after one sort
+        g = g.sort_values(["token", "p_name"], kind="mergesort")
+        nm = g["p_name"].to_numpy(object)
+        tok = g["token"].to_numpy(object)
+        n = len(g)
+        a_parts: list = []
+        b_parts: list = []
+        dropped = 0
+        start = 0
+        for i in range(1, n + 1):
+            if i < n and tok[i] == tok[start]:
+                continue
+            d = i - start
+            if d > QGRAM_HOT_DF_CAP:
+                dropped += 1
+            elif d >= 2:
+                ia, ib = np.triu_indices(d, k=1)
+                a_parts.append(nm[start:i][ia])
+                b_parts.append(nm[start:i][ib])
+            start = i
+        if dropped:
+            logger.warning(
+                "qgram_overlap: dropped %d hot grams (df > %d)",
+                dropped, QGRAM_HOT_DF_CAP,
+            )
+        a = np.concatenate(a_parts) if a_parts else np.array([], dtype=object)
+        b = np.concatenate(b_parts) if b_parts else np.array([], dtype=object)
+        return pa.Table.from_arrays(
+            [pa.array(a, pa.string()), pa.array(b, pa.string()),
+             pa.array(np.ones(len(a), np.int64))],
+            names=["name_a", "name_b", "n"],
+        )
+
+    contrib = (
+        names.map_batches(post, batch_format="pandas")
+        .groupby("_tb")
+        .map_groups(pairs_of_bucket, batch_format="pandas")
+    )
+    sums = grouped_sums(contrib, ["name_a", "name_b"], {"n_shared": "n"})
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["n_shared"] >= min_overlap]
+        return pd.DataFrame(
+            {
+                "name_a": d["name_a"].astype(str),
+                "name_b": d["name_b"].astype(str),
+                "n_shared": d["n_shared"].to_numpy(np.int64),
+            }
+        )
+
+    return sums.map_batches(gate, batch_format="pandas")

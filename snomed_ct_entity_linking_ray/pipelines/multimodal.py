@@ -484,3 +484,54 @@ def q_strip_media_remap(sf_dir: str):
         )
 
     return docs.map_batches(remap, batch_format="pyarrow")
+
+
+def q_media_context(sf_dir: str, k_chars: int = 24):
+    """Caption-context extraction for every media span: the last
+    ``k_chars`` of the PRECEDING text span and the first ``k_chars`` of
+    the FOLLOWING text span (by span order) — the text-media alignment
+    pairs a multimodal training pipeline feeds to a captioner/CLIP-style
+    scorer (SURVEY.md M25's ±window context extractor, applied across
+    the interleaved media axis).
+
+    Arrow shape: one flatten of the list<struct>; neighbours come from
+    ±1 shifts of the flat arrays masked to the same parent doc — no
+    per-row Python, no shuffle (within-doc order is within-block by
+    construction)."""
+    fdir = fixtures.fixture_dir(fixtures.spec_for_sf_dir(sf_dir))
+    docs = rd.read_parquet(f"{fdir}/docs.parquet")
+
+    def ctx(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        offsets = spans.offsets.to_numpy(zero_copy_only=False)
+        parents = np.repeat(np.arange(len(batch), dtype=np.int64), np.diff(offsets))
+        kind = flat.field("kind").to_numpy(zero_copy_only=False)
+        text = flat.field("text").to_numpy(zero_copy_only=False)
+        ref = flat.field("media_ref").to_numpy(zero_copy_only=False)
+        n = len(kind)
+        is_media = kind == "media"
+        prev_ok = np.zeros(n, dtype=bool)
+        next_ok = np.zeros(n, dtype=bool)
+        if n > 1:
+            prev_ok[1:] = (parents[1:] == parents[:-1]) & (kind[:-1] == "text")
+            next_ok[:-1] = (parents[:-1] == parents[1:]) & (kind[1:] == "text")
+        m = np.flatnonzero(is_media)
+        prev_txt = np.where(prev_ok[m], text[np.maximum(m - 1, 0)], "")
+        next_txt = np.where(next_ok[m], text[np.minimum(m + 1, n - 1)], "")
+        before = pd.Series(prev_txt, dtype=object).str[-k_chars:].to_numpy(object)
+        after = pd.Series(next_txt, dtype=object).str[:k_chars].to_numpy(object)
+        return pa.table(
+            {
+                "doc_id": pc.take(batch["doc_id"], pa.array(parents[m])),
+                "media_ref": pa.array(ref[m], pa.string()),
+                "before_ctx": pa.array(before, pa.string()),
+                "after_ctx": pa.array(after, pa.string()),
+            }
+        )
+
+    return docs.map_batches(ctx, batch_format="pyarrow")

@@ -3409,3 +3409,64 @@ def q_segment_runs(sf_dir: str):
         .groupby("_ub")
         .map_groups(runs, batch_format="pandas")
     )
+
+
+def q_audience_overlap(sf_dir: str):
+    """Audience-overlap matrix: for every unordered pair of event types,
+    the number of users active in BOTH — the co-occurrence/segment-
+    intersection query of audience analytics (bitmap-index AND at the
+    warehouse layer).
+
+    Scale shape: per-batch distinct (user, type) bounds the exchange; the
+    combine hash-buckets by USER so each user's type set co-locates, and
+    each bucket emits the user's C(k,2) type pairs VECTORIZED (per-user
+    degree ≤ |event types|, a dictionary-bounded constant — the safe side
+    of bipartite projection; the hot side would be projecting over types).
+    A final ``grouped_sums`` folds pair counts."""
+    ds = read(sf_dir, "events", ["user_id", "event_type"])
+    n_buckets = default_buckets()
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().copy()
+        g["_ub"] = _user_bucket(g["user_id"].to_numpy(np.int64), n_buckets)
+        return g
+
+    def project(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["user_id", "event_type"])
+        g = g.sort_values(["user_id", "event_type"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["event_type"].to_numpy(object)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"type_a": pd.Series([], dtype=object),
+                                 "type_b": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        idx = np.arange(n, dtype=np.int64)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = u[1:] != u[:-1]
+        seg_start = np.maximum.accumulate(np.where(new, idx, 0))
+        a_parts: list = []
+        b_parts: list = []
+        # per-user triu over sorted type lists; degree is bounded by the
+        # event-type dictionary, so this inner loop is O(users x k^2)
+        starts = idx[new]
+        ends = np.append(starts[1:], n)
+        for s0, e0 in zip(starts, ends):
+            d = e0 - s0
+            if d >= 2:
+                ia, ib = np.triu_indices(d, k=1)
+                a_parts.append(t[s0:e0][ia])
+                b_parts.append(t[s0:e0][ib])
+        a = np.concatenate(a_parts) if a_parts else np.array([], dtype=object)
+        b = np.concatenate(b_parts) if b_parts else np.array([], dtype=object)
+        return pd.DataFrame(
+            {"type_a": a, "type_b": b, "n": np.ones(len(a), dtype=np.int64)}
+        )
+
+    contrib = (
+        ds.map_batches(distinct_pairs, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(project, batch_format="pandas")
+    )
+    return grouped_sums(contrib, ["type_a", "type_b"], {"n_common_users": "n"})

@@ -159,6 +159,9 @@ ORACLE_BACKED = [
     "soft_tfidf_pairs",
     "dup_rate_by_source",
     "decontaminate_bloom",
+    "qgram_overlap_pairs",
+    "audience_overlap",
+    "media_context",
 ]
 
 
