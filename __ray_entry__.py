@@ -169,6 +169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qgram_overlap_pairs": er.q_qgram_overlap_pairs,
         "audience_overlap": relational.q_audience_overlap,
         "media_context": multimodal.q_media_context,
+        "value_outliers": relational.q_value_outliers,
+        "match_degree_hist": er.q_match_degree_hist,
+        "dedup_keep_best": dedup.q_dedup_keep_best,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -320,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
             "pq_codes",
             "soft_tfidf_pairs",
             "decontaminate_bloom",
+            "dedup_keep_best",
         )
     }
 
@@ -960,6 +964,34 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN nk = 'text' THEN substr(nt, 1, 24) ELSE '' END
                        AS after_ctx
             FROM y WHERE kind = 'media'
+        """,
+        "value_outliers": """
+            WITH v AS (SELECT event_id, event_type,
+                              CAST(round(value*100,0) AS BIGINT) AS c
+                       FROM events),
+            st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                          CAST(SUM(c) AS HUGEINT) AS sv,
+                          SUM(CAST(c AS HUGEINT) * c) AS svv
+                   FROM v GROUP BY 1)
+            SELECT event_id, v.event_type, c AS value_cents
+            FROM v JOIN st ON v.event_type = st.event_type
+            WHERE (n*c - sv)*(n*c - sv) > 9*(n*svv - sv*sv)
+        """,
+        "match_degree_hist": """
+            WITH names AS (SELECT DISTINCT p_name FROM part),
+            e AS (
+              SELECT a.p_name AS name_a, b.p_name AS name_b
+              FROM names a JOIN names b
+                ON substr(a.p_name,1,1) = substr(b.p_name,1,1)
+               AND abs(length(a.p_name) - length(b.p_name)) <= 3
+               AND a.p_name < b.p_name
+              WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8),
+            nodes AS (SELECT name_a AS node FROM e
+                      UNION ALL SELECT name_b FROM e),
+            deg AS (SELECT node, count(*) AS degree FROM nodes GROUP BY 1)
+            SELECT CAST(degree AS BIGINT) AS degree,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY 1
         """,
         "hourly_distinct_users": """
             SELECT date_trunc('hour', ts) AS hour,

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 19  # r4j: + pq_codes, soft_tfidf_pairs, decontaminate_bloom
+ORACLE_VERSION = 20  # r4j: + dedup_keep_best
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -100,6 +100,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "pq_codes": lambda: _pq_codes(sf_dir),
         "soft_tfidf_pairs": lambda: _soft_tfidf_pairs(sf_dir),
         "decontaminate_bloom": lambda: _decontaminate_bloom(sf_dir),
+        "dedup_keep_best": lambda: _dedup_keep_best(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -1332,5 +1333,39 @@ def _decontaminate_bloom(sf_dir: str, n: int = 3) -> pa.Table:
         {
             "doc_id": pa.array(out_id, pa.int64()),
             "n_contaminated": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def _dedup_keep_best(sf_dir: str, prefix_bits: int = 12) -> pa.Table:
+    """Single-process mirror of pipelines.dedup.q_dedup_keep_best:
+    per-doc simhash64 (shared property-pinned kernel), dict-of-lists
+    buckets, plain max-by-(n_chars, -doc_id) keeper per bucket of ≥2."""
+    from .functions.hashing import simhash64
+
+    t = _read(sf_dir, "documents").select(["doc_id", "text", "n_chars"])
+    ids = [int(i) for i in t.column("doc_id").to_pylist()]
+    nch = [int(i) for i in t.column("n_chars").to_pylist()]
+    buckets: dict = {}
+    for i, txt in enumerate(t.column("text").to_pylist()):
+        h = simhash64(str(txt).split(" "))
+        b = int(np.uint64(h) >> np.uint64(64 - prefix_bits))
+        buckets.setdefault(b, []).append(i)
+    out_b: list = []
+    out_k: list = []
+    out_n: list = []
+    for b in sorted(buckets):
+        rows = buckets[b]
+        if len(rows) < 2:
+            continue
+        best = min(rows, key=lambda i: (-nch[i], ids[i]))
+        out_b.append(b)
+        out_k.append(ids[best])
+        out_n.append(len(rows))
+    return pa.table(
+        {
+            "bucket": pa.array(out_b, pa.int64()),
+            "keeper_doc_id": pa.array(out_k, pa.int64()),
+            "n_dups": pa.array(out_n, pa.int64()),
         }
     )

@@ -913,3 +913,91 @@ def q_dup_rate_by_source(sf_dir: str):
         return df
 
     return sums.map_batches(finish, batch_format="pandas")
+
+
+def q_dedup_keep_best(sf_dir: str, prefix_bits: int = 12):
+    """Survivorship over NEAR-DUP groups: within each SimHash bucket
+    (the q_simhash_buckets blocking key) holding ≥ 2 docs, keep the
+    SINGLE best doc by an integer merit key (n_chars DESC, doc_id ASC —
+    prefer the longest stored variant, deterministic tiebreak). The
+    golden-record rule of q_golden_user_profile applied to content
+    dedup: pick keepers by merit, not by lowest id. Output = the action
+    list a dedup pass would apply (bucket, keeper, group size).
+
+    Shuffle discipline: per-batch rows collapse to (bucket, best-in-
+    batch, count partial) — text never rides the shuffle; the combine
+    hash-buckets the bucket ids (``default_buckets`` tasks, not one
+    Python group per simhash bucket) with ONE vectorized sort +
+    drop_duplicates per task."""
+    import pandas as pd
+
+    from .common import default_buckets, read
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    n_buckets = default_buckets()
+
+    class Partial:
+        """Actor stage: the SimHasher token cache persists across batches
+        (the q_simhash_buckets discipline)."""
+
+        def __init__(self):
+            self.sh = hashing.SimHasher()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {"bucket": pd.Series([], dtype=np.int64),
+                     "doc_id": pd.Series([], dtype=np.int64),
+                     "n_chars": pd.Series([], dtype=np.int64),
+                     "n": pd.Series([], dtype=np.int64),
+                     "_fb": pd.Series([], dtype=np.int64)}
+                )
+            toks = df["text"].str.split(" ")
+            lens = toks.str.len().to_numpy(np.int64)
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            hs = self.sh.batch(flat, offs)
+            g = pd.DataFrame(
+                {
+                    "bucket": (hs >> np.uint64(64 - prefix_bits)).astype(
+                        np.int64
+                    ),
+                    "doc_id": df["doc_id"].to_numpy(np.int64),
+                    "n_chars": df["n_chars"].to_numpy(np.int64),
+                }
+            )
+            g["n"] = np.int64(1)
+            g = g.sort_values(["bucket", "n_chars", "doc_id"],
+                              ascending=[True, False, True], kind="mergesort")
+            counts = g.groupby("bucket", as_index=False)["n"].sum()
+            best = g.drop_duplicates(subset=["bucket"], keep="first").drop(
+                columns=["n"]
+            )
+            out = best.merge(counts, on="bucket")
+            out["_fb"] = (
+                out["bucket"].to_numpy(np.uint64) % np.uint64(n_buckets)
+            ).astype(np.int64)
+            return out
+
+    def bucket_best(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g.groupby("bucket", as_index=False)["n"].sum()
+        g = g.sort_values(["bucket", "n_chars", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        best = g.drop_duplicates(subset=["bucket"], keep="first")[
+            ["bucket", "doc_id"]
+        ]
+        out = best.merge(counts, on="bucket")
+        out = out[out["n"] >= 2]
+        return pd.DataFrame(
+            {
+                "bucket": out["bucket"].to_numpy(np.int64),
+                "keeper_doc_id": out["doc_id"].to_numpy(np.int64),
+                "n_dups": out["n"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(Partial, batch_format="pandas", concurrency=(1, 8))
+        .groupby("_fb")
+        .map_groups(bucket_best, batch_format="pandas")
+    )

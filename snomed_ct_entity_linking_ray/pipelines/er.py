@@ -2746,3 +2746,42 @@ def q_qgram_overlap_pairs(sf_dir: str, min_overlap: int = QGRAM_OVERLAP_MIN):
         )
 
     return sums.map_batches(gate, batch_format="pandas")
+
+
+def q_match_degree_hist(sf_dir: str):
+    """Degree distribution of the fuzzy-match graph — the skew diagnostic
+    run BEFORE transitive clustering (a heavy-tailed degree histogram is
+    the signal to salt hot nodes / cap star contraction; PAPERS.md
+    BTS-style balancing). Edges are ``q_fuzzy_name_pairs``; each edge
+    contributes to both endpoints' degrees; output = (degree,
+    n_nodes).
+
+    Shape: explode each edge into two (node, 1) rows inside the same
+    batch, fold per-node degrees with one ``grouped_sums``, then fold the
+    degree histogram with a second — both exchanges carry partial rows
+    only."""
+    edges = q_fuzzy_name_pairs(sf_dir)
+
+    def ends(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [df["name_a"].to_numpy(object), df["name_b"].to_numpy(object)]
+                ),
+                "one": np.ones(2 * len(df), dtype=np.int64),
+            }
+        )
+
+    deg = grouped_sums(
+        edges.map_batches(ends, batch_format="pandas"), ["node"], {"degree": "one"}
+    )
+
+    def as_hist(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"degree": df["degree"].to_numpy(np.int64),
+             "one": np.ones(len(df), dtype=np.int64)}
+        )
+
+    return grouped_sums(
+        deg.map_batches(as_hist, batch_format="pandas"), ["degree"], {"n_nodes": "one"}
+    )

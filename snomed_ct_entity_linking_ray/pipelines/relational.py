@@ -3470,3 +3470,67 @@ def q_audience_overlap(sf_dir: str):
         .map_groups(project, batch_format="pandas")
     )
     return grouped_sums(contrib, ["type_a", "type_b"], {"n_common_users": "n"})
+
+
+def q_value_outliers(sf_dir: str):
+    """Grouped z-score outliers, EXACT: events whose value sits more than
+    3 population standard deviations from their event_type's mean. The
+    float-free contract: |n·v − sum| > isqrt(9·(n·sumsq − sum²)) — the
+    squared form the oracle evaluates in HUGEINT — so no float mean/σ
+    ever crosses a boundary and results are identical at any batch
+    layout.
+
+    Two-pass shape: pass 1 folds per-batch (n, Σv, Σv²) partials per type
+    (``grouped_sums``; the moments discipline of q_grouped_variance);
+    the driver derives each type's integer threshold with PYTHON BIG INTS
+    (9·n·sumsq overflows int64 at ~10⁹ rows/group — bounded driver math,
+    one row per type); pass 2 broadcasts {type: (n, sum, t)} and filters
+    each batch with vectorized int64 compares."""
+    import math
+
+    ds = read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        v = cents(df["value"])
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].astype(str),
+                "v": v,
+                "v2": v * v,
+            }
+        )
+
+    stats = grouped_sums(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["event_type"],
+        {"s": "v", "ss": "v2"},
+        count_as="n",
+    ).to_pandas()
+    thresholds = {}
+    for r in stats.itertuples(index=False):
+        n, s_, ss = int(r.n), int(r.s), int(r.ss)
+        t = math.isqrt(max(9 * (n * ss - s_ * s_), 0))
+        thresholds[str(r.event_type)] = (n, s_, t)
+    ref = broadcast(thresholds)
+
+    class Filter:
+        def __init__(self):
+            self.th = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            et = df["event_type"].astype(str)
+            v = cents(df["value"])
+            n = et.map({k: x[0] for k, x in self.th.items()}).to_numpy(np.int64)
+            s_ = et.map({k: x[1] for k, x in self.th.items()}).to_numpy(np.int64)
+            t = et.map({k: x[2] for k, x in self.th.items()}).to_numpy(np.int64)
+            keep = np.abs(n * v - s_) > t
+            d = df[keep]
+            return pd.DataFrame(
+                {
+                    "event_id": d["event_id"].to_numpy(np.int64),
+                    "event_type": d["event_type"].astype(str),
+                    "value_cents": v[keep],
+                }
+            )
+
+    return ds.map_batches(Filter, batch_format="pandas", concurrency=(1, 4))

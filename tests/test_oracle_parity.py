@@ -162,6 +162,9 @@ ORACLE_BACKED = [
     "qgram_overlap_pairs",
     "audience_overlap",
     "media_context",
+    "value_outliers",
+    "match_degree_hist",
+    "dedup_keep_best",
 ]
 
 
