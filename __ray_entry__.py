@@ -172,6 +172,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": relational.q_value_outliers,
         "match_degree_hist": er.q_match_degree_hist,
         "dedup_keep_best": dedup.q_dedup_keep_best,
+        "ann_recall": vectors.q_ann_recall,
+        "user_first_last": relational.q_user_first_last,
+        "top2_gap": relational.q_top2_gap,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -992,6 +995,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(degree AS BIGINT) AS degree,
                    CAST(count(*) AS BIGINT) AS n_nodes
             FROM deg GROUP BY 1
+        """,
+        "ann_recall": f"""
+            WITH e AS (
+              SELECT query_id, match_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                       row_number() OVER (
+                            PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(
+                                q.embedding, c.embedding) DESC,
+                                     c.vec_id) AS rank
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 16 AND c.vec_id >= 16
+              ) WHERE rank <= 5),
+            a AS (SELECT query_id, match_id
+                  FROM read_parquet('{odir}/cosine_topk_ivf.parquet'))
+            SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits,
+                   CAST(5 AS BIGINT) AS k
+            FROM e JOIN a ON e.query_id = a.query_id
+                         AND e.match_id = a.match_id
+            GROUP BY 1
+        """,
+        "user_first_last": """
+            WITH o AS (SELECT user_id, event_type,
+                              CAST(round(value*100,0) AS BIGINT) AS c,
+                              row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rf,
+                              row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rl
+                       FROM events)
+            SELECT f.user_id, f.event_type AS first_type,
+                   l.event_type AS last_type,
+                   CAST(l.c - f.c AS BIGINT) AS value_delta_cents
+            FROM (SELECT * FROM o WHERE rf = 1) f
+            JOIN (SELECT * FROM o WHERE rl = 1) l USING (user_id)
+        """,
+        "top2_gap": """
+            WITH v AS (SELECT event_type,
+                              CAST(round(value*100,0) AS BIGINT) AS c
+                       FROM events),
+            r AS (SELECT event_type, c, row_number() OVER (
+                      PARTITION BY event_type ORDER BY c DESC) AS rk
+                  FROM v)
+            SELECT event_type,
+                   MAX(CASE WHEN rk = 1 THEN c END) AS top_cents,
+                   CAST(MAX(CASE WHEN rk = 1 THEN c END)
+                        - COALESCE(MAX(CASE WHEN rk = 2 THEN c END),
+                                   MAX(CASE WHEN rk = 1 THEN c END))
+                        AS BIGINT) AS gap_cents
+            FROM r WHERE rk <= 2 GROUP BY 1
         """,
         "hourly_distinct_users": """
             SELECT date_trunc('hour', ts) AS hour,

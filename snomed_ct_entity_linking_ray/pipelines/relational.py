@@ -3534,3 +3534,88 @@ def q_value_outliers(sf_dir: str):
             )
 
     return ds.map_batches(Filter, batch_format="pandas", concurrency=(1, 4))
+
+
+def q_user_first_last(sf_dir: str):
+    """First AND last event per user in one pass, plus the value delta —
+    the symmetric mergeable pair of ``q_first_event_per_user``
+    (arg-min/arg-max by (ts, event_id) are both MERGEABLE aggregates, so
+    one shuffle carries two slim rows per user per batch and the combine
+    is the same vectorized sort + head/tail per user bucket)."""
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    n_buckets = default_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts": df["ts"].astype("datetime64[us]"),
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "event_type": df["event_type"].astype(str),
+                "v": cents(df["value"]),
+            }
+        ).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        first = d.drop_duplicates(subset=["user_id"], keep="first")
+        last = d.drop_duplicates(subset=["user_id"], keep="last")
+        out = pd.concat([first, last], ignore_index=True)
+        out["_ub"] = _user_bucket(out["user_id"].to_numpy(np.int64), n_buckets)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        first = g.drop_duplicates(subset=["user_id"], keep="first").set_index(
+            "user_id"
+        )
+        last = g.drop_duplicates(subset=["user_id"], keep="last").set_index(
+            "user_id"
+        )
+        users = first.index.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "first_type": first["event_type"].to_numpy(object),
+                "last_type": last["event_type"].to_numpy(object),
+                "value_delta_cents": (
+                    last["v"].to_numpy(np.int64) - first["v"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def q_top2_gap(sf_dir: str):
+    """Runner-up gap per group: the difference between the highest and
+    second-highest event value in each event_type — the argmax-confidence
+    margin (a two-element mergeable partial: each batch ships its local
+    top-2 per group, the combine re-top-2s — the bounded generalization
+    of MAX)."""
+    ds = read(sf_dir, "events", ["event_type", "value"])
+
+    def top2(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"event_type": df["event_type"].astype(str), "v": cents(df["value"])}
+        )
+        d = d.sort_values(["event_type", "v"], ascending=[True, False],
+                          kind="mergesort")
+        return d.groupby("event_type", as_index=False).head(2)
+
+    partial = ds.map_batches(top2, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v", ascending=False, kind="mergesort").head(2)
+        v = g["v"].to_numpy(np.int64)
+        gap = v[0] - v[1] if len(v) >= 2 else np.int64(0)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "top_cents": np.array([v[0]], dtype=np.int64),
+                "gap_cents": np.array([gap], dtype=np.int64),
+            }
+        )
+
+    return partial.groupby("event_type").map_groups(final, batch_format="pandas")

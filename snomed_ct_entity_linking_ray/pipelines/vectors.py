@@ -805,3 +805,61 @@ def q_pq_codes(sf_dir: str, m: int = PQ_M, k: int = PQ_K, n_iter: int = KMEANS_I
         )
 
     return slim.map_batches(encode, batch_format="pandas")
+
+
+def q_ann_recall(sf_dir: str, k: int = 5):
+    """ANN quality evaluation: per query, how many of the EXACT cosine
+    top-k the IVF approximate search recovered (recall@k numerator) —
+    the accept/reject gate for any approximate index before it replaces
+    brute force at scale.
+
+    Shape: both sides are the existing bounded pipelines
+    (``q_cosine_topk`` exact, ``q_cosine_topk_ivf`` approximate); their
+    outputs are O(n_queries × k) rows, so the comparison is one hash
+    join on (query_id, match_id) + a grouped count — evaluation never
+    touches the corpus again."""
+    from .common import grouped_sums
+
+    exact = q_cosine_topk(sf_dir, k=k)
+    approx = q_cosine_topk_ivf(sf_dir, k=k)
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "query_id": df["query_id"].to_numpy(np.int64),
+                "match_id": df["match_id"].to_numpy(np.int64),
+            }
+        )
+
+    e = exact.map_batches(slim, batch_format="pandas")
+    a = approx.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "aq": df["query_id"].to_numpy(np.int64),
+                "am": df["match_id"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    j = e.join(a, "inner", num_partitions=n_part,
+               on=("query_id", "match_id"), right_on=("aq", "am"))
+
+    def ones(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "query_id": df["query_id"].to_numpy(np.int64),
+                "one": np.ones(len(df), dtype=np.int64),
+            }
+        )
+
+    hits = grouped_sums(
+        j.map_batches(ones, batch_format="pandas"), ["query_id"], {"n_hits": "one"}
+    )
+
+    def attach_k(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["k"] = np.int64(k)
+        return out
+
+    return hits.map_batches(attach_k, batch_format="pandas")

@@ -165,6 +165,9 @@ ORACLE_BACKED = [
     "value_outliers",
     "match_degree_hist",
     "dedup_keep_best",
+    "ann_recall",
+    "user_first_last",
+    "top2_gap",
 ]
 
 
