@@ -175,6 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall": vectors.q_ann_recall,
         "user_first_last": relational.q_user_first_last,
         "top2_gap": relational.q_top2_gap,
+        "transitive_pairs": er.q_transitive_pairs,
+        "order_latency": relational.q_order_latency,
+        "top_words_per_lang": text.q_top_words_per_lang,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -1044,6 +1047,48 @@ def oracle_sql() -> dict[str, str]:
                                    MAX(CASE WHEN rk = 1 THEN c END))
                         AS BIGINT) AS gap_cents
             FROM r WHERE rk <= 2 GROUP BY 1
+        """,
+        "transitive_pairs": """
+            WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+            e AS (SELECT a.p_name AS na, b.p_name AS nb
+                  FROM names a JOIN names b
+                    ON substr(a.p_name,1,1) = substr(b.p_name,1,1)
+                   AND abs(length(a.p_name) - length(b.p_name)) <= 3
+                   AND a.p_name < b.p_name
+                  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8),
+            und AS (SELECT na, nb FROM e UNION SELECT nb, na FROM e),
+            reach(src, dst) AS (
+                SELECT p_name, p_name FROM names
+                UNION
+                SELECT r.src, u.nb FROM reach r JOIN und u ON r.dst = u.na
+            ),
+            clus AS (SELECT src AS p_name, min(dst) AS rep
+                     FROM reach GROUP BY src)
+            SELECT a.p_name AS name_a, b.p_name AS name_b
+            FROM clus a JOIN clus b
+              ON a.rep = b.rep AND a.p_name < b.p_name
+            LEFT JOIN e ON e.na = a.p_name AND e.nb = b.p_name
+            WHERE e.na IS NULL
+        """,
+        "order_latency": """
+            SELECT o_orderkey,
+                   CAST((epoch_us(last_ship) - epoch_us(o_orderdate))
+                        // 86400000000 AS BIGINT) AS fill_days
+            FROM orders JOIN (
+              SELECT l_orderkey, max(l_shipdate) AS last_ship
+              FROM lineitem GROUP BY 1) ON o_orderkey = l_orderkey
+        """,
+        "top_words_per_lang": """
+            WITH c AS (
+              SELECT lang, word, CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+              WHERE word <> '' GROUP BY 1, 2),
+            r AS (SELECT lang, word, n, CAST(row_number() OVER (
+                      PARTITION BY lang ORDER BY n DESC, word) AS BIGINT)
+                      AS rank
+                  FROM c)
+            SELECT lang, word, n, rank FROM r WHERE rank <= 5
         """,
         "hourly_distinct_users": """
             SELECT date_trunc('hour', ts) AS hour,

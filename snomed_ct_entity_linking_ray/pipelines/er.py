@@ -2785,3 +2785,84 @@ def q_match_degree_hist(sf_dir: str):
     return grouped_sums(
         deg.map_batches(as_hist, batch_format="pandas"), ["degree"], {"n_nodes": "one"}
     )
+
+
+TRANSITIVE_CLUSTER_CAP = 4096
+
+
+def q_transitive_pairs(sf_dir: str):
+    """The CLERICAL-REVIEW QUEUE of transitive clustering: pairs implied
+    by connectivity (same connected component of the match graph) that
+    are NOT themselves match edges. Union-find asserts these
+    transitively; a production linkage routes exactly this set to
+    review/re-scoring before merging golden records — the
+    confirm-the-bridges discipline of q_pair_triangles, inverted.
+
+    Shape: components + in-cluster pair generation + pair anti-join:
+    cluster labels from ``q_name_clusters`` (vocabulary-bounded), members
+    hash-bucketed BY CLUSTER REP so each cluster's members co-locate
+    (clusters over ``TRANSITIVE_CLUSTER_CAP`` members truncate with a
+    logged drop — the _cap_block discipline), vectorized triu pairs per
+    cluster segment, then an anti-join against the edge set on the
+    canonical pair key (``semi_anti_filter``: broadcast under the key
+    threshold, hash join above)."""
+    from .common import semi_anti_filter
+
+    clusters = q_name_clusters(sf_dir)
+    n_buckets = default_buckets()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        h = pd.util.hash_pandas_object(out["cluster_rep"], index=False).to_numpy()
+        out["_cb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def pairs_of(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["cluster_rep", "p_name"], kind="mergesort")
+        rep = g["cluster_rep"].to_numpy(object)
+        nm = g["p_name"].to_numpy(object)
+        n = len(g)
+        a_parts: list = []
+        b_parts: list = []
+        dropped = 0
+        start = 0
+        for i in range(1, n + 1):
+            if i < n and rep[i] == rep[start]:
+                continue
+            d = i - start
+            if d > TRANSITIVE_CLUSTER_CAP:
+                dropped += 1
+            elif d >= 2:
+                ia, ib = np.triu_indices(d, k=1)
+                a_parts.append(nm[start:i][ia])
+                b_parts.append(nm[start:i][ib])
+            start = i
+        if dropped:
+            logger.warning(
+                "transitive_pairs: dropped %d clusters over %d members",
+                dropped, TRANSITIVE_CLUSTER_CAP,
+            )
+        a = np.concatenate(a_parts) if a_parts else np.array([], dtype=object)
+        b = np.concatenate(b_parts) if b_parts else np.array([], dtype=object)
+        return pa.Table.from_arrays(
+            [pa.array(a, pa.string()), pa.array(b, pa.string())],
+            names=["name_a", "name_b"],
+        )
+
+    cand = (
+        clusters.map_batches(tag, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(pairs_of, batch_format="pandas")
+    )
+
+    def pk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_pk"] = out["name_a"].astype(str) + "\x00" + out["name_b"].astype(str)
+        return out
+
+    edges_pk = q_fuzzy_name_pairs(sf_dir).map_batches(pk, batch_format="pandas")
+    out = semi_anti_filter(
+        cand.map_batches(pk, batch_format="pandas"), "_pk", edges_pk, "_pk",
+        anti=True,
+    )
+    return out.select_columns(["name_a", "name_b"])

@@ -3619,3 +3619,50 @@ def q_top2_gap(sf_dir: str):
         )
 
     return partial.groupby("event_type").map_groups(final, batch_format="pandas")
+
+
+def q_order_latency(sf_dir: str):
+    """Order-fulfilment latency: days from order date to the LAST shipment
+    of any of its lineitems — the grouped-max-over-join latency metric
+    (one fact-fact hash join on the shared key, then ``grouped_sums``-
+    shaped max partials; the max is taken per batch first so the shuffle
+    carries one row per order per batch)."""
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    n_buckets = default_buckets()
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "ship_us": df["l_shipdate"].astype("datetime64[us]").astype(np.int64),
+            }
+        )
+        out = g.groupby("l_orderkey", as_index=False)["ship_us"].max()
+        out["_ob"] = _user_bucket(out["l_orderkey"].to_numpy(np.int64), n_buckets)
+        return out
+
+    def li_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False)["ship_us"].max()
+
+    last_ship = (
+        li.map_batches(li_prep, batch_format="pandas")
+        .groupby("_ob")
+        .map_groups(li_combine, batch_format="pandas")
+    )
+    n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    j = orders.join(last_ship, "inner", num_partitions=n_part,
+                    on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def days(df: pd.DataFrame) -> pd.DataFrame:
+        od = df["o_orderdate"].astype("datetime64[us]").astype(np.int64)
+        us_per_day = 86_400 * 10**6
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "fill_days": (df["ship_us"].to_numpy(np.int64) - od)
+                // us_per_day,
+            }
+        )
+
+    return j.map_batches(days, batch_format="pandas")

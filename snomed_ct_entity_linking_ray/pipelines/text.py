@@ -990,3 +990,41 @@ def q_lm_perplexity(sf_dir: str):
             )
 
     return ds.map_batches(Score, batch_format="pandas", concurrency=(1, 4))
+
+
+def q_top_words_per_lang(sf_dir: str, k: int = 5):
+    """Grouped top-k vocabulary: the k most frequent words per language
+    (count DESC, word ASC tie-break) — the per-stratum variant of
+    q_vocab_topk a curation report runs per language/source. Per-batch
+    (lang, word) partial counts bound the shuffle; the final per-lang
+    top-k dispatches one group per LANGUAGE (dictionary-bounded, the
+    q_top2_gap rationale)."""
+    ds = read(sf_dir, "documents", ["lang", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].astype(str).str.split().explode().dropna()
+        lang = df["lang"].astype(str).reindex(ex.index)
+        g = pd.DataFrame({"lang": lang.to_numpy(object),
+                          "word": ex.to_numpy(object)})
+        out = g.groupby(["lang", "word"], as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    sums = grouped_sums(
+        ds.map_batches(counts, batch_format="pandas"), ["lang", "word"], {"n": "n"}
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "word"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return pd.DataFrame(
+            {
+                "lang": g["lang"].astype(str),
+                "word": g["word"].astype(str),
+                "n": g["n"].to_numpy(np.int64),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return sums.groupby("lang").map_groups(topk, batch_format="pandas")

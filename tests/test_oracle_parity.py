@@ -168,6 +168,9 @@ ORACLE_BACKED = [
     "ann_recall",
     "user_first_last",
     "top2_gap",
+    "transitive_pairs",
+    "order_latency",
+    "top_words_per_lang",
 ]
 
 
