@@ -553,3 +553,61 @@ def test_mmr_topk_invariants(ray_session):
         pool = {int(cid[i]) for i in order[:24]}
         assert int(g["match_id"].iloc[0]) == top1
         assert set(g["match_id"].astype(int)) <= pool
+
+
+def test_pq_codes_invariants(ray_session):
+    """PQ structural contract: every code packs m 4-bit fields (so it is
+    within [0, 16^4)), all vectors are coded, and decoding each subspace
+    id re-assigns the vector to its genuinely nearest final centroid
+    under the integer metric (verified for subspace 0 by recomputing the
+    codebook independently is out of scope — the oracle parity pins
+    exactness; here we pin the packing + coverage)."""
+    from snomed_ct_entity_linking_ray.pipelines import vectors
+
+    sf = "/root/testdata/sf0.001"
+    out = vectors.q_pq_codes(sf).to_pandas()
+    import pyarrow.parquet as pq
+
+    n = len(pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id"]))
+    assert len(out) == n
+    assert out["vec_id"].is_unique
+    codes = out["pq_code"].to_numpy()
+    assert (codes >= 0).all() and (codes < 16**4).all()
+
+
+def test_em_weights_separates(ray_session):
+    """On the fixture's pattern histogram the EM fixed point must be
+    separating: every field's match probability m exceeds its unmatch
+    probability u (w_agree positive, w_disagree negative) — the sanity
+    property Winkler-style unsupervised estimation is used for."""
+    from snomed_ct_entity_linking_ray.pipelines import er
+
+    out = er.q_em_weights("/root/testdata/sf0.001")
+    assert len(out) == 3
+    assert (out["m_micro"] > out["u_micro"]).all()
+    assert (out["w_agree_micro"] > 0).all()
+    assert (out["w_disagree_micro"] < 0).all()
+
+
+def test_value_outliers_matches_float_zscore(ray_session):
+    """The integer-sqrt outlier contract must agree with the plain float
+    z-score definition except within float rounding of the boundary —
+    on the fixture the margin is far wider than an ulp, so the sets are
+    equal."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from snomed_ct_entity_linking_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    out = relational.q_value_outliers(sf).to_pandas()
+    df = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_id", "event_type", "value"]).to_pandas()
+    v = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+    flagged = set()
+    for et, g in df.assign(c=v).groupby("event_type"):
+        c = g["c"].to_numpy(np.float64)
+        mu, sd = c.mean(), c.std()  # population std, matches n*ss - s^2 form
+        m = np.abs(c - mu) > 3 * sd
+        flagged |= set(g["event_id"].to_numpy()[m].tolist())
+    assert set(out["event_id"].tolist()) == flagged
