@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitive_pairs": er.q_transitive_pairs,
         "order_latency": relational.q_order_latency,
         "top_words_per_lang": text.q_top_words_per_lang,
+        "compression_ratio": text.q_compression_ratio,
+        "span_transitions": multimodal.q_span_transitions,
+        "match_pagerank": er.q_match_pagerank,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -330,6 +333,8 @@ def oracle_sql() -> dict[str, str]:
             "soft_tfidf_pairs",
             "decontaminate_bloom",
             "dedup_keep_best",
+            "match_pagerank",
+            "compression_ratio",
         )
     }
 
@@ -1089,6 +1094,19 @@ def oracle_sql() -> dict[str, str]:
                       AS rank
                   FROM c)
             SELECT lang, word, n, rank FROM r WHERE rank <= 5
+        """,
+        "span_transitions": f"""
+            SELECT kind_from, kind_to, CAST(count(*) AS BIGINT)
+                       AS n_transitions
+            FROM (SELECT doc_id, kind,
+                         lag(kind) OVER (PARTITION BY doc_id
+                                         ORDER BY ord) AS kind_from,
+                         kind AS kind_to
+                  FROM (SELECT doc_id, unnest(spans).kind AS kind,
+                               generate_subscripts(spans, 1) AS ord
+                        FROM read_parquet('{docs_tbl}')))
+            WHERE kind_from IS NOT NULL
+            GROUP BY 1, 2
         """,
         "hourly_distinct_users": """
             SELECT date_trunc('hour', ts) AS hour,

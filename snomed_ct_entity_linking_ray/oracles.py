@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 20  # r4j: + dedup_keep_best
+ORACLE_VERSION = 22  # r4j: + dedup_keep_best, match_pagerank, compression_ratio
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -101,6 +101,8 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "soft_tfidf_pairs": lambda: _soft_tfidf_pairs(sf_dir),
         "decontaminate_bloom": lambda: _decontaminate_bloom(sf_dir),
         "dedup_keep_best": lambda: _dedup_keep_best(sf_dir),
+        "match_pagerank": lambda: _match_pagerank(sf_dir),
+        "compression_ratio": lambda: _compression_ratio(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -1367,5 +1369,63 @@ def _dedup_keep_best(sf_dir: str, prefix_bits: int = 12) -> pa.Table:
             "bucket": pa.array(out_b, pa.int64()),
             "keeper_doc_id": pa.array(out_k, pa.int64()),
             "n_dups": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def _match_pagerank(sf_dir: str, n_iter: int = 10) -> pa.Table:
+    """Single-process mirror of pipelines.er.q_match_pagerank: brute-force
+    blocked fuzzy edges (shared property-pinned jaro_winkler), adjacency
+    dict, the same integer power-iteration contract in scalar loops."""
+    from .functions.similarity import jaro_winkler
+
+    names = sorted(
+        set(str(x) for x in _read(sf_dir, "part").column("p_name").to_pylist())
+    )
+    n = len(names)
+    adj: dict = {i: [] for i in range(n)}
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = names[i], names[j]
+            if a[:1] != b[:1] or abs(len(a) - len(b)) > 3:
+                continue
+            if jaro_winkler(a, b) < 0.8:
+                continue
+            adj[i].append(j)
+            adj[j].append(i)
+    S = 10**12
+    base = (15 * S) // (100 * n)
+    r = [S // n] * n
+    for _ in range(n_iter):
+        sums = [0] * n
+        for u in range(n):
+            d = max(len(adj[u]), 1)
+            c = r[u] // d
+            for v in adj[u]:
+                sums[v] += c
+        r = [base + (85 * s) // 100 for s in sums]
+    return pa.table(
+        {
+            "p_name": pa.array(names, pa.string()),
+            "pagerank_pico": pa.array(r, pa.int64()),
+        }
+    )
+
+
+def _compression_ratio(sf_dir: str) -> pa.Table:
+    """Single-process mirror of pipelines.text.q_compression_ratio: the
+    same public zlib codec at level 6, plain loop."""
+    import zlib
+
+    t = _read(sf_dir, "documents").select(["doc_id", "text"])
+    ids = [int(i) for i in t.column("doc_id").to_pylist()]
+    raw = [str(x).encode("utf-8") for x in t.column("text").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "raw_bytes": pa.array([len(b) for b in raw], pa.int64()),
+            "deflate_bytes": pa.array(
+                [len(zlib.compress(b, 6)) for b in raw], pa.int64()
+            ),
         }
     )

@@ -535,3 +535,46 @@ def q_media_context(sf_dir: str, k_chars: int = 24):
         )
 
     return docs.map_batches(ctx, batch_format="pyarrow")
+
+
+def q_span_transitions(sf_dir: str):
+    """Span-kind transition counts over the interleaved docs — the Markov
+    structure of the text/media interleaving (how often media follows
+    text vs text follows media), the layout statistic a multimodal
+    packing stage uses to size its buffers. The event_transitions shape
+    on the spans axis: one flatten, a ±1 shift masked to the same parent
+    doc, one ``grouped_sums`` fold of (kind_from, kind_to) partials."""
+    from .common import grouped_sums
+
+    fdir = fixtures.fixture_dir(fixtures.spec_for_sf_dir(sf_dir))
+    docs = rd.read_parquet(f"{fdir}/docs.parquet")
+
+    def trans(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        offsets = spans.offsets.to_numpy(zero_copy_only=False)
+        parents = np.repeat(np.arange(len(batch), dtype=np.int64), np.diff(offsets))
+        kind = flat.field("kind").to_numpy(zero_copy_only=False)
+        n = len(kind)
+        if n < 2:
+            return pa.table({"kind_from": pa.array([], pa.string()),
+                             "kind_to": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = parents[1:] == parents[:-1]
+        import pandas as pd
+
+        g = pd.DataFrame(
+            {"kind_from": kind[:-1][same], "kind_to": kind[1:][same]}
+        ).groupby(["kind_from", "kind_to"], as_index=False).size()
+        return pa.table(
+            {
+                "kind_from": pa.array(g["kind_from"].to_numpy(object), pa.string()),
+                "kind_to": pa.array(g["kind_to"].to_numpy(object), pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    partial = docs.map_batches(trans, batch_format="pyarrow")
+    return grouped_sums(partial, ["kind_from", "kind_to"], {"n_transitions": "n"})

@@ -1028,3 +1028,37 @@ def q_top_words_per_lang(sf_dir: str, k: int = 5):
         )
 
     return sums.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
+def q_compression_ratio(sf_dir: str):
+    """Compressibility quality signal: per-doc DEFLATE size (zlib level 6)
+    next to the raw byte length — the near-free repetitiveness detector
+    production filters run alongside Gopher rules (highly compressible =
+    boilerplate/repetition; incompressible = binary noise). Integer
+    contract: both columns are exact byte counts from the same public
+    codec, so the oracle compare is bit-exact.
+
+    Shape: embarrassingly parallel map, no shuffle; compression is the
+    per-row kernel (CPU-bound C code — the md5-fingerprint rationale),
+    batched through an actor pool."""
+    import zlib
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def comp(df: pd.DataFrame) -> pd.DataFrame:
+        raw = [t.encode("utf-8") for t in df["text"].astype(str)]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "raw_bytes": np.fromiter(
+                    (len(b) for b in raw), dtype=np.int64, count=len(raw)
+                ),
+                "deflate_bytes": np.fromiter(
+                    (len(zlib.compress(b, 6)) for b in raw),
+                    dtype=np.int64,
+                    count=len(raw),
+                ),
+            }
+        )
+
+    return ds.map_batches(comp, batch_format="pandas")

@@ -171,6 +171,9 @@ ORACLE_BACKED = [
     "transitive_pairs",
     "order_latency",
     "top_words_per_lang",
+    "compression_ratio",
+    "span_transitions",
+    "match_pagerank",
 ]
 
 
