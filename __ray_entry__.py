@@ -181,6 +181,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": text.q_compression_ratio,
         "span_transitions": multimodal.q_span_transitions,
         "match_pagerank": er.q_match_pagerank,
+        "simhash_pairs": dedup.q_simhash_pairs,
+        "hourly_delta": relational.q_hourly_delta,
+        "vocab_growth": text.q_vocab_growth,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -1107,6 +1110,45 @@ def oracle_sql() -> dict[str, str]:
                         FROM read_parquet('{docs_tbl}')))
             WHERE kind_from IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "simhash_pairs": f"""
+            WITH s AS (SELECT doc_id, simhash
+                       FROM read_parquet('{odir}/simhash_buckets.parquet')),
+            sb AS (SELECT doc_id, simhash, bucket
+                   FROM read_parquet('{odir}/simhash_buckets.parquet'))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+            FROM sb a JOIN sb b
+              ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "hourly_delta": """
+            WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+                              CAST(SUM(CAST(round(value*100,0) AS BIGINT))
+                                   AS BIGINT) AS sum_cents
+                       FROM events GROUP BY 1)
+            SELECT hour, sum_cents, CAST(d AS BIGINT) AS delta_cents
+            FROM (SELECT hour, sum_cents,
+                         sum_cents - lag(sum_cents) OVER (ORDER BY hour) AS d
+                  FROM h)
+            WHERE d IS NOT NULL
+        """,
+        "vocab_growth": """
+            WITH nn AS (SELECT count(*) AS c FROM documents),
+            w AS (SELECT word, min(doc_id) AS first_doc
+                  FROM (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS word
+                        FROM documents)
+                  WHERE word <> '' GROUP BY 1),
+            h AS (SELECT first_doc // (SELECT GREATEST(1, (c + 9) // 10)
+                                       FROM nn) AS decile,
+                         count(*) AS n_new
+                  FROM w GROUP BY 1)
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(SUM(n_new) OVER (ORDER BY decile) AS BIGINT)
+                       AS vocab_size
+            FROM h
         """,
         "hourly_distinct_users": """
             SELECT date_trunc('hour', ts) AS hour,

@@ -1001,3 +1001,55 @@ def q_dedup_keep_best(sf_dir: str, prefix_bits: int = 12):
         .groupby("_fb")
         .map_groups(bucket_best, batch_format="pandas")
     )
+
+
+SIMHASH_PAIR_MAXDIST = 3
+SIMHASH_BUCKET_CAP = 4096
+
+
+def q_simhash_pairs(sf_dir: str, max_dist: int = SIMHASH_PAIR_MAXDIST,
+                    prefix_bits: int = 12):
+    """SimHash near-dup PAIRS: same-bucket candidates VERIFIED by Hamming
+    distance ≤ ``max_dist`` over the full 64-bit signature — the verify
+    stage q_simhash_buckets feeds (bucket = recall, popcount = precision;
+    Manku et al. WWW'07's detection step).
+
+    Shape: the bucketed signatures ride one (bucket, doc_id, simhash)
+    shuffle; per-bucket triu pairs (capped with a logged drop) are
+    verified by a vectorized XOR + 4-bit-nibble popcount — no per-pair
+    Python. Oracle: pure SQL bit_count(xor(...)) over the simhash oracle
+    parquet, so the signature kernel and the distance test are checked
+    end-to-end."""
+    cand = q_simhash_buckets(sf_dir, prefix_bits=prefix_bits)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = _cap_block(g, "doc_id", "simhash_pair", SIMHASH_BUCKET_CAP)
+        g = g.sort_values("doc_id", kind="mergesort")
+        ids = g["doc_id"].to_numpy(np.int64)
+        hs = g["simhash"].to_numpy(np.int64).view(np.uint64)
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        ia, ib = np.triu_indices(n, k=1)
+        x = hs[ia] ^ hs[ib]
+        # vectorized 64-bit popcount (SWAR)
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        pop = ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+            np.int64
+        )
+        keep = pop <= max_dist
+        return pd.DataFrame(
+            {
+                "doc_a": ids[ia[keep]],
+                "doc_b": ids[ib[keep]],
+                "hamming": pop[keep],
+            }
+        )
+
+    return cand.groupby("bucket").map_groups(pairs, batch_format="pandas")

@@ -3666,3 +3666,41 @@ def q_order_latency(sf_dir: str):
         )
 
     return j.map_batches(days, batch_format="pandas")
+
+
+def q_hourly_delta(sf_dir: str):
+    """Derivative of an aggregated time series: total event value per
+    hour plus the cent delta vs the previous PRESENT hour — the
+    aggregate-then-window composition (the window runs over the BOUNDED
+    aggregated series, never the fact rows; lag() on partials is free
+    once the grouped_sums pass has collapsed the input)."""
+    ds = read(sf_dir, "events", ["ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "hour_idx": df["ts"].astype("datetime64[us]").astype(np.int64)
+                // (3600 * 10**6),
+                "v": cents(df["value"]),
+            }
+        )
+
+    sums = grouped_sums(
+        ds.map_batches(prep, batch_format="pandas"), ["hour_idx"], {"sum_cents": "v"}
+    ).to_pandas()  # bounded by distinct hours
+    sums = sums.sort_values("hour_idx")
+    hrs = sums["hour_idx"].to_numpy(np.int64)
+    v = sums["sum_cents"].to_numpy(np.int64)
+    delta = np.zeros(len(v), dtype=np.int64)
+    delta[1:] = v[1:] - v[:-1]
+    out = pd.DataFrame(
+        {
+            "hour": (hrs * (3600 * 10**6)).astype("datetime64[us]"),
+            "sum_cents": v,
+            "delta_cents": delta,
+        }
+    )
+    out = out.iloc[1:]  # the first hour has no predecessor (oracle WHERE)
+    import ray.data as rd
+
+    return rd.from_pandas(out)

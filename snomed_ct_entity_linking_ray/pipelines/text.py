@@ -23,7 +23,7 @@ import ray
 
 from ..functions.hashing import md5_hex
 from ..functions.text import TOKEN_PATTERN
-from .common import broadcast, grouped_sums, read
+from .common import broadcast, default_buckets, grouped_sums, read
 
 # The corpus vocabulary is lowercase space-separated words; these literal
 # dictionaries are shared with the oracle SQL (inlined there as VALUES).
@@ -1062,3 +1062,52 @@ def q_compression_ratio(sf_dir: str):
         )
 
     return ds.map_batches(comp, batch_format="pandas")
+
+
+def q_vocab_growth(sf_dir: str, n_buckets_out: int = 10):
+    """Heaps-law vocabulary growth curve: distinct vocabulary size after
+    each decile of the corpus (docs ordered by doc_id) — the
+    tokenizer-budget planning curve. Distributed as a FIRST-OCCURRENCE
+    aggregation: one grouped MIN(doc_id) per word (partial mins per
+    batch bound the shuffle), a bounded histogram of first occurrences
+    by decile, and a driver-side cumulative sum over ≤ ``n_buckets_out``
+    rows."""
+    import ray.data as rd
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = int(read(sf_dir, "documents", ["doc_id"]).count())
+    bucket_w = max(1, (n_docs + n_buckets_out - 1) // n_buckets_out)
+    n_buckets = default_buckets()
+
+    def first_seen(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].astype(str).str.split().explode().dropna()
+        did = df["doc_id"].reindex(ex.index).to_numpy(np.int64)
+        g = pd.DataFrame({"word": ex.to_numpy(object), "first_doc": did})
+        out = g.groupby("word", as_index=False)["first_doc"].min()
+        h = pd.util.hash_pandas_object(out["word"], index=False).to_numpy()
+        out["_wb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("word", as_index=False)["first_doc"].min()
+        out["decile"] = (out["first_doc"].to_numpy(np.int64) // bucket_w).astype(
+            np.int64
+        )
+        return out.groupby("decile", as_index=False).size().rename(
+            columns={"size": "n_new"}
+        )
+
+    hist = (
+        ds.map_batches(first_seen, batch_format="pandas")
+        .groupby("_wb")
+        .map_groups(combine, batch_format="pandas")
+    )
+    folded = grouped_sums(hist, ["decile"], {"n_new": "n_new"}).to_pandas()
+    folded = folded.sort_values("decile")
+    out = pd.DataFrame(
+        {
+            "decile": folded["decile"].to_numpy(np.int64),
+            "vocab_size": np.cumsum(folded["n_new"].to_numpy(np.int64)),
+        }
+    )
+    return rd.from_pandas(out)

@@ -174,6 +174,9 @@ ORACLE_BACKED = [
     "compression_ratio",
     "span_transitions",
     "match_pagerank",
+    "simhash_pairs",
+    "hourly_delta",
+    "vocab_growth",
 ]
 
 
