@@ -1135,18 +1135,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE d IS NOT NULL
         """,
         "vocab_growth": """
-            WITH nn AS (SELECT count(*) AS c FROM documents),
-            w AS (SELECT word, min(doc_id) AS first_doc
-                  FROM (SELECT doc_id,
-                               unnest(string_split(text, ' ')) AS word
-                        FROM documents)
-                  WHERE word <> '' GROUP BY 1),
-            h AS (SELECT first_doc // (SELECT GREATEST(1, (c + 9) // 10)
-                                       FROM nn) AS decile,
-                         count(*) AS n_new
-                  FROM w GROUP BY 1)
-            SELECT CAST(decile AS BIGINT) AS decile,
-                   CAST(SUM(n_new) OVER (ORDER BY decile) AS BIGINT)
+            WITH w AS (SELECT word, min(doc_id) AS first_doc
+                       FROM (SELECT doc_id,
+                                    unnest(string_split(text, ' ')) AS word
+                             FROM documents)
+                       WHERE word <> '' GROUP BY 1),
+            h AS (SELECT first_doc, count(*) AS n_new FROM w GROUP BY 1)
+            SELECT CAST(first_doc AS BIGINT) AS first_doc,
+                   CAST(SUM(n_new) OVER (ORDER BY first_doc) AS BIGINT)
                        AS vocab_size
             FROM h
         """,

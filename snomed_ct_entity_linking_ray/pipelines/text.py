@@ -1064,19 +1064,19 @@ def q_compression_ratio(sf_dir: str):
     return ds.map_batches(comp, batch_format="pandas")
 
 
-def q_vocab_growth(sf_dir: str, n_buckets_out: int = 10):
-    """Heaps-law vocabulary growth curve: distinct vocabulary size after
-    each decile of the corpus (docs ordered by doc_id) — the
-    tokenizer-budget planning curve. Distributed as a FIRST-OCCURRENCE
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth curve: for every doc index at which
+    NEW vocabulary first appears, the cumulative distinct-vocabulary
+    size after that doc — the tokenizer-budget planning curve, at exact
+    growth points (a tiny corpus saturates early; the exact-point form
+    stays informative at any scale). Distributed as a FIRST-OCCURRENCE
     aggregation: one grouped MIN(doc_id) per word (partial mins per
-    batch bound the shuffle), a bounded histogram of first occurrences
-    by decile, and a driver-side cumulative sum over ≤ ``n_buckets_out``
-    rows."""
+    batch bound the shuffle), then a vocabulary-bounded histogram of
+    first occurrences and a driver-side cumulative sum over its ≤
+    |growth points| rows."""
     import ray.data as rd
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    n_docs = int(read(sf_dir, "documents", ["doc_id"]).count())
-    bucket_w = max(1, (n_docs + n_buckets_out - 1) // n_buckets_out)
     n_buckets = default_buckets()
 
     def first_seen(df: pd.DataFrame) -> pd.DataFrame:
@@ -1090,10 +1090,7 @@ def q_vocab_growth(sf_dir: str, n_buckets_out: int = 10):
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("word", as_index=False)["first_doc"].min()
-        out["decile"] = (out["first_doc"].to_numpy(np.int64) // bucket_w).astype(
-            np.int64
-        )
-        return out.groupby("decile", as_index=False).size().rename(
+        return out.groupby("first_doc", as_index=False).size().rename(
             columns={"size": "n_new"}
         )
 
@@ -1102,11 +1099,11 @@ def q_vocab_growth(sf_dir: str, n_buckets_out: int = 10):
         .groupby("_wb")
         .map_groups(combine, batch_format="pandas")
     )
-    folded = grouped_sums(hist, ["decile"], {"n_new": "n_new"}).to_pandas()
-    folded = folded.sort_values("decile")
+    folded = grouped_sums(hist, ["first_doc"], {"n_new": "n_new"}).to_pandas()
+    folded = folded.sort_values("first_doc")
     out = pd.DataFrame(
         {
-            "decile": folded["decile"].to_numpy(np.int64),
+            "first_doc": folded["first_doc"].to_numpy(np.int64),
             "vocab_size": np.cumsum(folded["n_new"].to_numpy(np.int64)),
         }
     )
