@@ -173,6 +173,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_degree_hist": er.q_match_degree_hist,
         "dedup_keep_best": dedup.q_dedup_keep_best,
         "ann_recall": vectors.q_ann_recall,
+        "latest_user_state": relational.q_latest_user_state,
+        "grouped_corr": relational.q_grouped_corr,
+        "table_checksum": relational.q_table_checksum,
+        "weighted_sample": training.q_weighted_sample,
+        "bpe_merges": training.q_bpe_merges,
         "user_first_last": relational.q_user_first_last,
         "top2_gap": relational.q_top2_gap,
         "transitive_pairs": er.q_transitive_pairs,
@@ -338,6 +343,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_keep_best",
             "match_pagerank",
             "compression_ratio",
+            "bpe_merges",
         )
     }
 
@@ -354,6 +360,51 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         **oracle_backed,
+        "latest_user_state": """
+            SELECT user_id, event_type, ts, event_id, value FROM (
+                SELECT user_id, event_type, ts, event_id, value,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "grouped_corr": """
+            WITH m AS (
+                SELECT l_returnflag,
+                       CAST(l_quantity AS BIGINT) AS x,
+                       CAST(round(l_discount*100, 0) AS BIGINT) AS y
+                FROM lineitem),
+            s AS (
+                SELECT l_returnflag,
+                       COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+                FROM m GROUP BY 1)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                   / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                          * CAST(n*syy - sy*sy AS DOUBLE)) AS corr_qd
+            FROM s ORDER BY l_returnflag
+        """,
+        "table_checksum": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(((l_orderkey % 1000003) * 2654435761
+                             + CAST(l_linenumber AS BIGINT) * 97
+                             + CAST(l_quantity AS BIGINT) * 131)
+                            % 1000000007)
+                        % 1000000007 AS BIGINT) AS checksum
+            FROM lineitem
+        """,
+        "weighted_sample": """
+            WITH w AS (SELECT doc_id, 1 + (n_chars % 13) AS w
+                       FROM documents),
+            t AS (SELECT doc_id, w,
+                         MAX((((doc_id*16 + j) % 1000003) * 2654435761)
+                             % 1000000007) AS rk
+                  FROM w, generate_series(0, 12) AS g(j)
+                  WHERE j < w GROUP BY 1, 2)
+            SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(rk AS BIGINT) AS rk
+            FROM t ORDER BY rk DESC, doc_id LIMIT 100
+        """,
         "event_gaps": """
             SELECT event_id, user_id,
                    CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us

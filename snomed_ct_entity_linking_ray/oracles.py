@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 22  # r4j: + dedup_keep_best, match_pagerank, compression_ratio
+ORACLE_VERSION = 23  # r4o: + bpe_merges
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -103,6 +103,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "dedup_keep_best": lambda: _dedup_keep_best(sf_dir),
         "match_pagerank": lambda: _match_pagerank(sf_dir),
         "compression_ratio": lambda: _compression_ratio(sf_dir),
+        "bpe_merges": lambda: _bpe_merges(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -1427,5 +1428,48 @@ def _compression_ratio(sf_dir: str) -> pa.Table:
             "deflate_bytes": pa.array(
                 [len(zlib.compress(b, 6)) for b in raw], pa.int64()
             ),
+        }
+    )
+
+
+def _bpe_merges(sf_dir: str, n_merges: int = 12) -> pa.Table:
+    """Single-process mirror of pipelines.training.q_bpe_merges: Sennrich
+    (2016) reference shape — word-frequency dict, FULL pair recount every
+    iteration (the distributed side recounts incrementally; agreeing
+    outputs pin the incremental bookkeeping), ties (count desc, pair asc)."""
+    from collections import Counter
+
+    t = _read(sf_dir, "documents").select(["text"])
+    wc: Counter = Counter()
+    for txt in t.column("text").to_pylist():
+        wc.update(str(txt).split(" "))
+    words = {w: tuple(w) for w in wc}
+    merges = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in words.items():
+            c = wc[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (la, rb), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, la, rb, int(cnt)))
+        for w, syms in list(words.items()):
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == la and syms[j + 1] == rb:
+                    out.append(la + rb)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[w] = tuple(out)
+    return pa.table(
+        {
+            "rank": pa.array([m[0] for m in merges], pa.int64()),
+            "left": pa.array([m[1] for m in merges], pa.string()),
+            "right": pa.array([m[2] for m in merges], pa.string()),
+            "pair_count": pa.array([m[3] for m in merges], pa.int64()),
         }
     )

@@ -3704,3 +3704,167 @@ def q_hourly_delta(sf_dir: str):
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+# --- SCD current view (warehouse latest-state class) ------------------------
+
+def q_latest_user_state(sf_dir: str):
+    """Current-state view of a mutable entity from its event history — the
+    SCD-Type-2 endpoint query: for every (user_id, event_type) attribute
+    the value/ts/event_id of the LATEST event (deterministic tiebreak:
+    max ts, then max event_id). This is how a warehouse reconstructs "the
+    record as of now" from an append-only change log (reference-semantics
+    cousin: the keep-latest arm of priority dedup, SURVEY.md D6 /
+    `1st Place/src/mimic_dev_main.py` drop_duplicates(keep=...) family).
+
+    Shuffle shape: the `q_first_event_per_user` discipline mirrored to
+    keep="last" on a composite key — per-batch map-side latest bounds the
+    shuffle at one row per ((user, type), batch); the combine hash-buckets
+    by USER (co-locating all of a user's attributes), ONE vectorized
+    sort + drop_duplicates per bucket. No per-group Python, no driver
+    materialization; output is attribute-cardinality-bounded, not
+    event-bounded."""
+    ds = read(sf_dir, "events",
+              ["event_id", "user_id", "event_type", "ts", "value"])
+    n_buckets = default_buckets()
+
+    def batch_latest(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.sort_values(["ts", "event_id"])
+            .drop_duplicates(subset=["user_id", "event_type"], keep="last")
+            .copy()
+        )
+        g["_ub"] = _user_bucket(g["user_id"].to_numpy(np.int64), n_buckets)
+        return g
+
+    def bucket_latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).drop_duplicates(
+            subset=["user_id", "event_type"], keep="last"
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "event_type": g["event_type"].to_numpy(),
+                "ts": g["ts"].to_numpy(),
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "value": g["value"].to_numpy(np.float64),
+            }
+        )
+
+    return (
+        ds.map_batches(batch_latest, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(bucket_latest, batch_format="pandas")
+    )
+
+
+# --- grouped Pearson correlation (exact-sums single-expression class) -------
+
+def q_grouped_corr(sf_dir: str):
+    """Per-group Pearson correlation of two measures (quantity vs discount
+    cents per l_returnflag) — the feature-screening statistic, computed the
+    only way a distributed engine should: five EXACT integer moment sums
+    per group (the `grouped_variance` discipline extended to the cross
+    moment), then ONE identical final float expression on the driver-
+    bounded group table. No float rides the shuffle, so block order can
+    never change a bit of the answer.
+
+    Bit-equality contract with the SQL oracle: n/sx/sy/sxx/syy/sxy are
+    exact ints on both sides (DuckDB SUM(BIGINT) is exact HUGEINT; Python
+    ints are unbounded), and the final expression
+    ``CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))``
+    is the same three IEEE ops (two correctly-rounded casts feed one
+    multiply, one correctly-rounded sqrt, one divide) evaluated here as
+    ``float(num) / math.sqrt(float(d1) * float(d2))``."""
+    import math
+
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        y = cents(df["l_discount"])
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "x": x,
+                "y": y,
+                "xx": x * x,
+                "yy": y * y,
+                "xy": x * y,
+            }
+        )
+
+    sums = grouped_sums(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["l_returnflag"],
+        sums={"sx": "x", "sy": "y", "sxx": "xx", "syy": "yy", "sxy": "xy"},
+        count_as="n",
+    ).to_pandas()  # bounded: one row per distinct return flag
+
+    rows = []
+    for _, r in sums.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, syy, sxy = int(r["sxx"]), int(r["syy"]), int(r["sxy"])
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        corr = (
+            float(num) / math.sqrt(float(d1) * float(d2))
+            if d1 > 0 and d2 > 0
+            else 0.0
+        )
+        rows.append((r["l_returnflag"], np.int64(n), corr))
+    out = pd.DataFrame(rows, columns=["l_returnflag", "n", "corr_qd"])
+    out = out.sort_values("l_returnflag").reset_index(drop=True)
+    import ray.data as rd
+
+    return rd.from_pandas(out)
+
+
+# --- order-independent table checksum (migration-validation class) ----------
+
+def q_table_checksum(sf_dir: str):
+    """Anti-entropy fingerprint of a fact table: an ORDER-INDEPENDENT
+    checksum (sum of a per-row integer hash, mod 1e9+7) plus the row
+    count — the cheap both-sides validation a 100-TB migration or a
+    checkpoint-resume run uses to prove "same rows" without sorting or
+    shuffling anything (commutative aggregation ⇒ block order, partition
+    count and retry history cannot change it).
+
+    Per-row term: the family integer mixer over (orderkey, linenumber,
+    quantity) — ((k % 1000003) * 2654435761 + ln * 97 + qty * 131) mod
+    1e9+7, every intermediate < 2^63 by construction. Shuffle shape: one
+    map_batches emits a single int64 partial per batch (term sums taken
+    mod 1e9+7 per batch, so partial sums stay < 2^63 for ~9e9 batches);
+    the combine is a 1-row grouped sum. Nothing scales with the table but
+    the read."""
+    ds = read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    MOD = np.int64(1_000_000_007)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["l_orderkey"].to_numpy(np.int64)
+        ln = df["l_linenumber"].to_numpy(np.int32).astype(np.int64)
+        q = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        term = ((k % 1000003) * 2654435761 + ln * 97 + q * 131) % MOD
+        return pd.DataFrame(
+            {
+                "_one": np.array([0], dtype=np.int64),
+                "s": np.array([int(term.sum() % MOD)], dtype=np.int64),
+                "n": np.array([len(df)], dtype=np.int64),
+            }
+        )
+
+    sums = grouped_sums(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["_one"],
+        sums={"s": "s", "n_rows": "n"},
+    ).to_pandas()  # exactly one row
+    out = pd.DataFrame(
+        {
+            "n_rows": sums["n_rows"].astype(np.int64),
+            "checksum": (sums["s"] % MOD).astype(np.int64),
+        }
+    )
+    import ray.data as rd
+
+    return rd.from_pandas(out)

@@ -686,3 +686,135 @@ def q_decontaminate_bloom(sf_dir: str, n: int = DECONTAM_N):
     compare is exact, and the no-false-negative property is additionally
     pinned by tests/test_training.py."""
     return q_decontaminate(sf_dir, n=n, max_broadcast=0)
+
+
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (integer replicated-key scheme)
+# --------------------------------------------------------------------------
+
+
+def q_weighted_sample(sf_dir: str, k: int = 100, max_w: int = 13):
+    """Deterministic weighted sample without replacement: the k docs with
+    the largest replicated-hash key, where each doc holds w = 1 + (n_chars
+    mod ``max_w``) lottery tickets — the data-mixing primitive (sample
+    sources proportionally to a per-doc weight) in the RNG-free, resumable
+    form every sampler in this repo uses.
+
+    Scheme: the exact-integer variant of Efraimidis-Sampling — doc key =
+    MAX over j<w of mixer(doc_id*16 + j) (w <= 13 < 16, so ticket ids never
+    collide across docs). Pairwise, P(max of w iid keys beats max of v) =
+    w/(w+v), so inclusion is weight-proportional, yet every comparison is
+    int64 (no pow/log ULP hazard between engines — the reason NOT to use
+    the float u^(1/w) form here).
+
+    Scale shape: tickets are materialized per BATCH only (np.repeat +
+    one reduceat; <= 13x batch rows transient), each batch emits its own
+    top-k partial (the `cosine_topk` discipline), and the driver's final
+    head sees <= k rows per block. No shuffle, no reservoir state, trivially
+    resumable."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        w = 1 + (df["n_chars"].to_numpy(np.int64) % max_w)
+        rep = np.repeat(ids, w) * 16
+        starts = np.cumsum(w) - w
+        j = np.arange(int(w.sum()), dtype=np.int64) - np.repeat(starts, w)
+        mixed = (((rep + j) % 1000003) * 2654435761) % 1000000007
+        rk = np.maximum.reduceat(mixed, starts)
+        out = pd.DataFrame({"doc_id": ids, "w": w.astype(np.int64), "rk": rk})
+        return out.sort_values(["rk", "doc_id"], ascending=[False, True]).head(k)
+
+    return (
+        read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["rk", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)[["doc_id", "w", "rk"]]
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE merge training (tokenizer construction, Sennrich 2016)
+# --------------------------------------------------------------------------
+
+
+def q_bpe_merges(sf_dir: str, n_merges: int = 12):
+    """The first ``n_merges`` byte-pair-encoding merge rules learned from
+    the corpus — tokenizer TRAINING, the step upstream of every token-count
+    operator here. Output: (rank, left, right, pair_count) per merge,
+    deterministic tie-break (count desc, then left asc, right asc).
+
+    Scale shape — the part that matters at 100 TB: BPE never needs the
+    corpus, only the WORD-FREQUENCY table (Sennrich 2016 §3.2 operates on
+    a word-count dict). Step 1 is the distributed `q_unigrams` combine
+    (per-batch partials, one slim bucketed shuffle, output bounded by
+    vocabulary, Heaps-law sublinear in corpus size). Step 2 — the merge
+    loop — runs over that bounded table once, driver-side under the
+    `tree_to_pandas` collect bound, recounting only words that CONTAIN the
+    just-merged pair (the standard incremental optimization; full recount
+    only on pass 0).
+
+    Symbol alphabet: words are the space-split tokens of the raw text
+    (the `q_unigrams` tokenizer), split to single characters; no
+    end-of-word sentinel (merges never cross word boundaries by
+    construction)."""
+    from collections import Counter
+
+    from .text import q_unigrams
+
+    vocab = q_unigrams(sf_dir).to_pandas()  # bounded: one row per word
+    words = [tuple(w) for w in vocab["word"].astype(str)]
+    counts = vocab["n"].to_numpy(np.int64)
+
+    def pair_counts(idx):
+        pc_ = Counter()
+        for i in idx:
+            syms, c = words[i], int(counts[i])
+            for a, b in zip(syms, syms[1:]):
+                pc_[(a, b)] += c
+        return pc_
+
+    live = [i for i, s in enumerate(words) if len(s) > 1]
+    pc_ = pair_counts(live)
+    merges = []
+    for rank in range(n_merges):
+        if not pc_:
+            break
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        (la, rb), cnt = best
+        merges.append((rank, la, rb, int(cnt)))
+        tok = la + rb
+        for i in live:
+            syms = words[i]
+            if len(syms) < 2:
+                continue
+            # fast reject before the rewrite walk
+            if la not in syms:
+                continue
+            out, j, changed = [], 0, False
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == la and syms[j + 1] == rb:
+                    out.append(tok)
+                    j += 2
+                    changed = True
+                else:
+                    out.append(syms[j])
+                    j += 1
+            if changed:
+                c = int(counts[i])
+                for a, b in zip(syms, syms[1:]):
+                    pc_[(a, b)] -= c
+                    if pc_[(a, b)] <= 0:
+                        del pc_[(a, b)]
+                new = tuple(out)
+                words[i] = new
+                for a, b in zip(new, new[1:]):
+                    pc_[(a, b)] += c
+        if cnt != merges[-1][3]:  # pragma: no cover - defensive
+            raise AssertionError
+    out = pd.DataFrame(
+        merges, columns=["rank", "left", "right", "pair_count"]
+    ).astype({"rank": np.int64, "pair_count": np.int64})
+    import ray.data as rd
+
+    return rd.from_pandas(out)

@@ -14,6 +14,12 @@ import __ray_entry__ as entry
 SF = "/root/testdata/sf0.01"
 
 ORACLE_BACKED = [
+    # r4o additions
+    "latest_user_state",
+    "grouped_corr",
+    "table_checksum",
+    "weighted_sample",
+    "bpe_merges",
     "compose_pipeline",
     "doc_freq",
     "len_quantiles",
