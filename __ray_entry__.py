@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": dedup.q_simhash_pairs,
         "hourly_delta": relational.q_hourly_delta,
         "vocab_growth": text.q_vocab_growth,
+        "rrf_fusion": text.q_rrf_fusion,
+        "fk_audit": relational.q_fk_audit,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -344,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
             "match_pagerank",
             "compression_ratio",
             "bpe_merges",
+            "rrf_fusion",
         )
     }
 
@@ -384,6 +387,34 @@ def oracle_sql() -> dict[str, str]:
                    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
                           * CAST(n*syy - sy*sy AS DOUBLE)) AS corr_qd
             FROM s ORDER BY l_returnflag
+        """,
+        "fk_audit": """
+            SELECT 'lineitem' AS child_table, 'l_orderkey' AS fk_col,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) FILTER (WHERE l_orderkey NOT IN
+                        (SELECT o_orderkey FROM orders)) AS BIGINT)
+                       AS n_orphans
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem', 'l_partkey', CAST(count(*) AS BIGINT),
+                   CAST(count(*) FILTER (WHERE l_partkey NOT IN
+                        (SELECT p_partkey FROM part)) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem', 'l_suppkey', CAST(count(*) AS BIGINT),
+                   CAST(count(*) FILTER (WHERE l_suppkey NOT IN
+                        (SELECT s_suppkey FROM supplier)) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'orders', 'o_custkey', CAST(count(*) AS BIGINT),
+                   CAST(count(*) FILTER (WHERE o_custkey NOT IN
+                        (SELECT c_custkey FROM customer)) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'customer', 'c_nationkey', CAST(count(*) AS BIGINT),
+                   CAST(count(*) FILTER (WHERE c_nationkey NOT IN
+                        (SELECT n_nationkey FROM nation)) AS BIGINT)
+            FROM customer
         """,
         "table_checksum": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,

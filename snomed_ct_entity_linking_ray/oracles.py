@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 23  # r4o: + bpe_merges
+ORACLE_VERSION = 24  # r4o: + bpe_merges, rrf_fusion
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -104,6 +104,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "match_pagerank": lambda: _match_pagerank(sf_dir),
         "compression_ratio": lambda: _compression_ratio(sf_dir),
         "bpe_merges": lambda: _bpe_merges(sf_dir),
+        "rrf_fusion": lambda: _rrf_fusion(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -1471,5 +1472,37 @@ def _bpe_merges(sf_dir: str, n_merges: int = 12) -> pa.Table:
             "left": pa.array([m[1] for m in merges], pa.string()),
             "right": pa.array([m[2] for m in merges], pa.string()),
             "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+        }
+    )
+
+
+def _rrf_fusion(sf_dir: str, k: int = 10, pool: int = 100, c: int = 60) -> pa.Table:
+    """Single-process mirror of pipelines.text.q_rrf_fusion: rank lists from
+    this module's own _bm25_topk / _quality_score (independent of the Ray
+    implementations), scalar-Python fusion with the BM25 term first."""
+    a = _bm25_topk(sf_dir, k=pool)
+    rank_a = {int(d): i + 1 for i, d in enumerate(a.column("doc_id").to_pylist())}
+    q = _quality_score(sf_dir)
+    qrows = sorted(
+        zip(q.column("score_q").to_pylist(), q.column("doc_id").to_pylist()),
+        key=lambda t: (-t[0], t[1]),
+    )[:pool]
+    rank_b = {int(d): i + 1 for i, (_, d) in enumerate(qrows)}
+    cand = sorted(set(rank_a) | set(rank_b))
+    recs = []
+    for d in cand:
+        ra, rb = rank_a.get(d, 0), rank_b.get(d, 0)
+        fused = (1.0 / (c + ra) if ra > 0 else 0.0) + (
+            1.0 / (c + rb) if rb > 0 else 0.0
+        )
+        recs.append((d, ra, rb, fused))
+    recs.sort(key=lambda t: (-t[3], t[0]))
+    recs = recs[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in recs], pa.int64()),
+            "rank_bm25": pa.array([r[1] for r in recs], pa.int64()),
+            "rank_quality": pa.array([r[2] for r in recs], pa.int64()),
+            "rrf": pa.array([r[3] for r in recs], pa.float64()),
         }
     )

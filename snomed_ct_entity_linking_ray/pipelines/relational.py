@@ -3868,3 +3868,49 @@ def q_table_checksum(sf_dir: str):
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+# --- referential-integrity audit (migration-validation class) ---------------
+
+def q_fk_audit(sf_dir: str):
+    """Foreign-key orphan audit across the star schema: for each child→
+    parent edge, the child row count and the number of rows whose FK has
+    no matching parent key — `q_table_checksum`'s companion in the
+    migration-validation kit (checksum proves "same rows", this proves
+    "joinable rows"; both run before anyone trusts a copied corpus).
+
+    Scale shape per edge: the parent key set is computed DISTRIBUTIVELY
+    (`distinct_column`) and applied by `semi_anti_filter`'s documented
+    broadcast/hash-join dual plan — nothing driver-resident beyond the
+    measured distinct count; the orphan count is a streaming count() of
+    the anti side. Output is bounded: one row per audited edge."""
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    rows = []
+    for child, fk, parent, pk in edges:
+        ch = read(sf_dir, child, [fk])
+        if child == "customer":  # int32 nationkey: widen for the key compare
+            ch = ch.map_batches(
+                lambda df, c=fk: pd.DataFrame({c: df[c].astype(np.int64)}),
+                batch_format="pandas",
+            )
+        pr = read(sf_dir, parent, [pk]).map_batches(
+            lambda df, c=pk, f=fk: pd.DataFrame(
+                {f: df[c].astype(np.int64)}
+            ),
+            batch_format="pandas",
+        )
+        n_rows = ch.count()
+        n_orphans = semi_anti_filter(ch, fk, pr, fk, anti=True).count()
+        rows.append((child, fk, np.int64(n_rows), np.int64(n_orphans)))
+    out = pd.DataFrame(
+        rows, columns=["child_table", "fk_col", "n_rows", "n_orphans"]
+    )
+    import ray.data as rd
+
+    return rd.from_pandas(out)

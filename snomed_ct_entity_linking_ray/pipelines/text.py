@@ -1108,3 +1108,62 @@ def q_vocab_growth(sf_dir: str):
         }
     )
     return rd.from_pandas(out)
+
+
+def q_rrf_fusion(sf_dir: str, k: int = 10, pool: int = 100, c: int = 60):
+    """Reciprocal-rank fusion of two independent document rankers —
+    relevance (BM25 over the fixed query) fused with the quality-classifier
+    prior — the standard hybrid-retrieval combiner (Cormack et al. 2009):
+    fused(d) = Σ_r 1/(c + rank_r(d)) over the rankers that retrieved d in
+    their top-``pool``. This is the selection step a RAG / training-data
+    pipeline runs after heterogeneous retrievers.
+
+    Scale shape: each ranker already reduces to a driver-bounded top-pool
+    list via per-batch partial top-k (the `cosine_topk` discipline), so the
+    fusion itself touches ≤ 2·pool rows. Determinism: ranks are dense
+    integers from exact int64-quantized scores with doc_id tiebreak; the
+    fused double is the SAME two correctly-rounded divisions summed in the
+    same order (BM25 term first) in both engines — bit-exact, no epsilon."""
+    from .training import q_quality_score
+
+    a = q_bm25_topk(sf_dir, k=pool)  # pandas: doc_id, score_q (rank order)
+    a = a.reset_index(drop=True)
+    rank_a = {int(d): i + 1 for i, d in enumerate(a["doc_id"])}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["score_q", "doc_id"], ascending=[False, True]
+        ).head(pool)
+
+    b = (
+        q_quality_score(sf_dir)
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()  # <= pool rows per block
+        .sort_values(["score_q", "doc_id"], ascending=[False, True])
+        .head(pool)
+        .reset_index(drop=True)
+    )
+    rank_b = {int(d): i + 1 for i, d in enumerate(b["doc_id"])}
+
+    cand = sorted(set(rank_a) | set(rank_b))
+    ra = np.array([rank_a.get(d, 0) for d in cand], dtype=np.int64)
+    rb = np.array([rank_b.get(d, 0) for d in cand], dtype=np.int64)
+    fused = np.where(ra > 0, 1.0 / (c + ra), 0.0) + np.where(
+        rb > 0, 1.0 / (c + rb), 0.0
+    )
+    out = pd.DataFrame(
+        {
+            "doc_id": np.array(cand, dtype=np.int64),
+            "rank_bm25": ra,
+            "rank_quality": rb,
+            "rrf": fused,
+        }
+    )
+    out = (
+        out.sort_values(["rrf", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    import ray.data as rd
+
+    return rd.from_pandas(out)

@@ -183,6 +183,8 @@ ORACLE_BACKED = [
     "simhash_pairs",
     "hourly_delta",
     "vocab_growth",
+    "rrf_fusion",
+    "fk_audit",
 ]
 
 
