@@ -191,6 +191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": text.q_vocab_growth,
         "rrf_fusion": text.q_rrf_fusion,
         "fk_audit": relational.q_fk_audit,
+        "twa_user_value": relational.q_twa_user_value,
+        "profile_columns": relational.q_profile_columns,
+        "uncertain_pairs": er.q_uncertain_pairs,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -387,6 +390,67 @@ def oracle_sql() -> dict[str, str]:
                    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
                           * CAST(n*syy - sy*sy AS DOUBLE)) AS corr_qd
             FROM s ORDER BY l_returnflag
+        """,
+        "twa_user_value": """
+            WITH g AS (
+                SELECT user_id,
+                       CAST(round(value*100, 0) AS BIGINT) AS v,
+                       (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                        - epoch_us(ts)) // 1000000 AS gap_s
+                FROM events),
+            a AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(sum(gap_s) AS BIGINT) AS span_s,
+                       CAST(sum(v * gap_s) AS BIGINT) AS weighted_cents
+                FROM g GROUP BY user_id)
+            SELECT user_id, n_events, span_s, weighted_cents,
+                   CAST(weighted_cents AS DOUBLE) / span_s AS twa_cents
+            FROM a WHERE span_s > 0
+        """,
+        "profile_columns": """
+            SELECT 'o_orderkey' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_v
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(o_custkey) AS BIGINT),
+                   CAST(count(DISTINCT o_custkey) AS BIGINT),
+                   CAST(min(o_custkey) AS VARCHAR),
+                   CAST(max(o_custkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(o_orderstatus) AS BIGINT),
+                   CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+                   CAST(min(o_orderstatus) AS VARCHAR),
+                   CAST(max(o_orderstatus) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(o_orderpriority) AS BIGINT),
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+                   CAST(min(o_orderpriority) AS VARCHAR),
+                   CAST(max(o_orderpriority) AS VARCHAR)
+            FROM orders
+        """,
+        "uncertain_pairs": """
+            WITH p AS (
+                SELECT a.p_partkey AS p_partkey_a, b.p_partkey AS p_partkey_b,
+                       CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name)
+                                  * 20) AS BIGINT) AS jw_bin
+                FROM part a JOIN part b
+                  ON substr(a.p_name,1,1) = substr(b.p_name,1,1)
+                 AND a.p_brand = b.p_brand
+                 AND a.p_partkey < b.p_partkey)
+            SELECT p_partkey_a, p_partkey_b, jw_bin,
+                   CAST(abs(jw_bin - 17) AS BIGINT) AS uncertainty
+            FROM p
+            ORDER BY uncertainty, p_partkey_a, p_partkey_b
+            LIMIT 50
         """,
         "fk_audit": """
             SELECT 'lineitem' AS child_table, 'l_orderkey' AS fk_col,

@@ -2938,3 +2938,124 @@ def q_match_pagerank(sf_dir: str, n_iter: int = PAGERANK_ITERS):
     return rd.from_pandas(
         pd.DataFrame({"p_name": names, "pagerank_pico": r.astype(np.int64)})
     )
+
+
+# --- active-learning pair selection (clerical-review queue) -------------------
+
+UNCERTAIN_K = 50
+UNCERTAIN_THETA_BIN = 17  # floor(MATCH_JW_THRESHOLD * ROC_BINS)
+
+
+def q_uncertain_pairs(
+    sf_dir: str,
+    k: int = UNCERTAIN_K,
+    bins: int = ROC_BINS,
+    theta_bin: int = UNCERTAIN_THETA_BIN,
+    band: int | None = None,
+):
+    """Uncertainty sampling for clerical review (the active-learning loop
+    of probabilistic linkage, Sarawagi & Bhamidipaty KDD'02): the k blocked
+    part pairs whose quantized name similarity sits CLOSEST to the decision
+    threshold — uncertainty = |floor(jw*bins) - theta_bin| — are exactly
+    the pairs a human labeler resolves first, because they carry the most
+    information for re-estimating m/u.
+
+    Scale shape: the `q_match_roc` machinery (broadcast quantized JW
+    vocabulary matrix, chunked rectangular outer comparisons per
+    (first-char, brand) block) emitting top-k PARTIALS — each block keeps
+    only its k least-certain pairs (lexsort on (uncertainty, a, b)), so
+    the final driver merge sees <= k rows per block, never the pair
+    stream. ``band`` (default: no filter) additionally drops pairs with
+    uncertainty > band at the source — the production knob when k-per-
+    block is still too much output. Exact top-k: blocks partition the
+    pair space, and per-group top-k is a monoid under it."""
+    names = sorted(
+        distinct_column(read(sf_dir, "part", ["p_name"]), "p_name")
+        .to_pandas()["p_name"]
+        .astype(str)
+        .tolist()
+    )
+    idx, mat = ray.get(_jw_bin_matrix.remote(names, bins))
+    idx_ref, mat_ref = broadcast(idx), broadcast(mat)
+
+    ds = read(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "ch": pd.Series([], dtype=str),
+                    "brand": pd.Series([], dtype=str),
+                    "pk": pd.Series([], dtype=np.int64),
+                    "nid": pd.Series([], dtype=np.int64),
+                }
+            )
+        lookup = ray.get(idx_ref)
+        nm = df["p_name"].astype(str)
+        return pd.DataFrame(
+            {
+                "ch": nm.str[:1],
+                "brand": df["p_brand"].astype(str),
+                "pk": df["p_partkey"].to_numpy(np.int64),
+                "nid": nm.map(lookup).to_numpy(np.int64),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("p_partkey_a", pa.int64()),
+            ("p_partkey_b", pa.int64()),
+            ("jw_bin", pa.int64()),
+            ("uncertainty", pa.int64()),
+        ]
+    )
+
+    def block_topk(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("pk", kind="mergesort")
+        pk = g["pk"].to_numpy(np.int64)
+        nid = g["nid"].to_numpy(np.int64)
+        binmat = ray.get(mat_ref)
+        n = len(g)
+        pa_out, pb_out, sb_out = [], [], []
+        for i0 in range(0, max(n - 1, 0), _PAIR_CHUNK):
+            i1 = min(i0 + _PAIR_CHUNK, n - 1)
+            ii = np.arange(i0, i1)
+            jj = np.arange(i0 + 1, n)
+            tri = jj[None, :] > ii[:, None]
+            sb = binmat[nid[ii][:, None], nid[jj][None, :]].astype(np.int64)
+            ia, jb = np.nonzero(tri)
+            pa_out.append(pk[ii][ia])
+            pb_out.append(pk[jj][jb])
+            sb_out.append(sb[tri])
+        if pa_out:
+            pka = np.concatenate(pa_out)
+            pkb = np.concatenate(pb_out)
+            sb = np.concatenate(sb_out)
+        else:
+            pka = pkb = sb = np.empty(0, dtype=np.int64)
+        unc = np.abs(sb - theta_bin)
+        if band is not None:
+            m = unc <= band
+            pka, pkb, sb, unc = pka[m], pkb[m], sb[m], unc[m]
+        order = np.lexsort((pkb, pka, unc))[:k]
+        return pa.Table.from_arrays(
+            [
+                pa.array(pka[order], pa.int64()),
+                pa.array(pkb[order], pa.int64()),
+                pa.array(sb[order], pa.int64()),
+                pa.array(unc[order], pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    partials = (
+        ds.map_batches(slim, batch_format="pandas")
+        .groupby(["ch", "brand"])
+        .map_groups(block_topk, batch_format="pandas")
+    )
+    # <= k rows per block survive; the global merge is driver-bounded
+    out = partials.to_pandas()
+    out = out.sort_values(
+        ["uncertainty", "p_partkey_a", "p_partkey_b"], kind="mergesort"
+    ).head(k)
+    return rd.from_pandas(out.reset_index(drop=True))

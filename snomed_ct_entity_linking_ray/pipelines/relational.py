@@ -3914,3 +3914,167 @@ def q_fk_audit(sf_dir: str):
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+# --- time-weighted average (streaming-shaped) --------------------------------
+
+def q_twa_user_value(sf_dir: str):
+    """Time-weighted average of each user's event value (the metric-rollup
+    a monitoring/billing pipeline computes over irregular event streams:
+    each value is held until the NEXT event, so it contributes for its
+    holding interval, not once per row).
+
+    Per user, ordered by (ts, event_id): with per-gap whole-second
+    durations gap_i = (ts_{i+1} - ts_i) in us // 1_000_000,
+
+      weighted_cents = sum_i v_i * gap_i
+      span_s         = sum_i gap_i
+      twa_cents      = weighted_cents / span_s   (one float64 division)
+
+    Users whose events all share one second (span_s = 0) are dropped —
+    the oracle's NULL-division row.
+
+    Shuffle shape: the sessionize/rolling contract — ONE hash-bucketed-by-
+    user shuffle (`default_buckets()`), each bucket sorts its whole frame
+    once and reduces every user with np.add.reduceat at run boundaries.
+    No per-user dispatch; int64 products bounded (cents * whole-second
+    gaps * run length << 2^63 for any plausible retention window)."""
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    n_buckets = default_buckets()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": u,
+                "tus": df["ts"].astype("datetime64[us]").astype(np.int64),
+                "v": cents(df["value"]),
+                "_ub": _user_bucket(u, n_buckets),
+            }
+        )
+
+    def twa(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "span_s": pd.Series([], dtype=np.int64),
+                "weighted_cents": pd.Series([], dtype=np.int64),
+                "twa_cents": pd.Series([], dtype=np.float64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "tus", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        tus = g["tus"].to_numpy(np.int64)
+        n = len(g)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], n]
+        # per-gap whole seconds; the last row of each run holds no gap
+        gap = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            gap[:-1] = np.where(
+                u[1:] == u[:-1], (tus[1:] - tus[:-1]) // 1_000_000, 0
+            )
+        csg = np.concatenate(([0], np.cumsum(gap)))
+        csw = np.concatenate(([0], np.cumsum(v * gap)))
+        span = (csg[ends] - csg[starts]).astype(np.int64)
+        weighted = (csw[ends] - csw[starts]).astype(np.int64)
+        keep = span > 0
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "user_id": u[starts][keep],
+                "n_events": (ends - starts).astype(np.int64)[keep],
+                "span_s": span[keep],
+                "weighted_cents": weighted[keep],
+                "twa_cents": weighted[keep].astype(np.float64) / span[keep],
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(twa, batch_format="pandas")
+    )
+
+
+# --- per-column profiling (migration-validation kit, with fk_audit) ----------
+
+def q_profile_columns(sf_dir: str):
+    """Column-level data profile of the orders table — per column: row
+    count, null count, exact distinct count, min and max (as VARCHAR so
+    one schema carries int and string columns). The third leg of the
+    migration-validation kit (`table_checksum` = same rows, `fk_audit` =
+    joinable rows, this = same value distributions).
+
+    Scale shape per column: n_distinct via `distinct_column` (hash-
+    partitioned distinct combine — the only shuffle); nulls/min/max as
+    per-batch one-row partials reduced driver-side (`tree_to_pandas`
+    bounds the collect at one row per block). Output: one row per audited
+    column."""
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    ds = read(sf_dir, "orders", cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # ONE wide typed row per batch: native-typed min/max per column
+        # (stringifying here would make the cross-batch reduce
+        # lexicographic — wrong for ints)
+        rec: dict = {}
+        for c in cols:
+            s = df[c]
+            sv = s.dropna()
+            rec[f"n_{c}"] = [np.int64(len(s))]
+            rec[f"null_{c}"] = [np.int64(s.isna().sum())]
+            rec[f"min_{c}"] = [sv.min() if len(sv) else None]
+            rec[f"max_{c}"] = [sv.max() if len(sv) else None]
+        return pd.DataFrame(rec)
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        if len(p) == 0:
+            return p
+        rec: dict = {}
+        for c in cols:
+            rec[f"n_{c}"] = [np.int64(p[f"n_{c}"].sum())]
+            rec[f"null_{c}"] = [np.int64(p[f"null_{c}"].sum())]
+            mn = p[f"min_{c}"].dropna()
+            mx = p[f"max_{c}"].dropna()
+            rec[f"min_{c}"] = [mn.min() if len(mn) else None]
+            rec[f"max_{c}"] = [mx.max() if len(mx) else None]
+        return pd.DataFrame(rec)
+
+    parts = tree_to_pandas(
+        ds.map_batches(partial, batch_format="pandas"), combine
+    )
+    rows = []
+    for c in cols:
+        mins = parts[f"min_{c}"].dropna()
+        maxs = parts[f"max_{c}"].dropna()
+        # distinct over the single column; dropna mirrors COUNT(DISTINCT)
+        dc = distinct_column(
+            read(sf_dir, "orders", [c]).map_batches(
+                lambda df, c=c: df.dropna(subset=[c]), batch_format="pandas"
+            ),
+            c,
+        ).count()
+        rows.append(
+            (
+                c,
+                np.int64(parts[f"n_{c}"].sum()),
+                np.int64(parts[f"null_{c}"].sum()),
+                np.int64(dc),
+                str(mins.min()) if len(mins) else None,
+                str(maxs.max()) if len(maxs) else None,
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=["col", "n_rows", "n_null", "n_distinct", "min_v", "max_v"],
+    )
+    import ray.data as rd
+
+    return rd.from_pandas(out)

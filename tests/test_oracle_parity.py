@@ -185,6 +185,9 @@ ORACLE_BACKED = [
     "vocab_growth",
     "rrf_fusion",
     "fk_audit",
+    "twa_user_value",
+    "profile_columns",
+    "uncertain_pairs",
 ]
 
 
