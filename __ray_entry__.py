@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twa_user_value": relational.q_twa_user_value,
         "profile_columns": relational.q_profile_columns,
         "uncertain_pairs": er.q_uncertain_pairs,
+        "ppjoin_pairs": dedup.q_ppjoin_pairs,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -350,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
             "compression_ratio",
             "bpe_merges",
             "rrf_fusion",
+            "ppjoin_pairs",
         )
     }
 

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 24  # r4o: + bpe_merges, rrf_fusion
+ORACLE_VERSION = 25  # r4o: + bpe_merges, rrf_fusion, ppjoin_pairs
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -105,6 +105,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "compression_ratio": lambda: _compression_ratio(sf_dir),
         "bpe_merges": lambda: _bpe_merges(sf_dir),
         "rrf_fusion": lambda: _rrf_fusion(sf_dir),
+        "ppjoin_pairs": lambda: _ppjoin_pairs(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -1504,5 +1505,37 @@ def _rrf_fusion(sf_dir: str, k: int = 10, pool: int = 100, c: int = 60) -> pa.Ta
             "rank_bm25": pa.array([r[1] for r in recs], pa.int64()),
             "rank_quality": pa.array([r[2] for r in recs], pa.int64()),
             "rrf": pa.array([r[3] for r in recs], pa.float64()),
+        }
+    )
+
+
+def _ppjoin_pairs(sf_dir: str, t_num: int = 1, t_den: int = 2) -> pa.Table:
+    """Single-process mirror of pipelines.dedup.q_ppjoin_pairs: exact
+    all-pairs char-5-shingle Jaccard with the integer threshold
+    t_den*ov >= t_num*union (only the property-tested shingle kernel is
+    shared, per this module's header)."""
+    from .functions import hashing
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = [int(x) for x in t.column("doc_id").to_pylist()]
+    sets = [set(hashing.shingle_hashes(x).tolist()) for x in t.column("text").to_pylist()]
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    rows = []
+    for ii in range(len(order)):
+        i = order[ii]
+        for jj in range(ii + 1, len(order)):
+            j = order[jj]
+            ov = len(sets[i] & sets[j])
+            if ov == 0:
+                continue
+            union = len(sets[i]) + len(sets[j]) - ov
+            if t_den * ov >= t_num * union:
+                rows.append((ids[i], ids[j], ov, float(np.float64(ov) / np.float64(union))))
+    return pa.table(
+        {
+            "doc_id_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id_b": pa.array([r[1] for r in rows], pa.int64()),
+            "overlap": pa.array([r[2] for r in rows], pa.int64()),
+            "jaccard": pa.array([r[3] for r in rows], pa.float64()),
         }
     )

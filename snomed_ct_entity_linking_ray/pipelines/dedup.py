@@ -18,7 +18,13 @@ import ray
 
 from ..functions import hashing
 from ..functions.text import char_set_jaccard_batch
-from .common import broadcast, read
+from .common import (
+    broadcast,
+    default_buckets,
+    distinct_column,
+    grouped_sums,
+    read,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -1053,3 +1059,291 @@ def q_simhash_pairs(sf_dir: str, max_dist: int = SIMHASH_PAIR_MAXDIST,
         )
 
     return cand.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+# --- PPJoin: prefix + positional-filtered set-similarity join ----------------
+
+PPJOIN_T_NUM = 1   # Jaccard threshold as the exact rational t = T_NUM/T_DEN
+PPJOIN_T_DEN = 2
+# df-rank broadcast budget: distinct shingles above this use token-hash
+# order instead (still a global total order -> prefix filter stays
+# complete; df order is only the pruning-optimal choice, Xiao WWW'08 §3).
+PPJOIN_DF_BROADCAST_MAX = 8_000_000
+
+
+def _pair_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Canonical int64 key of an unordered doc pair (ids < 2^31)."""
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    return (lo << np.int64(32)) | hi
+
+
+def q_ppjoin_pairs(
+    sf_dir: str,
+    t_num: int = PPJOIN_T_NUM,
+    t_den: int = PPJOIN_T_DEN,
+):
+    """PPJoin set-similarity self-join (Xiao, Wang, Lin & Yu WWW'08): all
+    document pairs whose char-5-shingle Jaccard >= t, found WITHOUT the
+    all-pairs comparison — the exact-threshold complement to the
+    probabilistic MinHash+LSH pass (same shingle kernel, zero false
+    negatives/positives by construction).
+
+    Plan (3 shuffles, all keyed by bounded ints):
+      1. df pass     — shingle rows -> `grouped_sums` count per shingle;
+                       the (df, h)-sorted rank map broadcasts under
+                       ``PPJOIN_DF_BROADCAST_MAX`` distinct shingles, else
+                       the token-hash order stands in (any GLOBAL total
+                       order keeps prefix filtering complete; df order is
+                       the pruning heuristic).
+      2. prefix pass — per doc (contiguity guaranteed: shingling and the
+                       prefix cut happen inside ONE batch fn over text),
+                       tokens sort by rank and only the first
+                       sz - ceil(t*sz) + 1 emit, keyed by rank bucket;
+                       per posting list, pairs survive the integer length
+                       filter (t_num*max_sz <= t_den*min_sz) and the
+                       occurrence-safe positional bound
+                       min(pos_a,pos_b) + 1 + min(remaining) >= minoverlap
+                       with minoverlap = ceil(t_num*(sz_a+sz_b)/(t_num+t_den)).
+      3. verify pass — candidate pair keys distinct, broadcast; shingle
+                       rows of CANDIDATE DOCS ONLY re-key by shingle and
+                       each posting list folds its candidate-member pairs
+                       into a `grouped_sums` overlap count — exact int64
+                       overlap, no token set ever leaves its block.
+    Every float is one division: jaccard = overlap / union. The threshold
+    itself is the integer cross-multiplication t_den*ov >= t_num*union —
+    no float decides membership."""
+    import ray.data as rd
+
+    n_buckets = default_buckets()
+
+    def sh_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "h": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "sz": pd.Series([], dtype=np.int64),
+                }
+            )
+        hs = [hashing.shingle_hashes(t) for t in df["text"].astype(str)]
+        lens = np.array([len(x) for x in hs], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "h": np.concatenate(hs).astype(np.int64),  # crc32 < 2^32
+                "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), lens),
+                "sz": np.repeat(lens, lens),
+            }
+        )
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    shards = docs.map_batches(sh_rows, batch_format="pandas")
+
+    # -- pass 1: document frequency -> global token order ---------------------
+    dfs = grouped_sums(shards, ["h"], sums={}, count_as="df")
+    n_distinct = dfs.count()
+    if n_distinct <= PPJOIN_DF_BROADCAST_MAX:
+        dfp = dfs.to_pandas()
+        order = np.lexsort(
+            (dfp["h"].to_numpy(np.int64), dfp["df"].to_numpy(np.int64))
+        )
+        hs_by_rank = dfp["h"].to_numpy(np.int64)[order]
+        # invert: token sorted-by-h -> its (df, h) rank
+        h_sorted_ix = np.argsort(hs_by_rank, kind="stable")
+        h_sorted = hs_by_rank[h_sorted_ix]
+        rank_sorted = np.arange(len(order), dtype=np.int64)[h_sorted_ix]
+        rank_ref = broadcast((h_sorted, rank_sorted))
+    else:  # documented fallback: hash order (h itself) — still total
+        rank_ref = None
+        logger.warning(
+            "ppjoin: %d distinct shingles exceed df broadcast budget; "
+            "using token-hash order (complete, less pruning)", n_distinct,
+        )
+
+    def to_rank(h: np.ndarray) -> np.ndarray:
+        if rank_ref is None:
+            return h
+        h_sorted, rank_sorted = ray.get(rank_ref)
+        return rank_sorted[np.searchsorted(h_sorted, h)]
+
+    # -- pass 2: prefix emission + candidate generation -----------------------
+    def prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "r": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "sz": pd.Series([], dtype=np.int64),
+                "pos": pd.Series([], dtype=np.int64),
+                "_rb": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        hs = [hashing.shingle_hashes(t) for t in df["text"].astype(str)]
+        lens = np.array([len(x) for x in hs], dtype=np.int64)
+        did = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        r = to_rank(np.concatenate(hs).astype(np.int64))
+        sz = np.repeat(lens, lens)
+        o = np.lexsort((r, did))
+        did, r, sz = did[o], r[o], sz[o]
+        idx = np.arange(len(did), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, did[1:] != did[:-1]])
+        run_start = np.maximum.accumulate(
+            np.where(np.r_[True, did[1:] != did[:-1]], idx, 0)
+        )
+        pos = idx - run_start
+        pref_len = sz - ((t_num * sz + t_den - 1) // t_den) + 1
+        keep = pos < pref_len
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "r": r[keep],
+                "doc_id": did[keep],
+                "sz": sz[keep],
+                "pos": pos[keep],
+                "_rb": (r[keep].astype(np.uint64) % np.uint64(n_buckets)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    minoverlap_den = t_num + t_den
+
+    def cand_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"key": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["r", "doc_id"], kind="mergesort")
+        r = g["r"].to_numpy(np.int64)
+        did = g["doc_id"].to_numpy(np.int64)
+        sz = g["sz"].to_numpy(np.int64)
+        pos = g["pos"].to_numpy(np.int64)
+        keys: list = []
+        n = len(g)
+        start = 0
+        for i in range(1, n + 1):
+            if i < n and r[i] == r[start]:
+                continue
+            d = i - start
+            if d >= 2:
+                ia, ib = np.triu_indices(d, k=1)
+                a, b = did[start:i][ia], did[start:i][ib]
+                sa, sb = sz[start:i][ia], sz[start:i][ib]
+                pa_, pb_ = pos[start:i][ia], pos[start:i][ib]
+                lenf = t_num * np.maximum(sa, sb) <= t_den * np.minimum(sa, sb)
+                ub = (
+                    np.minimum(pa_, pb_)
+                    + 1
+                    + np.minimum(sa - pa_ - 1, sb - pb_ - 1)
+                )
+                alpha = (t_num * (sa + sb) + minoverlap_den - 1) // minoverlap_den
+                m = lenf & (ub >= alpha) & (a != b)
+                if m.any():
+                    keys.append(_pair_key(a[m], b[m]))
+            start = i
+        out = (
+            np.unique(np.concatenate(keys))
+            if keys
+            else np.empty(0, dtype=np.int64)
+        )
+        return pd.DataFrame({"key": out})
+
+    cands = distinct_column(
+        docs.map_batches(prefix_rows, batch_format="pandas")
+        .groupby("_rb")
+        .map_groups(cand_of_bucket, batch_format="pandas"),
+        "key",
+    ).to_pandas()  # bounded: the filtered candidate set IS PPJoin's output knob
+    cand_keys = np.sort(cands["key"].to_numpy(np.int64))
+    if len(cand_keys) == 0:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id_a": pd.Series([], dtype=np.int64),
+                    "doc_id_b": pd.Series([], dtype=np.int64),
+                    "overlap": pd.Series([], dtype=np.int64),
+                    "jaccard": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+    cand_docs = np.unique(
+        np.concatenate([cand_keys >> np.int64(32), cand_keys & np.int64(0xFFFFFFFF)])
+    )
+    keys_ref = broadcast(cand_keys)
+    docs_ref = broadcast(cand_docs)
+
+    # -- pass 3: exact overlap of candidate pairs via inverted lists ----------
+    def cand_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        cd = ray.get(docs_ref)
+        m = np.isin(df["doc_id"].to_numpy(np.int64), cd)
+        out = df[m].copy()
+        out["_hb"] = (
+            out["h"].to_numpy(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out
+
+    def overlap_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"key": pd.Series([], dtype=np.int64)})
+        ck = ray.get(keys_ref)
+        g = g.sort_values(["h", "doc_id"], kind="mergesort")
+        h = g["h"].to_numpy(np.int64)
+        did = g["doc_id"].to_numpy(np.int64)
+        keys: list = []
+        n = len(g)
+        start = 0
+        for i in range(1, n + 1):
+            if i < n and h[i] == h[start]:
+                continue
+            d = i - start
+            if d >= 2:
+                ia, ib = np.triu_indices(d, k=1)
+                k = _pair_key(did[start:i][ia], did[start:i][ib])
+                ix = np.searchsorted(ck, k)
+                ix[ix >= len(ck)] = len(ck) - 1
+                m = ck[ix] == k
+                if m.any():
+                    keys.append(k[m])
+            start = i
+        out = (
+            np.concatenate(keys) if keys else np.empty(0, dtype=np.int64)
+        )
+        return pd.DataFrame({"key": out})
+
+    ov = grouped_sums(
+        shards.map_batches(cand_shingles, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(overlap_of_bucket, batch_format="pandas"),
+        ["key"],
+        sums={},
+        count_as="overlap",
+    ).to_pandas()  # <= |candidates| rows
+
+    # sizes of candidate docs only (bounded)
+    sizes = (
+        shards.map_batches(
+            lambda df: df[
+                np.isin(df["doc_id"].to_numpy(np.int64), ray.get(docs_ref))
+            ][["doc_id", "sz"]].drop_duplicates("doc_id"),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .drop_duplicates("doc_id")
+    )
+    szmap = dict(zip(sizes["doc_id"], sizes["sz"]))
+    a = (ov["key"].to_numpy(np.int64) >> np.int64(32)).astype(np.int64)
+    b = (ov["key"].to_numpy(np.int64) & np.int64(0xFFFFFFFF)).astype(np.int64)
+    o = ov["overlap"].to_numpy(np.int64)
+    sa = np.array([szmap[x] for x in a], dtype=np.int64)
+    sb = np.array([szmap[x] for x in b], dtype=np.int64)
+    union = sa + sb - o
+    keep = t_den * o >= t_num * union
+    out = pd.DataFrame(
+        {
+            "doc_id_a": a[keep],
+            "doc_id_b": b[keep],
+            "overlap": o[keep],
+            "jaccard": o[keep].astype(np.float64) / union[keep],
+        }
+    ).sort_values(["doc_id_a", "doc_id_b"])
+    return rd.from_pandas(out.reset_index(drop=True))

@@ -188,6 +188,7 @@ ORACLE_BACKED = [
     "twa_user_value",
     "profile_columns",
     "uncertain_pairs",
+    "ppjoin_pairs",
 ]
 
 
