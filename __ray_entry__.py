@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_columns": relational.q_profile_columns,
         "uncertain_pairs": er.q_uncertain_pairs,
         "ppjoin_pairs": dedup.q_ppjoin_pairs,
+        "fully_returned_orders": relational.q_fully_returned_orders,
+        "pareto_orders": relational.q_pareto_orders,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -453,6 +455,27 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             ORDER BY uncertainty, p_partkey_a, p_partkey_b
             LIMIT 50
+        """,
+        "fully_returned_orders": """
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+                HAVING count(*) = count(*) FILTER (WHERE l_returnflag = 'R'))
+            GROUP BY 1
+        """,
+        "pareto_orders": """
+            WITH o AS (SELECT o_orderkey,
+                              CAST(round(o_totalprice*100,0) AS BIGINT) AS p,
+                              o_orderdate AS d FROM orders),
+            g AS (SELECT d, max(p) AS pmax FROM o GROUP BY d),
+            c AS (SELECT d, pmax,
+                         max(pmax) OVER (ORDER BY d
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prevmax
+                  FROM g)
+            SELECT o.o_orderkey, o.d AS o_orderdate, o.p AS price_cents
+            FROM o JOIN c ON o.d = c.d
+            WHERE o.p = c.pmax AND (c.prevmax IS NULL OR o.p > c.prevmax)
         """,
         "fk_audit": """
             SELECT 'lineitem' AS child_table, 'l_orderkey' AS fk_col,

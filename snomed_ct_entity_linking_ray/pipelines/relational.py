@@ -4078,3 +4078,124 @@ def q_profile_columns(sf_dir: str):
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+# --- universal quantification (ALL-quantifier relational shape) ---------------
+
+def q_fully_returned_orders(sf_dir: str):
+    """Orders whose lineitems were ALL returned (l_returnflag = 'R'),
+    counted per order status — the universal-quantifier (relational
+    division) shape: EXISTS filters are everywhere in the registry
+    (Q4 et al.); this is the FORALL dual, decided by the count identity
+    n_lineitems == n_returned (no NOT EXISTS double-negation anywhere
+    near the data).
+
+    Scale shape: one `grouped_sums` pass over two slim lineitem columns
+    (count + flag-sum per orderkey), a vectorized equality filter on the
+    bounded per-order aggregate, then `semi_anti_filter`'s dual-plan semi
+    join against orders and one tiny grouped count. No row of either fact
+    table is ever driver-resident."""
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "ret": (df["l_returnflag"].astype(str) == "R").to_numpy(
+                    np.int64
+                ),
+            }
+        )
+
+    per_order = grouped_sums(
+        li.map_batches(flag, batch_format="pandas"),
+        ["l_orderkey"],
+        sums={"n_ret": "ret"},
+        count_as="n",
+    )
+    all_ret = per_order.map_batches(
+        lambda df: df[df["n"] == df["n_ret"]][["l_orderkey"]],
+        batch_format="pandas",
+    )
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    hit = semi_anti_filter(orders, "o_orderkey", all_ret, "l_orderkey")
+    return grouped_sums(hit, ["o_orderstatus"], sums={}, count_as="n_orders")
+
+
+# --- 2-D skyline (Pareto frontier) --------------------------------------------
+
+def q_pareto_orders(sf_dir: str):
+    """Pareto-optimal orders on (total price MAX, order date MIN) — the
+    skyline operator (Börzsönyi ICDE'01): an order survives iff no other
+    order has price >= AND date <= with at least one strict. The
+    standard product-search / quality-vs-age frontier query.
+
+    Distributed 2-D skyline: the frontier is fully determined by the
+    per-DATE maximum price (date cardinality is dictionary-bounded —
+    ~2.5k days per retention decade — so the aggregate is tiny at any
+    corpus size). One `grouped_sums`-shaped max-per-date pass, a
+    driver-side running-max sweep over the sorted date axis (bounded
+    rows), then a broadcast (date, price) frontier-point filter back over
+    orders — survivors are exactly the rows equal to a frontier point
+    (same-date same-price ties all survive: neither dominates).
+
+    price is exact integer cents; no float is compared anywhere."""
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "d": df["o_orderdate"].astype("datetime64[us]").astype(np.int64),
+                "p": cents(df["o_totalprice"]),
+            }
+        )
+
+    slimmed = ds.map_batches(slim, batch_format="pandas")
+
+    def pmax_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("d", as_index=False)["p"].max()
+        return g.rename(columns={"p": "pmax"})
+
+    def pmax_combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        return df.groupby("d", as_index=False)["pmax"].max()
+
+    per_date = tree_to_pandas(
+        slimmed.map_batches(pmax_partial, batch_format="pandas"), pmax_combine
+    )
+    per_date = per_date.sort_values("d").reset_index(drop=True)
+    pm = per_date["pmax"].to_numpy(np.int64)
+    # frontier: strictly above the running max of all EARLIER dates
+    prev = np.concatenate(([np.iinfo(np.int64).min],
+                           np.maximum.accumulate(pm)[:-1]))
+    front = per_date[pm > prev]
+    # frontier dates are unique and sorted: membership = one searchsorted
+    fref = broadcast(
+        (front["d"].to_numpy(np.int64), front["pmax"].to_numpy(np.int64))
+    )
+
+    def keep_frontier(df: pd.DataFrame) -> pd.DataFrame:
+        fd, fp = ray.get(fref)
+        d = df["d"].to_numpy(np.int64)
+        p = df["p"].to_numpy(np.int64)
+        ix = np.searchsorted(fd, d)
+        ix_c = np.minimum(ix, len(fd) - 1) if len(fd) else ix
+        m = (
+            (fd[ix_c] == d) & (fp[ix_c] == p)
+            if len(fd)
+            else np.zeros(len(df), dtype=bool)
+        )
+        out = df[m] if len(df) else df
+        return pd.DataFrame(
+            {
+                "o_orderkey": out["o_orderkey"].to_numpy(np.int64),
+                "o_orderdate": out["d"].to_numpy(np.int64).astype(
+                    "datetime64[us]"
+                ),
+                "price_cents": out["p"].to_numpy(np.int64),
+            }
+        )
+
+    return slimmed.map_batches(keep_frontier, batch_format="pandas")

@@ -189,6 +189,8 @@ ORACLE_BACKED = [
     "profile_columns",
     "uncertain_pairs",
     "ppjoin_pairs",
+    "fully_returned_orders",
+    "pareto_orders",
 ]
 
 
