@@ -197,6 +197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppjoin_pairs": dedup.q_ppjoin_pairs,
         "fully_returned_orders": relational.q_fully_returned_orders,
         "pareto_orders": relational.q_pareto_orders,
+        "media_clusters": multimodal.q_media_clusters,
+        "crosslink_best": er.q_crosslink_best,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -476,6 +478,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.d AS o_orderdate, o.p AS price_cents
             FROM o JOIN c ON o.d = c.d
             WHERE o.p = c.pmax AND (c.prevmax IS NULL OR o.p > c.prevmax)
+        """,
+        "media_clusters": f"""
+            WITH RECURSIVE m AS (
+                SELECT DISTINCT substring(s.media_ref, 9, 2) AS bucket, doc_id
+                FROM read_parquet('{docs_tbl}'), unnest(spans) AS u(s)
+                WHERE s.kind = 'media'),
+            e AS (SELECT a.doc_id AS na, b.doc_id AS nb
+                  FROM m a JOIN m b
+                    ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            und AS (SELECT na, nb FROM e UNION SELECT nb, na FROM e),
+            docs AS (SELECT DISTINCT doc_id FROM m),
+            reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM docs
+                UNION
+                SELECT r.src, u.nb FROM reach r JOIN und u ON r.dst = u.na)
+            SELECT src AS doc_id, min(dst) AS cluster_rep
+            FROM reach GROUP BY src
+        """,
+        "crosslink_best": """
+            WITH a AS (SELECT DISTINCT p_name FROM part WHERE p_partkey % 2 = 0),
+            b AS (SELECT DISTINCT p_name FROM part WHERE p_partkey % 2 = 1),
+            c AS (SELECT a.p_name AS name_a, b.p_name AS name_b,
+                         jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+                  FROM a JOIN b
+                    ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+                   AND abs(length(a.p_name) - length(b.p_name)) <= 3
+                  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8)
+            SELECT name_a, name_b AS best_b,
+                   CAST(floor(jw * 1000000) AS BIGINT) AS jw_ubin
+            FROM (SELECT *, row_number() OVER (PARTITION BY name_a
+                                               ORDER BY jw DESC, name_b) AS rn
+                  FROM c)
+            WHERE rn = 1
         """,
         "fk_audit": """
             SELECT 'lineitem' AS child_table, 'l_orderkey' AS fk_col,

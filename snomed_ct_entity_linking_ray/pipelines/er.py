@@ -3059,3 +3059,169 @@ def q_uncertain_pairs(
         ["uncertainty", "p_partkey_a", "p_partkey_b"], kind="mergesort"
     ).head(k)
     return rd.from_pandas(out.reset_index(drop=True))
+
+
+# --- clean-clean two-source linkage ------------------------------------------
+
+CROSSLINK_JW_THRESHOLD = 0.8
+
+
+def q_crosslink_best(
+    sf_dir: str,
+    threshold: float = CROSSLINK_JW_THRESHOLD,
+    max_len_diff: int = 3,
+    len_band: int = 4,
+):
+    """Clean-clean record linkage between TWO sources with a per-record
+    match decision: source A = part names on even part keys, source B =
+    names on odd keys (the standard benchmark construction — one catalog
+    split into two deduplicated sources, cf. DBLP-ACM / Abt-Buy), blocked
+    by the fuzzy dual-band discipline, and each A-record linked to its
+    single best B-candidate (JW argmax, ties -> lexicographically smallest
+    partner) when that best clears ``threshold``. This is the directional
+    linkage DECISION the self-join family doesn't exercise: every query
+    record gets at most one verdict, the shape of a lookup-against-master
+    deployment (match incoming records to a reference catalog).
+
+    Emits the quantized score (``jw_ubin = floor(jw * 1e6)``, the
+    JW_UBIN_SCALE discipline) — the JW kernel is property-pinned bit-equal
+    to DuckDB's jaro_winkler_similarity, so the floor is stable across the
+    oracle boundary.
+
+    Scale shape: two slim exchanges, neither carrying records — (1) the
+    dual-band block shuffle over (char, band, name, src) distinct rows
+    (each source deduplicated map-side); per block only CROSS-source,
+    length-compatible pairs are scored, directed A->B; (2) an A-name-keyed
+    hash-bucket argmax (vectorized sort + drop_duplicates over the whole
+    bucket frame — dual-band duplicate candidacies collapse here, both
+    copies carrying the same jw)."""
+    if len_band <= max_len_diff:
+        raise ValueError("len_band must exceed max_len_diff for exact blocking")
+    parts = read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def src_names(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "p_name": df["p_name"].astype(str),
+                "src": (df["p_partkey"].to_numpy(np.int64) % 2).astype(np.int64),
+            }
+        )
+        return out.drop_duplicates()
+
+    names = _distinct_src_names(parts.map_batches(src_names, batch_format="pandas"))
+
+    def keys(df: pd.DataFrame) -> pa.Table:
+        nm = df["p_name"].astype(str)
+        ln = nm.str.len().to_numpy(np.int64)
+        ch = nm.str[:1]
+        band = ln // len_band
+        out = pd.DataFrame(
+            {
+                "ch": pd.concat([ch, ch], ignore_index=True),
+                "band": np.concatenate([band, band + 1]),
+                "p_name": pd.concat([nm, nm], ignore_index=True),
+                "ln": np.concatenate([ln, ln]),
+                "src": np.concatenate([df["src"].to_numpy(np.int64)] * 2),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    directed_schema = pa.schema(
+        [("name_a", pa.string()), ("cand", pa.string()), ("jw_ubin", pa.int64())]
+    )
+
+    def directed(g: pd.DataFrame) -> pa.Table:
+        a = g[g["src"] == 0]
+        b = g[g["src"] == 1]
+        na = a["p_name"].to_numpy(object)
+        nb = b["p_name"].to_numpy(object)
+        la = a["ln"].to_numpy(np.int64)
+        lb = b["ln"].to_numpy(np.int64)
+        a_out: list = []
+        b_out: list = []
+        s_out: list = []
+        if len(na) and len(nb):
+            ia, ib = np.nonzero(
+                np.abs(la[:, None] - lb[None, :]) <= max_len_diff
+            )
+            for i, j in zip(ia, ib):
+                s = jaro_winkler(na[i], nb[j])
+                if s >= threshold:
+                    a_out.append(na[i])
+                    b_out.append(nb[j])
+                    s_out.append(int(np.floor(s * JW_UBIN_SCALE)))
+        return pa.Table.from_arrays(
+            [
+                pa.array(a_out, pa.string()),
+                pa.array(b_out, pa.string()),
+                pa.array(s_out, pa.int64()),
+            ],
+            schema=directed_schema,
+        )
+
+    cand = (
+        names.map_batches(keys, batch_format="pandas")
+        .groupby(["ch", "band"])
+        .map_groups(directed, batch_format="pandas")
+    )
+
+    n_buckets = default_buckets()
+
+    def name_bucket(df: pd.DataFrame) -> pa.Table:
+        d = df.drop_duplicates(subset=["name_a", "cand"])
+        h = pd.util.hash_pandas_object(d["name_a"], index=False).to_numpy()
+        d = d.copy()
+        d["_nb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    best_schema = pa.schema(
+        [("name_a", pa.string()), ("best_b", pa.string()), ("jw_ubin", pa.int64())]
+    )
+
+    def bucket_best(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(subset=["name_a", "cand"])
+        g = g.sort_values(
+            ["name_a", "jw_ubin", "cand"], ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates(subset=["name_a"], keep="first")
+        return pa.Table.from_arrays(
+            [
+                pa.array(g["name_a"].to_numpy(object), pa.string()),
+                pa.array(g["cand"].to_numpy(object), pa.string()),
+                pa.array(g["jw_ubin"].to_numpy(np.int64), pa.int64()),
+            ],
+            schema=best_schema,
+        )
+
+    return (
+        cand.map_batches(name_bucket, batch_format="pandas")
+        .groupby("_nb")
+        .map_groups(bucket_best, batch_format="pandas")
+    )
+
+
+def _distinct_src_names(cand: rd.Dataset, n_buckets: int | None = None) -> rd.Dataset:
+    """Distinct (p_name, src) rows — the _distinct_name_pairs shape on the
+    tagged-source key (map-side combine, then hash-bucketed vectorized
+    drop_duplicates)."""
+    if n_buckets is None:
+        n_buckets = default_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        out = df.drop_duplicates()
+        h = pd.util.hash_pandas_object(
+            out["p_name"].astype(str), index=False
+        ).to_numpy()
+        out = out.copy()
+        out["_db"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def bucket_dedup(g: pd.DataFrame) -> pa.Table:
+        out = g.drop_duplicates(subset=["p_name", "src"]).drop(columns=["_db"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        cand.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_db")
+        .map_groups(bucket_dedup, batch_format="pandas")
+    )

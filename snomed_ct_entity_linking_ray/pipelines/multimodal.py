@@ -578,3 +578,128 @@ def q_span_transitions(sf_dir: str):
 
     partial = docs.map_batches(trans, batch_format="pyarrow")
     return grouped_sums(partial, ["kind_from", "kind_to"], {"n_transitions": "n"})
+
+
+def q_media_clusters(sf_dir: str):
+    """Media-identifier linkage clusters over the interleaved corpus:
+    connected components of the ``media_bucket_pairs`` blocking graph —
+    docs are linked when their media payloads hash to the same perceptual
+    bucket, and docs carrying several media spans bridge their buckets
+    into one cluster. This is the deterministic-identifier linkage rule of
+    classic record linkage (link on a shared key before any probabilistic
+    scoring) applied to the media column, and the transitive-closure
+    endgame the pair stream feeds (the reference resolves its candidate
+    graph the same way — 1st Place/src/apply_basic_model.py keep/merge
+    sweep). Output: every doc that HAS media, labeled with the min doc_id
+    of its component (bucket-singleton docs label themselves).
+
+    Scale shape: Arrow-kernel explode → slim per-batch distinct of
+    2-char-bucket+id rows → ONE hash-bucketed shuffle (never the payload)
+    → STAR edges per bucket (lexicographic-min doc_id per bucket → each
+    other doc; one vectorized ``transform('min')`` over the whole bucket
+    frame, no per-bucket Python dispatch) → distributed tree-reduce
+    connected components over edges only. doc_id is a STRING (the
+    input_hint schema); the components stage works on int64 nodes, so
+    edge ENDPOINTS get ids from a sorted endpoint vocabulary — bounded by
+    docs-with-a-shared-bucket, the exact set the label map (which the
+    dup_clusters discipline broadcasts anyway) already holds, so the
+    driver-side collect adds no new asymptotic term. Sorted assignment
+    makes min-int ≡ min-string, preserving the lexicographic-min rep.
+    The label map broadcasts and attaches to the distinct docs-with-media
+    stream in one map pass."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.components import connected_components
+    from .common import broadcast, default_buckets, distinct_column
+
+    rows = media_rows(sf_dir)
+    n_buckets = default_buckets()
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "bucket": pc.utf8_slice_codeunits(batch["media_ref"], 8, 10),
+                "doc_id": batch["doc_id"],
+            }
+        ).group_by(["bucket", "doc_id"]).aggregate([])
+        h = pd.util.hash_pandas_object(
+            t["bucket"].to_pandas().astype(str), index=False
+        ).to_numpy()
+        return t.append_column(
+            "_b", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    star_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+    def star(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(subset=["bucket", "doc_id"])
+        ids = g["doc_id"].astype(str)
+        hub = ids.groupby(g["bucket"].to_numpy(object)).transform("min")
+        m = (ids != hub).to_numpy()
+        return pa.Table.from_arrays(
+            [
+                pa.array(hub.to_numpy(object)[m], pa.string()),
+                pa.array(ids.to_numpy(object)[m], pa.string()),
+            ],
+            schema=star_schema,
+        )
+
+    edges = (
+        rows.map_batches(slim, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(star, batch_format="pandas")
+    )
+
+    # endpoint vocabulary: docs that share a bucket with another doc —
+    # the same bounded set the broadcast label map holds below
+    def stack_ends(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": pd.concat([df["u"], df["v"]], ignore_index=True)}
+        )
+
+    vocab = sorted(
+        distinct_column(edges.map_batches(stack_ends, batch_format="pandas"),
+                        "doc_id")
+        .to_pandas()["doc_id"]
+        .astype(str)
+        .tolist()
+    )
+    id_of = {d: i for i, d in enumerate(vocab)}
+    vocab_ref = broadcast(id_of)
+
+    def to_int_edges(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"u": pd.Series([], dtype=np.int64),
+                 "v": pd.Series([], dtype=np.int64)}
+            )
+        lk = ray.get(vocab_ref)
+        return pd.DataFrame(
+            {
+                "u": df["u"].map(lk).to_numpy(np.int64),
+                "v": df["v"].map(lk).to_numpy(np.int64),
+            }
+        )
+
+    labels = connected_components(
+        edges.map_batches(to_int_edges, batch_format="pandas"), n_blocks_hint=8
+    ).to_pandas()
+    node_str = np.array(vocab, dtype=object)[labels["node"].to_numpy(np.int64)]
+    rep_str = np.array(vocab, dtype=object)[labels["label"].to_numpy(np.int64)]
+    order = np.argsort(node_str)
+    ref = broadcast((node_str[order], rep_str[order]))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        ids_s, lab = ray.get(ref)
+        d = df["doc_id"].astype(str).to_numpy(object)
+        rep = d.copy()
+        if len(ids_s):
+            pos = np.clip(np.searchsorted(ids_s, d), 0, len(ids_s) - 1)
+            hit = ids_s[pos] == d
+            rep[hit] = lab[pos][hit]
+        return pd.DataFrame({"doc_id": d, "cluster_rep": rep})
+
+    return distinct_column(rows, "doc_id").map_batches(
+        attach, batch_format="pandas"
+    )

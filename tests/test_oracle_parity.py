@@ -191,6 +191,10 @@ ORACLE_BACKED = [
     "ppjoin_pairs",
     "fully_returned_orders",
     "pareto_orders",
+    # r4p: interleaved-payload linkage clusters + clean-clean two-source
+    # best-match linkage
+    "media_clusters",
+    "crosslink_best",
 ]
 
 
