@@ -611,3 +611,48 @@ def test_value_outliers_matches_float_zscore(ray_session):
         m = np.abs(c - mu) > 3 * sd
         flagged |= set(g["event_id"].to_numpy()[m].tolist())
     assert set(out["event_id"].tolist()) == flagged
+
+
+def test_media_clusters_invariants(ray_session):
+    """cluster_rep is a member of the cluster, minimal within it, and
+    every doc-with-media appears exactly once (r4p media_clusters)."""
+    from snomed_ct_entity_linking_ray.pipelines.multimodal import (
+        media_rows,
+        q_media_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_media_clusters(sf).to_pandas()
+    docs_with_media = set(
+        media_rows(sf).to_pandas()["doc_id"].astype(str).unique()
+    )
+    assert set(out["doc_id"]) == docs_with_media
+    assert out["doc_id"].is_unique
+    # rep is the min member of its cluster, and reps are members
+    by_rep = out.groupby("cluster_rep")["doc_id"].min()
+    assert (by_rep.index == by_rep.to_numpy()).all()
+
+
+def test_crosslink_best_invariants(ray_session):
+    """One decision per A-record; the decision is deterministic argmax
+    with lexicographic tie-break; scores clear the threshold; sources
+    are disjoint by construction (r4p crosslink_best)."""
+    import numpy as np
+
+    from snomed_ct_entity_linking_ray.functions.similarity import jaro_winkler
+    from snomed_ct_entity_linking_ray.pipelines.er import (
+        CROSSLINK_JW_THRESHOLD,
+        JW_UBIN_SCALE,
+        q_crosslink_best,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_crosslink_best(sf).to_pandas()
+    assert len(out) > 0
+    assert out["name_a"].is_unique
+    assert (out["jw_ubin"] >= int(CROSSLINK_JW_THRESHOLD * JW_UBIN_SCALE)).all()
+    # spot-check the quantized score against the pinned kernel
+    for _, r in out.head(5).iterrows():
+        assert r["jw_ubin"] == int(
+            np.floor(jaro_winkler(r["name_a"], r["best_b"]) * JW_UBIN_SCALE)
+        )
