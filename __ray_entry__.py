@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_orders": relational.q_pareto_orders,
         "media_clusters": multimodal.q_media_clusters,
         "crosslink_best": er.q_crosslink_best,
+        "greedy_assignment": er.q_greedy_assignment,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -356,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
             "bpe_merges",
             "rrf_fusion",
             "ppjoin_pairs",
+            "greedy_assignment",
         )
     }
 

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 25  # r4o: + bpe_merges, rrf_fusion, ppjoin_pairs
+ORACLE_VERSION = 26  # r4p: + greedy_assignment
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -106,6 +106,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "bpe_merges": lambda: _bpe_merges(sf_dir),
         "rrf_fusion": lambda: _rrf_fusion(sf_dir),
         "ppjoin_pairs": lambda: _ppjoin_pairs(sf_dir),
+        "greedy_assignment": lambda: _greedy_assignment(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -1537,5 +1538,45 @@ def _ppjoin_pairs(sf_dir: str, t_num: int = 1, t_den: int = 2) -> pa.Table:
             "doc_id_b": pa.array([r[1] for r in rows], pa.int64()),
             "overlap": pa.array([r[2] for r in rows], pa.int64()),
             "jaccard": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _greedy_assignment(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+    """Sequential greedy one-to-one assignment — the TEXTBOOK algorithm
+    (walk all candidate pairs in descending (jw, name_a, name_b) order,
+    take a pair iff both endpoints are free). The engine computes the
+    same matching by iterated locally-dominant rounds (Preis '99); the
+    driver compare pins the equivalence. Shared pinned kernel:
+    jaro_winkler only."""
+    from .functions.similarity import jaro_winkler
+
+    t = _read(sf_dir, "part")
+    pk = t["p_partkey"].to_numpy()
+    nm = t["p_name"].to_pylist()
+    a_names = sorted({n for k, n in zip(pk, nm) if k % 2 == 0})
+    b_names = sorted({n for k, n in zip(pk, nm) if k % 2 == 1})
+    pairs = []
+    for x in a_names:
+        for y in b_names:
+            if x[:1] == y[:1] and abs(len(x) - len(y)) <= 3:
+                s = jaro_winkler(x, y)
+                if s >= threshold:
+                    pairs.append((int(np.floor(s * 1_000_000)), x, y))
+    pairs.sort(key=lambda p: (-p[0], p[1], p[2]))
+    used_a: set = set()
+    used_b: set = set()
+    rows = []
+    for s, x, y in pairs:
+        if x not in used_a and y not in used_b:
+            used_a.add(x)
+            used_b.add(y)
+            rows.append((x, y, s))
+    rows.sort()
+    return pa.table(
+        {
+            "name_a": pa.array([r[0] for r in rows], pa.string()),
+            "name_b": pa.array([r[1] for r in rows], pa.string()),
+            "jw_ubin": pa.array([r[2] for r in rows], pa.int64()),
         }
     )

@@ -3095,6 +3095,21 @@ def q_crosslink_best(
     hash-bucket argmax (vectorized sort + drop_duplicates over the whole
     bucket frame — dual-band duplicate candidacies collapse here, both
     copies carrying the same jw)."""
+    cand = _crosslink_candidates(sf_dir, threshold, max_len_diff, len_band)
+    return _per_a_argmax(cand)
+
+
+def _crosslink_candidates(
+    sf_dir: str,
+    threshold: float,
+    max_len_diff: int,
+    len_band: int,
+) -> rd.Dataset:
+    """Directed A->B candidate stream (name_a, cand, jw_ubin) for the
+    two-source crosslink setting (even/odd part-key split, dual-band
+    blocking, threshold-filtered). Dual-band duplicate candidacies are
+    NOT yet deduped — consumers collapse them in their own keyed bucket
+    pass (both copies carry the same jw)."""
     if len_band <= max_len_diff:
         raise ValueError("len_band must exceed max_len_diff for exact blocking")
     parts = read(sf_dir, "part", ["p_partkey", "p_name"])
@@ -3164,8 +3179,15 @@ def q_crosslink_best(
         .groupby(["ch", "band"])
         .map_groups(directed, batch_format="pandas")
     )
+    return cand
 
-    n_buckets = default_buckets()
+
+def _per_a_argmax(cand: rd.Dataset, n_buckets: int | None = None) -> rd.Dataset:
+    """Per-A-record argmax over the directed candidate stream: A-name-keyed
+    hash-bucket, vectorized sort + drop_duplicates over the whole bucket
+    frame (dual-band duplicate candidacies collapse here)."""
+    if n_buckets is None:
+        n_buckets = default_buckets()
 
     def name_bucket(df: pd.DataFrame) -> pa.Table:
         d = df.drop_duplicates(subset=["name_a", "cand"])
@@ -3225,3 +3247,207 @@ def _distinct_src_names(cand: rd.Dataset, n_buckets: int | None = None) -> rd.Da
         .groupby("_db")
         .map_groups(bucket_dedup, batch_format="pandas")
     )
+
+
+GREEDY_MAX_ROUNDS = 256
+
+
+def q_greedy_assignment(
+    sf_dir: str,
+    threshold: float = CROSSLINK_JW_THRESHOLD,
+    max_len_diff: int = 3,
+    len_band: int = 4,
+    max_rounds: int = GREEDY_MAX_ROUNDS,
+):
+    """GLOBAL greedy one-to-one assignment over the two-source candidate
+    graph — the matching the sequential algorithm produces by walking all
+    pairs in descending score order and taking a pair iff both endpoints
+    are still free (the classic linkage assignment step after scoring,
+    cf. Fellegi-Sunter one-to-one restriction).
+
+    Distributed as ITERATED LOCALLY-DOMINANT MATCHING (Preis '99; Manne &
+    Bisseling '07): each round matches every pair that is simultaneously
+    its A-endpoint's and its B-endpoint's best remaining candidate under
+    the strict total pair order (jw_ubin DESC, name_a ASC, name_b ASC),
+    then removes matched endpoints. Under a strict total order the union
+    of rounds EQUALS the sequential greedy matching — the oracle runs the
+    textbook sequential walk and the driver gate pins the equivalence.
+
+    Scale shape: rounds operate on the THRESHOLD-FILTERED candidate set
+    (a small fraction of the corpus — the same boundedness the verified
+    LSH pair stream has), never on records. Each round is two keyed
+    argmax bucket passes + one pair-keyed mutuality bucket; matched
+    endpoints broadcast (bounded by matches so far; the semi_anti_filter
+    dual plan is the documented swap at larger match volumes). A
+    nonempty candidate set always contains its global-max pair, which is
+    locally dominant — so every round matches >= 1 pair and termination
+    is certain; ``max_rounds`` only guards a logic regression (loud
+    RuntimeError, the propagate discipline)."""
+    cand = _crosslink_candidates(sf_dir, threshold, max_len_diff, len_band)
+    n_buckets = default_buckets()
+
+    pair_schema = pa.schema(
+        [("name_a", pa.string()), ("name_b", pa.string()), ("jw_ubin", pa.int64())]
+    )
+
+    def pair_bucket(df: pd.DataFrame) -> pa.Table:
+        d = df.drop_duplicates(subset=["name_a", "cand"])
+        h = pd.util.hash_pandas_object(
+            d["name_a"] + "\x00" + d["cand"], index=False
+        ).to_numpy()
+        d = d.copy()
+        d["_pb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    def bucket_dedup(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(subset=["name_a", "cand"])
+        return pa.Table.from_arrays(
+            [
+                pa.array(g["name_a"].to_numpy(object), pa.string()),
+                pa.array(g["cand"].to_numpy(object), pa.string()),
+                pa.array(g["jw_ubin"].to_numpy(np.int64), pa.int64()),
+            ],
+            schema=pair_schema,
+        )
+
+    remaining = (
+        cand.map_batches(pair_bucket, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(bucket_dedup, batch_format="pandas")
+        .materialize()
+    )
+
+    side_schema = pa.schema(
+        [
+            ("name_a", pa.string()),
+            ("name_b", pa.string()),
+            ("jw_ubin", pa.int64()),
+            ("side", pa.int64()),
+        ]
+    )
+
+    def keyed(col: str):
+        def add(df: pd.DataFrame) -> pa.Table:
+            if len(df) == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.string()), pa.array([], pa.string()),
+                     pa.array([], pa.int64()), pa.array([], pa.int64())],
+                    names=["name_a", "name_b", "jw_ubin", "_kb"],
+                )
+            h = pd.util.hash_pandas_object(df[col], index=False).to_numpy()
+            d = df.copy()
+            d["_kb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+            return pa.Table.from_pandas(d, preserve_index=False)
+
+        return add
+
+    def best_fn(key: str, partner: str, side: int):
+        def best(g: pd.DataFrame) -> pa.Table:
+            g = g.sort_values(
+                [key, "jw_ubin", partner], ascending=[True, False, True],
+                kind="mergesort",
+            ).drop_duplicates(subset=[key], keep="first")
+            return pa.Table.from_arrays(
+                [
+                    pa.array(g["name_a"].to_numpy(object), pa.string()),
+                    pa.array(g["name_b"].to_numpy(object), pa.string()),
+                    pa.array(g["jw_ubin"].to_numpy(np.int64), pa.int64()),
+                    pa.array(np.full(len(g), side, dtype=np.int64)),
+                ],
+                schema=side_schema,
+            )
+
+        return best
+
+    mutual_schema = pa.schema(
+        [("name_a", pa.string()), ("name_b", pa.string()), ("jw_ubin", pa.int64())]
+    )
+
+    def mutual_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string()),
+                 pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["name_a", "name_b", "jw_ubin", "_mb"],
+            )
+        h = pd.util.hash_pandas_object(
+            df["name_a"] + "\x00" + df["name_b"], index=False
+        ).to_numpy()
+        d = df.drop(columns=["side"]).copy()
+        d["_mb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    def mutual_pairs(g: pd.DataFrame) -> pa.Table:
+        c = g.groupby(["name_a", "name_b"], as_index=False).agg(
+            n=("jw_ubin", "size"), jw_ubin=("jw_ubin", "max")
+        )
+        keep = c[c["n"] == 2]
+        return pa.Table.from_arrays(
+            [
+                pa.array(keep["name_a"].to_numpy(object), pa.string()),
+                pa.array(keep["name_b"].to_numpy(object), pa.string()),
+                pa.array(keep["jw_ubin"].to_numpy(np.int64), pa.int64()),
+            ],
+            schema=mutual_schema,
+        )
+
+    matched_frames: list[pd.DataFrame] = []
+    for _round in range(max_rounds + 1):
+        if remaining.count() == 0:
+            break
+        if _round == max_rounds:
+            raise RuntimeError(
+                f"greedy assignment did not drain in {max_rounds} rounds "
+                "(every round must match >= 1 pair — logic regression)"
+            )
+        best_a = (
+            remaining.map_batches(keyed("name_a"), batch_format="pandas")
+            .groupby("_kb")
+            .map_groups(best_fn("name_a", "name_b", 0), batch_format="pandas")
+        )
+        best_b = (
+            remaining.map_batches(keyed("name_b"), batch_format="pandas")
+            .groupby("_kb")
+            .map_groups(best_fn("name_b", "name_a", 1), batch_format="pandas")
+        )
+        mutual = (
+            best_a.union(best_b)
+            .map_batches(mutual_bucket, batch_format="pandas")
+            .groupby("_mb")
+            .map_groups(mutual_pairs, batch_format="pandas")
+            .to_pandas()  # bounded by matches this round (<= nodes/2)
+        )
+        # a nonempty remaining set always yields >= 1 mutual pair; the
+        # column guard covers the empty-Dataset-collects-columnless-frame
+        # trap (ADVICE r3, semi_anti_filter)
+        matched_frames.append(mutual)
+        ma_ref = broadcast(
+            set(mutual["name_a"]) if "name_a" in mutual.columns else set()
+        )
+        mb_ref = broadcast(
+            set(mutual["name_b"]) if "name_b" in mutual.columns else set()
+        )
+
+        def drop_matched(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            ma, mb = ray.get(ma_ref), ray.get(mb_ref)
+            keep = ~df["name_a"].isin(ma) & ~df["name_b"].isin(mb)
+            return df[keep]
+
+        remaining = remaining.map_batches(
+            drop_matched, batch_format="pandas"
+        ).materialize()
+
+    if matched_frames:
+        out = pd.concat(matched_frames, ignore_index=True)
+    else:
+        out = pd.DataFrame(
+            {
+                "name_a": pd.Series([], dtype=object),
+                "name_b": pd.Series([], dtype=object),
+                "jw_ubin": pd.Series([], dtype=np.int64),
+            }
+        )
+    out = out.sort_values(["name_a"]).reset_index(drop=True)
+    return rd.from_pandas(out)

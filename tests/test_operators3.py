@@ -656,3 +656,19 @@ def test_crosslink_best_invariants(ray_session):
         assert r["jw_ubin"] == int(
             np.floor(jaro_winkler(r["name_a"], r["best_b"]) * JW_UBIN_SCALE)
         )
+
+
+def test_greedy_assignment_one_to_one(ray_session):
+    """Greedy assignment is a matching: each A-name and each B-name
+    appears at most once; scores clear the threshold (r4p)."""
+    from snomed_ct_entity_linking_ray.pipelines.er import (
+        CROSSLINK_JW_THRESHOLD,
+        JW_UBIN_SCALE,
+        q_greedy_assignment,
+    )
+
+    out = q_greedy_assignment("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert out["name_a"].is_unique
+    assert out["name_b"].is_unique
+    assert (out["jw_ubin"] >= int(CROSSLINK_JW_THRESHOLD * JW_UBIN_SCALE)).all()

@@ -195,6 +195,7 @@ ORACLE_BACKED = [
     # best-match linkage
     "media_clusters",
     "crosslink_best",
+    "greedy_assignment",
 ]
 
 
