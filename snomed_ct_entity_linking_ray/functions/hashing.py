@@ -276,3 +276,20 @@ def rolling_fingerprints(text: str, window: int = 16, mod_bits: int = 6) -> list
         if (h & mask) == 0:
             out.append(h)
     return out or [zlib.crc32(enc)]
+
+
+def bloom_encode64(name: str, n_hashes: int = 2) -> int:
+    """64-bit Bloom-filter encoding of a name's character bigrams — the
+    PPRL cryptographic-linkage encoding (Schnell/Bachteler/Reiher 2009,
+    shrunk to one machine word for the operator demo): each padded bigram
+    sets ``n_hashes`` bits chosen by independent crc32 draws. Shared
+    between the engine and its oracle because bit-exactness of the
+    encoding IS the contract (the simhash64 rationale)."""
+    s = f"_{name.lower()}_"
+    bits = 0
+    for i in range(len(s) - 1):
+        bg = s[i : i + 2].encode("utf-8", "ignore")
+        for h in range(n_hashes):
+            v = zlib.crc32(bg + bytes([h]))
+            bits |= 1 << (v & 63)
+    return bits

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 26  # r4p: + greedy_assignment
+ORACLE_VERSION = 28  # r4p: + greedy_assignment, kcore, pprl_pairs
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -107,6 +107,8 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "rrf_fusion": lambda: _rrf_fusion(sf_dir),
         "ppjoin_pairs": lambda: _ppjoin_pairs(sf_dir),
         "greedy_assignment": lambda: _greedy_assignment(sf_dir),
+        "kcore": lambda: _kcore(sf_dir),
+        "pprl_pairs": lambda: _pprl_pairs(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -1578,5 +1580,74 @@ def _greedy_assignment(sf_dir: str, threshold: float = 0.8) -> pa.Table:
             "name_a": pa.array([r[0] for r in rows], pa.string()),
             "name_b": pa.array([r[1] for r in rows], pa.string()),
             "jw_ubin": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _kcore(sf_dir: str, k: int = 2, threshold: float = 0.8) -> pa.Table:
+    """Single-process k-core peeling over the fuzzy-name match edges
+    (same blocked predicate as the engine: shared first char, length
+    diff <= 3, pinned jaro_winkler >= threshold on distinct part names).
+    Plain dict/set peeling loop — no Ray, no Dataset code."""
+    from .functions.similarity import jaro_winkler
+
+    t = _read(sf_dir, "part")
+    names = sorted(set(t["p_name"].to_pylist()))
+    adj: dict[str, set] = {}
+    for i, x in enumerate(names):
+        for y in names[i + 1:]:
+            if x[:1] == y[:1] and abs(len(x) - len(y)) <= 3:
+                if jaro_winkler(x, y) >= threshold:
+                    adj.setdefault(x, set()).add(y)
+                    adj.setdefault(y, set()).add(x)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    rows = sorted((n, len(v)) for n, v in adj.items())
+    return pa.table(
+        {
+            "p_name": pa.array([r[0] for r in rows], pa.string()),
+            "degree": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _pprl_pairs(sf_dir: str, threshold_micro: int = 700_000) -> pa.Table:
+    """Single-process PPRL pair generation: full quadratic over distinct
+    part names, candidate iff the two 64-bit Bloom encodings agree on at
+    least one NONZERO 16-bit band (the engine's documented blocking
+    predicate), linked iff integer-exact Dice >= threshold. Shared pinned
+    kernel: bloom_encode64 only."""
+    from .functions.hashing import bloom_encode64
+
+    t = _read(sf_dir, "part")
+    names = sorted(set(t["p_name"].to_pylist()))
+    codes = [bloom_encode64(n) for n in names]
+    pops = [bin(c).count("1") for c in codes]
+    rows = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            ci, cj = codes[i], codes[j]
+            shared_band = any(
+                ((ci >> (16 * b)) & 0xFFFF) != 0
+                and ((ci >> (16 * b)) & 0xFFFF) == ((cj >> (16 * b)) & 0xFFFF)
+                for b in range(4)
+            )
+            if not shared_band:
+                continue
+            dice = 2_000_000 * bin(ci & cj).count("1") // (pops[i] + pops[j])
+            if dice >= threshold_micro:
+                rows.append((names[i], names[j], dice))
+    rows.sort()
+    return pa.table(
+        {
+            "name_a": pa.array([r[0] for r in rows], pa.string()),
+            "name_b": pa.array([r[1] for r in rows], pa.string()),
+            "dice_micro": pa.array([r[2] for r in rows], pa.int64()),
         }
     )

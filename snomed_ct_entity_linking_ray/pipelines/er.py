@@ -3451,3 +3451,214 @@ def q_greedy_assignment(
         )
     out = out.sort_values(["name_a"]).reset_index(drop=True)
     return rd.from_pandas(out)
+
+
+KCORE_K = 2
+KCORE_MAX_ROUNDS = 128
+
+
+def q_kcore(sf_dir: str, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS):
+    """K-CORE of the fuzzy-name match graph: the maximal subgraph in which
+    every name keeps >= k match partners — the classic density filter that
+    separates genuinely ambiguous name neighborhoods (chains and hubs the
+    pairwise threshold lets through) from incidental one-off matches
+    before clustering; Batagelj-Zaversnik peeling, distributed.
+
+    Output: (p_name, degree) for every name in the k-core, degree counted
+    WITHIN the core (>= k by definition).
+
+    Scale shape: iterated peeling over the EDGE set only (the verified
+    match edges — the same boundedness every clustering op here relies
+    on): each round one grouped_sums degree pass + one broadcast-set
+    filter dropping edges incident to sub-k names; a fixpoint is reached
+    when no name falls below k (at most |nodes| rounds; ``max_rounds``
+    guards a logic regression loudly, the propagate discipline). The
+    dropped-name set per round is bounded by the nodes leaving the core —
+    the documented broadcast; the semi_anti_filter dual plan is the swap
+    at larger volumes."""
+    edges = q_fuzzy_name_pairs(sf_dir).materialize()
+
+    def degrees(e: rd.Dataset) -> pd.DataFrame:
+        def stack(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "p_name": pd.concat(
+                        [df["name_a"], df["name_b"]], ignore_index=True
+                    )
+                }
+            )
+
+        d = grouped_sums(
+            e.map_batches(stack, batch_format="pandas"),
+            ["p_name"],
+            sums={},
+            count_as="degree",
+        )
+        return d.to_pandas()  # bounded by names-with-a-match-edge
+
+    for _round in range(max_rounds + 1):
+        deg = degrees(edges)
+        if len(deg) == 0:
+            break
+        drop = set(deg.loc[deg["degree"] < k, "p_name"].astype(str))
+        if not drop:
+            break
+        if _round == max_rounds:
+            raise RuntimeError(
+                f"k-core peeling did not converge in {max_rounds} rounds"
+            )
+        drop_ref = broadcast(drop)
+
+        def drop_edges(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            d = ray.get(drop_ref)
+            keep = ~df["name_a"].isin(d) & ~df["name_b"].isin(d)
+            return df[keep]
+
+        edges = edges.map_batches(drop_edges, batch_format="pandas").materialize()
+
+    deg = degrees(edges)
+    if len(deg) == 0:
+        deg = pd.DataFrame(
+            {
+                "p_name": pd.Series([], dtype=object),
+                "degree": pd.Series([], dtype=np.int64),
+            }
+        )
+    deg = deg.sort_values("p_name").reset_index(drop=True)
+    return rd.from_pandas(deg)
+
+
+PPRL_DICE_MICRO = 700_000
+PPRL_BANDS = 4  # 4 x 16-bit bands over the 64-bit encoding
+
+
+def q_pprl_pairs(
+    sf_dir: str,
+    threshold_micro: int = PPRL_DICE_MICRO,
+    block_cap: int = FUZZY_BLOCK_CAP,
+):
+    """Privacy-preserving record linkage (Schnell/Bachteler/Reiher 2009):
+    names are compared ONLY through their Bloom-filter encodings — the
+    64-bit bigram encoding ``bloom_encode64`` (shared pinned kernel) —
+    and linked when the Dice coefficient of the encodings clears the
+    threshold (integer micro-units: ``2e6 * |A&B| // (|A|+|B|)``, exact
+    arithmetic end to end). The plaintext never participates in blocking
+    or scoring — the PPRL deployment constraint.
+
+    Blocking: the encoding is cut into four 16-bit bands; a pair is a
+    candidate iff it agrees on at least one NONZERO band (an all-zero
+    band carries no bigram evidence, and a hot zero-band would absorb
+    the whole corpus — the documented skip; the oracle replicates the
+    exact same predicate, so the blocked join IS the operator semantics,
+    the fuzzy_name_pairs framing). This is the standard LSH-style PPRL
+    blocking recall trade — agreement on a full 16-bit slice implies
+    high bit overlap, but pairs above the Dice threshold that share no
+    complete band are not recalled.
+
+    Scale shape: the shuffle carries (band, value, code) — 18-byte rows,
+    never names or records; in-block verification is vectorized popcount
+    over int64 codes; blocks over ``block_cap`` truncate deterministically
+    with a logged drop (`_cap_block`); band-duplicate candidates collapse
+    in the canonical pair-key bucket (dice identical on every copy)."""
+    from ..functions.hashing import bloom_encode64
+
+    names = distinct_column(read(sf_dir, "part", ["p_name"]), "p_name")
+
+    enc_schema = pa.schema(
+        [("band", pa.int64()), ("val", pa.int64()),
+         ("p_name", pa.string()), ("code", pa.int64())]
+    )
+
+    def encode(df: pd.DataFrame) -> pa.Table:
+        nm = df["p_name"].astype(str).to_numpy(object)
+        codes = np.array(
+            [bloom_encode64(n) for n in nm], dtype=np.uint64
+        )  # vocabulary-bounded batch; kernel is the pinned contract
+        b_out, v_out, n_out, c_out = [], [], [], []
+        for b in range(PPRL_BANDS):
+            vals = (codes >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            keep = vals != 0  # the documented zero-band skip
+            b_out.append(np.full(int(keep.sum()), b, dtype=np.int64))
+            v_out.append(vals[keep].astype(np.int64))
+            n_out.append(nm[keep])
+            c_out.append(codes[keep].astype(np.int64))
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(b_out)),
+                pa.array(np.concatenate(v_out)),
+                pa.array(np.concatenate(n_out), pa.string()),
+                pa.array(np.concatenate(c_out)),
+            ],
+            schema=enc_schema,
+        )
+
+    pair_schema = pa.schema(
+        [("name_a", pa.string()), ("name_b", pa.string()),
+         ("dice_micro", pa.int64())]
+    )
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(subset=["p_name"])
+        g = _cap_block(g, "p_name", "pprl_band", block_cap)
+        nm = g["p_name"].to_numpy(object)
+        code = g["code"].to_numpy(np.int64).view(np.uint64)
+        n = len(g)
+        if n < 2:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string()),
+                 pa.array([], pa.int64())],
+                schema=pair_schema,
+            )
+        ia, ib = np.triu_indices(n, k=1)
+        inter = _popcount64(code[ia] & code[ib])
+        tot = _popcount64(code[ia]) + _popcount64(code[ib])
+        dice = (np.int64(2_000_000) * inter) // tot
+        keep = dice >= threshold_micro
+        a, b = nm[ia[keep]], nm[ib[keep]]
+        lo = np.where(a <= b, a, b)
+        hi = np.where(a <= b, b, a)
+        return pa.Table.from_arrays(
+            [
+                pa.array(lo, pa.string()),
+                pa.array(hi, pa.string()),
+                pa.array(dice[keep].astype(np.int64)),
+            ],
+            schema=pair_schema,
+        )
+
+    cand = (
+        names.map_batches(encode, batch_format="pandas")
+        .groupby(["band", "val"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+    # canonical pair dedup (dice identical on every band copy)
+    n_buckets = default_buckets()
+
+    def pair_bucket(df: pd.DataFrame) -> pa.Table:
+        d = df.drop_duplicates(subset=["name_a", "name_b"])
+        h = pd.util.hash_pandas_object(
+            d["name_a"] + "\x00" + d["name_b"], index=False
+        ).to_numpy()
+        d = d.copy()
+        d["_pb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    def bucket_dedup(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(subset=["name_a", "name_b"])
+        return pa.Table.from_arrays(
+            [
+                pa.array(g["name_a"].to_numpy(object), pa.string()),
+                pa.array(g["name_b"].to_numpy(object), pa.string()),
+                pa.array(g["dice_micro"].to_numpy(np.int64)),
+            ],
+            schema=pair_schema,
+        )
+
+    return (
+        cand.map_batches(pair_bucket, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(bucket_dedup, batch_format="pandas")
+    )

@@ -672,3 +672,57 @@ def test_greedy_assignment_one_to_one(ray_session):
     assert out["name_a"].is_unique
     assert out["name_b"].is_unique
     assert (out["jw_ubin"] >= int(CROSSLINK_JW_THRESHOLD * JW_UBIN_SCALE)).all()
+
+
+def test_kcore_every_member_keeps_k(ray_session):
+    """Every member of the 2-core has >= 2 within-core neighbors, and the
+    core is a subset of the names with match edges (r4p kcore)."""
+    from snomed_ct_entity_linking_ray.pipelines.er import q_kcore
+
+    out = q_kcore("/root/testdata/sf0.001").to_pandas()
+    assert (out["degree"] >= 2).all()
+    assert out["p_name"].is_unique
+
+
+def test_pprl_pairs_dice_bounds(ray_session):
+    """PPRL Dice scores are valid micro-unit coefficients above the
+    threshold, pairs are canonical and unique (r4p pprl_pairs)."""
+    from snomed_ct_entity_linking_ray.pipelines.er import (
+        PPRL_DICE_MICRO,
+        q_pprl_pairs,
+    )
+
+    out = q_pprl_pairs("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert (out["dice_micro"] >= PPRL_DICE_MICRO).all()
+    assert (out["dice_micro"] <= 1_000_000).all()
+    assert (out["name_a"] < out["name_b"]).all()
+    assert not out.duplicated(subset=["name_a", "name_b"]).any()
+
+
+def test_gate_order_self_maintaining():
+    """The driver gates the first 50 queries(); _gate_order must put
+    not-yet-green queries first, respect _REGATE_FROM_ROUND, and rotate
+    once green rows appear (r4p)."""
+    import __ray_entry__ as entry
+
+    reg = {"a": 1, "b": 2, "c": 3}
+    # nothing green: curated order preserved
+    assert list(entry._gate_order(reg, green={})) == ["a", "b", "c"]
+    # b green: b drops to the back, a/c keep relative order
+    assert list(entry._gate_order(reg, green={"b": 3})) == ["a", "c", "b"]
+    # a regate-required query with only an OLD green row stays in front
+    old = dict(entry._REGATE_FROM_ROUND)
+    try:
+        entry._REGATE_FROM_ROUND["b"] = 4
+        assert list(entry._gate_order(reg, green={"b": 3})) == ["a", "b", "c"]
+        assert list(entry._gate_order(reg, green={"b": 4})) == ["a", "c", "b"]
+    finally:
+        entry._REGATE_FROM_ROUND.clear()
+        entry._REGATE_FROM_ROUND.update(old)
+    # the real registry: every entry in the 50-gate prefix must currently
+    # be pending (no wasted gate slots)
+    keys = list(entry.queries())
+    green = entry._green_rounds()
+    for k in keys[:50]:
+        assert green.get(k, -1) < entry._REGATE_FROM_ROUND.get(k, 0), k

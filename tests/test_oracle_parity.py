@@ -196,6 +196,8 @@ ORACLE_BACKED = [
     "media_clusters",
     "crosslink_best",
     "greedy_assignment",
+    "kcore",
+    "pprl_pairs",
 ]
 
 
