@@ -33,6 +33,11 @@ def main() -> None:
                     help="with --query: write the result as parquet to this "
                          "directory (Dataset results stream straight to a "
                          "multi-file partitioned write; never one giant file)")
+    ap.add_argument("--stats", action="store_true",
+                    help="with --query: print the executed Dataset's "
+                         "per-operator ds.stats() report to stderr — the "
+                         "per-stage wall-time/throughput surface used to "
+                         "tune batch sizes and concurrency")
     args = ap.parse_args()
 
     import ray
@@ -75,6 +80,10 @@ def main() -> None:
         else:
             n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
             metrics["rows"] = int(n)
+        if args.stats and isinstance(res, ray.data.Dataset):
+            import sys
+
+            print(res.stats(), file=sys.stderr)
     else:
         from snomed_ct_entity_linking_ray.pipelines.entity_link import (
             run_entity_link_checkpointed,
