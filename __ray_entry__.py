@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "greedy_assignment": er.q_greedy_assignment,
         "kcore": er.q_kcore,
         "pprl_pairs": er.q_pprl_pairs,
+        "stable_matching": er.q_stable_matching,
         # ...then r4-changed paths with lower risk —
         # llm.py is UNCHANGED since r3-final (llm_ner risk is only the
         # shared common.py delta); mentions/eval_iou share the flagship's
@@ -428,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
             "greedy_assignment",
             "kcore",
             "pprl_pairs",
+            "stable_matching",
         )
     }
 

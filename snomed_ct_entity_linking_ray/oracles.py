@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 28  # r4p: + greedy_assignment, kcore, pprl_pairs
+ORACLE_VERSION = 29  # r4p: + greedy_assignment, kcore, pprl_pairs, stable_matching
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -109,6 +109,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "greedy_assignment": lambda: _greedy_assignment(sf_dir),
         "kcore": lambda: _kcore(sf_dir),
         "pprl_pairs": lambda: _pprl_pairs(sf_dir),
+        "stable_matching": lambda: _stable_matching(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -1649,5 +1650,62 @@ def _pprl_pairs(sf_dir: str, threshold_micro: int = 700_000) -> pa.Table:
             "name_a": pa.array([r[0] for r in rows], pa.string()),
             "name_b": pa.array([r[1] for r in rows], pa.string()),
             "dice_micro": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _stable_matching(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+    """Sequential Gale-Shapley deferred acceptance (McVitie-Wilson free
+    stack, A-proposing) over the same blocked two-source candidate graph
+    as _greedy_assignment. With strict preferences the A-optimal outcome
+    is unique, so the engine's batched distributed rounds must agree
+    bit-for-bit. Shared pinned kernel: jaro_winkler only."""
+    from .functions.similarity import jaro_winkler
+
+    t = _read(sf_dir, "part")
+    pk = t["p_partkey"].to_numpy()
+    nm = t["p_name"].to_pylist()
+    a_names = sorted({n for k, n in zip(pk, nm) if k % 2 == 0})
+    b_names = sorted({n for k, n in zip(pk, nm) if k % 2 == 1})
+    prefs: dict[str, list] = {}
+    score: dict[tuple, int] = {}
+    for x in a_names:
+        cands = []
+        for y in b_names:
+            if x[:1] == y[:1] and abs(len(x) - len(y)) <= 3:
+                s = jaro_winkler(x, y)
+                if s >= threshold:
+                    q = int(np.floor(s * 1_000_000))
+                    cands.append((-q, y))
+                    score[(x, y)] = q
+        cands.sort()
+        prefs[x] = [y for _, y in cands]
+    ptr = {x: 0 for x in a_names}
+    engaged: dict[str, str] = {}  # b -> a
+    free = [x for x in a_names if prefs.get(x)]
+    while free:
+        x = free.pop()
+        if ptr[x] >= len(prefs[x]):
+            continue
+        y = prefs[x][ptr[x]]
+        ptr[x] += 1
+        cur = engaged.get(y)
+        if cur is None:
+            engaged[y] = x
+        else:
+            # b prefers higher score, ties -> lexicographically smaller a
+            new_k = (-score[(x, y)], x)
+            cur_k = (-score[(cur, y)], cur)
+            if new_k < cur_k:
+                engaged[y] = x
+                free.append(cur)
+            else:
+                free.append(x)
+    rows = sorted((a, b, score[(a, b)]) for b, a in engaged.items())
+    return pa.table(
+        {
+            "name_a": pa.array([r[0] for r in rows], pa.string()),
+            "name_b": pa.array([r[1] for r in rows], pa.string()),
+            "jw_ubin": pa.array([r[2] for r in rows], pa.int64()),
         }
     )

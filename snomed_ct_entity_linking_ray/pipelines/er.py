@@ -3662,3 +3662,218 @@ def q_pprl_pairs(
         .groupby("_pb")
         .map_groups(bucket_dedup, batch_format="pandas")
     )
+
+
+GS_MAX_ROUNDS = 512
+
+
+def q_stable_matching(
+    sf_dir: str,
+    threshold: float = CROSSLINK_JW_THRESHOLD,
+    max_len_diff: int = 3,
+    len_band: int = 4,
+    max_rounds: int = GS_MAX_ROUNDS,
+):
+    """A-OPTIMAL STABLE MATCHING over the two-source candidate graph —
+    Gale-Shapley deferred acceptance (1962), the third classic linkage
+    assignment discipline next to mutual-best and global-greedy: no
+    matched A,B pair exists where both would prefer each other over their
+    assigned partners. Preferences on both sides are the strict total
+    order (jw_ubin DESC, partner-name ASC) over the threshold-filtered
+    candidates; with strict preferences the A-proposing outcome is UNIQUE
+    regardless of proposal order, so the batched distributed rounds here
+    and the oracle's textbook sequential walk must agree exactly.
+
+    Distributed batched rounds: every free A proposes to the entry of its
+    ranked candidate list at its pointer (rank join, A-keyed bucket);
+    every proposed B keeps the best of {incumbent, proposers} (B-keyed
+    bucket argmax); every loser — rejected proposer or displaced
+    incumbent — returns to the free pool with pointer+1 (the pointer
+    stores the index it last PROPOSED at, so +1 is the next untried
+    candidate in both cases). Each round every free A either engages,
+    advances, or exhausts, so total work is bounded by the sum of
+    candidate-list lengths; ``max_rounds`` guards a logic regression
+    loudly.
+
+    Scale shape: every state table (ranked prefs, free pointers, tentative
+    engagements) is bounded by the threshold-filtered candidate set — the
+    same boundedness greedy_assignment relies on; rounds move (name, ptr)
+    and (name, name, score) rows only, never records."""
+    cand = _crosslink_candidates(sf_dir, threshold, max_len_diff, len_band)
+    n_buckets = default_buckets()
+
+    # ---- ranked preference lists per A (computed once) -------------------
+    pref_schema = pa.schema(
+        [("name_a", pa.string()), ("rank", pa.int64()),
+         ("name_b", pa.string()), ("jw_ubin", pa.int64())]
+    )
+
+    def a_bucket(df: pd.DataFrame) -> pa.Table:
+        d = df.drop_duplicates(subset=["name_a", "cand"])
+        h = pd.util.hash_pandas_object(d["name_a"], index=False).to_numpy()
+        d = d.copy()
+        d["_ab"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    def rank_prefs(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(subset=["name_a", "cand"])
+        g = g.sort_values(
+            ["name_a", "jw_ubin", "cand"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        rank = g.groupby("name_a").cumcount().to_numpy(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(g["name_a"].to_numpy(object), pa.string()),
+                pa.array(rank),
+                pa.array(g["cand"].to_numpy(object), pa.string()),
+                pa.array(g["jw_ubin"].to_numpy(np.int64)),
+            ],
+            schema=pref_schema,
+        )
+
+    prefs = (
+        cand.map_batches(a_bucket, batch_format="pandas")
+        .groupby("_ab")
+        .map_groups(rank_prefs, batch_format="pandas")
+        .materialize()
+    )
+
+    # free pool: every A with a candidate list starts at rank 0
+    free = prefs.map_batches(
+        lambda df: df[df["rank"] == 0][["name_a"]].assign(ptr=np.int64(0)),
+        batch_format="pandas",
+    ).materialize()
+
+    eng_schema = pa.schema(
+        [("name_b", pa.string()), ("name_a", pa.string()),
+         ("jw_ubin", pa.int64()), ("ptr", pa.int64())]
+    )
+
+    def empty_engaged() -> rd.Dataset:
+        return rd.from_arrow(
+            pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string()),
+                 pa.array([], pa.int64()), pa.array([], pa.int64())],
+                schema=eng_schema,
+            )
+        )
+
+    engaged = empty_engaged().materialize()
+
+    def key_bucket(col: str):
+        def add(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            h = pd.util.hash_pandas_object(
+                df[col].astype(str), index=False
+            ).to_numpy()
+            d = df.copy()
+            d["_kb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+            return d
+
+        return add
+
+    for _round in range(max_rounds + 1):
+        if free.count() == 0:
+            break
+        if _round == max_rounds:
+            raise RuntimeError(
+                f"deferred acceptance did not drain in {max_rounds} rounds"
+            )
+        # 1. proposals: join free (name_a, ptr) with prefs on rank == ptr.
+        #    As whose ptr ran past their list end are exhausted (dropped).
+        def propose(g: pd.DataFrame) -> pd.DataFrame:
+            st = g.loc[g["_side"] == 0, ["name_a", "ptr"]]
+            pr = g.loc[g["_side"] == 1, ["name_a", "rank", "name_b", "jw_ubin"]]
+            m = st.merge(
+                pr, left_on=["name_a", "ptr"], right_on=["name_a", "rank"],
+                how="inner",
+            )
+            return pd.DataFrame(
+                {
+                    "name_b": m["name_b"].astype(str),
+                    "name_a": m["name_a"].astype(str),
+                    "jw_ubin": m["jw_ubin"].to_numpy(np.int64),
+                    "ptr": m["ptr"].to_numpy(np.int64),
+                }
+            )
+
+        cols = ["name_a", "ptr", "rank", "name_b", "jw_ubin", "_side"]
+        tagged_free = free.map_batches(
+            lambda df: df.assign(
+                _side=np.int64(0), rank=np.int64(-1),
+                name_b="", jw_ubin=np.int64(-1),
+            )[cols],
+            batch_format="pandas",
+        )
+        tagged_prefs = prefs.map_batches(
+            lambda df: df.assign(_side=np.int64(1), ptr=np.int64(-1))[cols],
+            batch_format="pandas",
+        )
+        proposals = (
+            tagged_free.union(tagged_prefs)
+            .map_batches(key_bucket("name_a"), batch_format="pandas")
+            .groupby("_kb")
+            .map_groups(propose, batch_format="pandas")
+            .materialize()  # consumed twice: acceptance + the freed pool
+        )
+
+        # 2. per-B acceptance: best of incumbent + proposers under
+        #    (jw DESC, name_a ASC); strictly-better proposals displace.
+        def accept(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(
+                ["name_b", "jw_ubin", "name_a"], ascending=[True, False, True],
+                kind="mergesort",
+            )
+            win = g.drop_duplicates(subset=["name_b"], keep="first")
+            return win[["name_b", "name_a", "jw_ubin", "ptr"]]
+
+        contenders = proposals.union(engaged).map_batches(
+            key_bucket("name_b"), batch_format="pandas"
+        )
+        new_engaged = (
+            contenders.groupby("_kb")
+            .map_groups(accept, batch_format="pandas")
+            .materialize()
+        )
+
+        # 3. losers return to the free pool with ptr+1: winners are exactly
+        #    new_engaged — subtract them from the union of this round's
+        #    proposers and previous incumbents (a row can appear in both
+        #    only as a winner, since engaged As are never in the free pool).
+        wdf = new_engaged.select_columns(["name_b", "name_a"]).to_pandas()
+        winners = (
+            set((wdf["name_b"].astype(str) + "\x00" + wdf["name_a"].astype(str)))
+            if len(wdf) else set()
+        )  # bounded by the engaged set (<= candidate pairs)
+        win_ref = broadcast(winners)
+
+        def losers(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {"name_a": pd.Series([], dtype=object),
+                     "ptr": pd.Series([], dtype=np.int64)}
+                )
+            w = ray.get(win_ref)
+            key = df["name_b"].astype(str) + "\x00" + df["name_a"].astype(str)
+            lost = df[~key.isin(w)]
+            return pd.DataFrame(
+                {
+                    "name_a": lost["name_a"].astype(str),
+                    "ptr": lost["ptr"].to_numpy(np.int64) + 1,
+                }
+            )
+
+        freed_proposers = proposals.map_batches(losers, batch_format="pandas")
+        freed_incumbents = engaged.map_batches(losers, batch_format="pandas")
+        free = freed_proposers.union(freed_incumbents).materialize()
+        engaged = new_engaged
+
+    out = (
+        engaged.select_columns(["name_a", "name_b", "jw_ubin"])
+        .to_pandas()
+        .sort_values("name_a")
+        .reset_index(drop=True)
+    )
+    return rd.from_pandas(out)

@@ -726,3 +726,37 @@ def test_gate_order_self_maintaining():
     green = entry._green_rounds()
     for k in keys[:50]:
         assert green.get(k, -1) < entry._REGATE_FROM_ROUND.get(k, 0), k
+
+
+def test_stable_matching_no_blocking_pair(ray_session):
+    """The defining stability property: no (a, b) candidate pair exists
+    where BOTH prefer each other over their assigned partners (r4p)."""
+    import numpy as np
+
+    from snomed_ct_entity_linking_ray.functions.similarity import jaro_winkler
+    from snomed_ct_entity_linking_ray.pipelines.er import (
+        CROSSLINK_JW_THRESHOLD,
+        JW_UBIN_SCALE,
+        _crosslink_candidates,
+        q_stable_matching,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_stable_matching(sf).to_pandas()
+    assert len(out) > 0
+    assert out["name_a"].is_unique and out["name_b"].is_unique
+    match_of_a = dict(zip(out["name_a"], zip(out["name_b"], out["jw_ubin"])))
+    match_of_b = dict(zip(out["name_b"], zip(out["name_a"], out["jw_ubin"])))
+    cand = (
+        _crosslink_candidates(sf, CROSSLINK_JW_THRESHOLD, 3, 4)
+        .to_pandas()
+        .drop_duplicates(subset=["name_a", "cand"])
+    )
+    for _, r in cand.iterrows():
+        a, b, s = r["name_a"], r["cand"], int(r["jw_ubin"])
+        # a prefers (s, b) over its current match?
+        cur_a = match_of_a.get(a)
+        a_prefers = cur_a is None or (-s, b) < (-cur_a[1], cur_a[0])
+        cur_b = match_of_b.get(b)
+        b_prefers = cur_b is None or (-s, a) < (-cur_b[1], cur_b[0])
+        assert not (a_prefers and b_prefers), (a, b, s, cur_a, cur_b)

@@ -198,6 +198,7 @@ ORACLE_BACKED = [
     "greedy_assignment",
     "kcore",
     "pprl_pairs",
+    "stable_matching",
 ]
 
 
