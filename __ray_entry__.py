@@ -341,6 +341,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search family (lsh/encoder variants moved to the top)
         "cosine_topk": vectors.q_cosine_topk,
         "cosine_topk_ivf": vectors.q_cosine_topk_ivf,
+        # r4q: TF adjustment, unlinkables chart, merged-cluster audit,
+        # deterministic match-rule cascade
+        "tf_adjustment": er.q_tf_adjustment,
+        "unlinkables": er.q_unlinkables,
+        "cluster_conflicts": er.q_cluster_conflicts,
+        "rule_cascade": er.q_rule_cascade,
     })
 
 
@@ -2363,5 +2369,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
             FROM sufs a JOIN ok USING (suf) JOIN sufs b USING (suf)
             WHERE a.p_name < b.p_name
+        """,
+        "tf_adjustment": """
+            WITH fr AS (SELECT p_name, CAST(count(*) AS BIGINT) AS f
+                        FROM part GROUP BY p_name),
+            g AS (SELECT CAST(sum(f) AS BIGINT) AS n,
+                         CAST(sum(f * (f - 1)) AS BIGINT) AS agree2
+                  FROM fr)
+            SELECT p.p_partkey, p.p_name, fr.f,
+                   g.n AS n_records,
+                   CAST(fr.f AS DOUBLE) / CAST(g.n AS DOUBLE) AS u_val,
+                   CAST(g.agree2 AS DOUBLE)
+                       / CAST(g.n * (g.n - 1) AS DOUBLE) AS u_bar
+            FROM part p JOIN fr USING (p_name) CROSS JOIN g
+        """,
+        "unlinkables": """
+            WITH fr AS (SELECT p_name, CAST(count(*) AS BIGINT) AS f
+                        FROM part GROUP BY p_name),
+            best AS (
+                SELECT a.p_name,
+                       max(CAST(floor(jaro_winkler_similarity(
+                           a.p_name, b.p_name) * 1000) AS BIGINT)) AS bm
+                FROM fr a JOIN fr b
+                  ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+                 AND abs(length(a.p_name) - length(b.p_name)) <= 3
+                 AND a.p_name <> b.p_name
+                GROUP BY a.p_name)
+            SELECT COALESCE(bm // 50, -1) AS score_bin,
+                   CAST(count(*) AS BIGINT) AS n_names,
+                   CAST(sum(f) AS BIGINT) AS n_records
+            FROM fr LEFT JOIN best USING (p_name)
+            GROUP BY 1
+        """,
+        "cluster_conflicts": """
+            WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+            e AS (SELECT a.p_name AS na, b.p_name AS nb
+                  FROM names a JOIN names b
+                    ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+                   AND abs(length(a.p_name) - length(b.p_name)) <= 3
+                   AND a.p_name < b.p_name
+                  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8),
+            und AS (SELECT na, nb FROM e UNION SELECT nb, na FROM e),
+            reach(src, dst) AS (
+                SELECT p_name, p_name FROM names
+                UNION
+                SELECT r.src, u.nb FROM reach r JOIN und u ON r.dst = u.na
+            ),
+            cl AS (SELECT src AS p_name, min(dst) AS cluster_rep
+                   FROM reach GROUP BY src)
+            SELECT cl.cluster_rep,
+                   CAST(count(DISTINCT p.p_name) AS BIGINT) AS n_names,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(count(DISTINCT p.p_brand) AS BIGINT) AS n_brands,
+                   CAST(count(DISTINCT p.p_type) AS BIGINT) AS n_types,
+                   CAST(min(p.p_size) AS BIGINT) AS size_min,
+                   CAST(max(p.p_size) AS BIGINT) AS size_max
+            FROM part p JOIN cl USING (p_name)
+            GROUP BY cl.cluster_rep
+        """,
+        "rule_cascade": """
+            WITH r1 AS (SELECT p_name, p_brand, p_size,
+                               count(*) AS c, min(p_partkey) AS m
+                        FROM part GROUP BY 1, 2, 3),
+            r2 AS (SELECT p_name, p_brand,
+                          count(*) AS c, min(p_partkey) AS m
+                   FROM part GROUP BY 1, 2),
+            r3 AS (SELECT p_name, count(*) AS c, min(p_partkey) AS m
+                   FROM part GROUP BY 1)
+            SELECT p.p_partkey,
+                   CAST(CASE WHEN r1.c >= 2 THEN 1
+                             WHEN r2.c >= 2 THEN 2
+                             WHEN r3.c >= 2 THEN 3
+                             ELSE 0 END AS BIGINT) AS rule,
+                   CAST(CASE WHEN r1.c >= 2 THEN r1.m
+                             WHEN r2.c >= 2 THEN r2.m
+                             WHEN r3.c >= 2 THEN r3.m
+                             ELSE p.p_partkey END AS BIGINT) AS canon
+            FROM part p
+            JOIN r1 USING (p_name, p_brand, p_size)
+            JOIN r2 USING (p_name, p_brand)
+            JOIN r3 USING (p_name)
         """,
     }

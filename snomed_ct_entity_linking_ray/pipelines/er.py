@@ -37,6 +37,7 @@ from .common import (
     distinct_column,
     grouped_sums,
     read,
+    tree_to_pandas,
 )
 from .dedup import _cap_block
 
@@ -3877,3 +3878,334 @@ def q_stable_matching(
         .reset_index(drop=True)
     )
     return rd.from_pandas(out)
+
+
+# --- term-frequency adjustment (Splink-style) ---------------------------------
+
+def q_tf_adjustment(sf_dir: str):
+    """Term-frequency adjustment table for exact-agreement evidence
+    (the Splink/Fellegi-Sunter TF refinement; Winkler '88 "frequency-based
+    matching"): agreement on a COMMON value ("small bolt") is weaker
+    evidence than agreement on a rare one, so the per-value non-match
+    agreement probability ``u_val = f/N`` replaces the global average
+    ``u_bar = Σf(f-1) / N(N-1)`` when scoring a pair that agrees on that
+    value.  Output is the per-RECORD adjustment attach (Splink's
+    tf-adjustment chart): each part row carries its name-value frequency,
+    the corpus size, and both probabilities, from which the weight delta
+    log2(u_bar/u_val) follows on the consumer side (no transcendental
+    crosses the oracle boundary — the single-division float contract).
+
+    Distribution: one vocabulary-bounded ``grouped_sums`` pass for the
+    value-frequency table (the G1 shape), a tiny tree-combined collect of
+    that table (distinct name values, NOT records), then one broadcast
+    map_batches attach — records never shuffle.  Exactness: ``f``, ``N``,
+    ``Σf(f-1)`` are exact BIGINTs (< 2^53 up to ~10^8 dup pairs per value;
+    beyond that the sum is still exact int64 driver-side, only the final
+    double cast rounds, identically in both engines); ``u_val``/``u_bar``
+    are single divisions of those integers, bit-equal to the oracle's
+    CAST(x AS DOUBLE)/CAST(y AS DOUBLE).
+
+    Reference semantics: the dictionary pipeline's frequency-aware key
+    weighting (1st Place/src/generate_annotations.py term-precision
+    filtering; SURVEY.md §2.5 G7) re-expressed as the classic linkage TF
+    adjustment."""
+    fr = grouped_sums(
+        read(sf_dir, "part", ["p_name"]), ["p_name"], sums={}, count_as="f"
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("p_name", as_index=False).agg(f=("f", "sum"))
+
+    freq = tree_to_pandas(fr, combine)
+    f = freq["f"].to_numpy(np.int64)
+    n = int(f.sum())
+    agree2 = int((f * (f - 1)).sum())
+    u_bar = np.float64(agree2) / np.float64(n * (n - 1))
+    lut = freq.set_index("p_name")["f"]
+    lut_ref = broadcast(lut)
+
+    class Attach:
+        def __init__(self):
+            self.lut = ray.get(lut_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            fv = df["p_name"].map(self.lut).to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    "p_partkey": df["p_partkey"].to_numpy(np.int64),
+                    "p_name": df["p_name"].astype(str),
+                    "f": fv,
+                    "n_records": np.int64(n),
+                    "u_val": fv.astype(np.float64) / np.float64(n),
+                    "u_bar": u_bar,
+                }
+            )
+
+    return read(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        Attach, batch_format="pandas", concurrency=(1, 8)
+    )
+
+
+# --- unlinkables chart --------------------------------------------------------
+
+def q_unlinkables(sf_dir: str, max_len_diff: int = 3, len_band: int = 4,
+                  block_cap: int = FUZZY_BLOCK_CAP):
+    """Unlinkables analysis (Splink's unlinkables chart): the histogram of
+    each record's BEST candidate-match score under the blocking scheme —
+    the self-evaluation that says what fraction of the corpus cannot link
+    at any given threshold, computed BEFORE choosing one.  Candidates are
+    the ``q_fuzzy_name_pairs`` universe (same first char, length diff ≤
+    ``max_len_diff``) between DISTINCT name values; the best
+    Jaro-Winkler per name is quantized to exact integer millis
+    (floor(jw*1000), bit-equal to the oracle because the JW kernel itself
+    is property-pinned bit-exact vs DuckDB) and binned by integer
+    division ``// 50`` (20 bins); names with no in-block candidate land
+    in bin -1.  Output: (score_bin, n_names, n_records).
+
+    Distribution: the exploded block shuffle carries (char, band, name)
+    for DISTINCT names only; per-block verification keeps one running max
+    per member instead of materializing pairs; the per-name max across
+    its ≤2 bands is a hash-bucketed vectorized combine; the final
+    histogram is a ``grouped_sums`` over ≤ |vocabulary| slim rows.  A
+    pair seen in both shared bands is harmless (max is idempotent).
+    Blocks over ``block_cap`` truncate with a logged drop (`_cap_block`)."""
+    fr = grouped_sums(
+        read(sf_dir, "part", ["p_name"]), ["p_name"], sums={}, count_as="f"
+    )
+    n_buckets = default_buckets()
+
+    def keys(df: pd.DataFrame) -> pa.Table:
+        nm = df["p_name"].astype(str)
+        ln = nm.str.len().to_numpy(np.int64)
+        ch = nm.str[:1]
+        band = ln // len_band
+        out = pd.DataFrame(
+            {
+                "ch": pd.concat([ch, ch], ignore_index=True),
+                "band": np.concatenate([band, band + 1]),
+                "p_name": pd.concat([nm, nm], ignore_index=True),
+                "ln": np.concatenate([ln, ln]),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    best_schema = pa.schema([("p_name", pa.string()), ("bm", pa.int64())])
+
+    def block_best(g: pd.DataFrame) -> pa.Table:
+        g = _cap_block(g, "p_name", "unlinkables", block_cap)
+        nm = g["p_name"].to_numpy(object)
+        ln = g["ln"].to_numpy(np.int64)
+        n = len(g)
+        bm = np.full(n, -1, dtype=np.int64)
+        if n >= 2:
+            ia, ib = np.triu_indices(n, k=1)
+            keep = np.abs(ln[ia] - ln[ib]) <= max_len_diff
+            for i, j in zip(ia[keep], ib[keep]):
+                if nm[i] == nm[j]:
+                    continue
+                m = np.int64(np.floor(jaro_winkler(nm[i], nm[j]) * 1000.0))
+                if m > bm[i]:
+                    bm[i] = m
+                if m > bm[j]:
+                    bm[j] = m
+        has = bm >= 0
+        return pa.Table.from_arrays(
+            [pa.array(nm[has], pa.string()), pa.array(bm[has], pa.int64())],
+            schema=best_schema,
+        )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby("p_name", as_index=False).agg(bm=("bm", "max"))
+        h = pd.util.hash_pandas_object(d["p_name"], index=False).to_numpy()
+        d["_nb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return d
+
+    def bucket_max(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("p_name", as_index=False).agg(bm=("bm", "max"))
+
+    best = (
+        fr.map_batches(keys, batch_format="pandas")
+        .groupby(["ch", "band"])
+        .map_groups(block_best, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("_nb")
+        .map_groups(bucket_max, batch_format="pandas")
+    )
+    best_ref = broadcast(best.to_pandas().set_index("p_name")["bm"])
+
+    class Bin:
+        def __init__(self):
+            self.bm = ray.get(best_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            b = df["p_name"].map(self.bm)
+            score_bin = np.where(
+                b.isna(), np.int64(-1), b.fillna(0).to_numpy(np.int64) // 50
+            ).astype(np.int64)
+            return pd.DataFrame({"score_bin": score_bin, "f": df["f"]})
+
+    binned = fr.map_batches(Bin, batch_format="pandas", concurrency=(1, 4))
+    out = grouped_sums(binned, ["score_bin"], sums={"n_records": "f"},
+                       count_as="n_names")
+    return out.select_columns(["score_bin", "n_names", "n_records"])
+
+
+# --- merged-cluster consistency audit ----------------------------------------
+
+def q_cluster_conflicts(sf_dir: str):
+    """Merged-entity consistency audit over the ``q_name_clusters``
+    transitive clusters: per cluster, member/record counts and the spread
+    of the attributes a clean merge should agree on (distinct brands,
+    distinct types, size range) — the post-clustering QA step every MDM
+    deployment runs before survivorship (conflicting attributes inside
+    one resolved entity flag over-merging; Splink calls the family
+    "cluster metrics").  All outputs exact integers.
+
+    Distribution: the name→cluster map is vocabulary-bounded (distinct
+    names), collected once and broadcast; the audit itself is a map-side
+    partial combine — each batch reduces to distinct
+    (cluster, name, brand, type) rows with count and size min/max
+    partials — followed by ONE hash-bucketed vectorized combine keyed by
+    cluster.  Records never shuffle raw: the exchange carries the
+    distinct-combination partials only."""
+    nc = tree_to_pandas(
+        q_name_clusters(sf_dir),
+        lambda df: df.drop_duplicates(subset=["p_name"]),
+    )
+    rep_ref = broadcast(nc.set_index("p_name")["cluster_rep"])
+    n_buckets = default_buckets()
+
+    class Partial:
+        def __init__(self):
+            self.rep = ray.get(rep_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            d = pd.DataFrame(
+                {
+                    "cluster_rep": df["p_name"].map(self.rep).astype(str),
+                    "p_name": df["p_name"].astype(str),
+                    "p_brand": df["p_brand"].astype(str),
+                    "p_type": df["p_type"].astype(str),
+                    "p_size": df["p_size"].to_numpy(np.int64),
+                }
+            )
+            g = d.groupby(
+                ["cluster_rep", "p_name", "p_brand", "p_type"], as_index=False
+            ).agg(cnt=("p_size", "size"), smin=("p_size", "min"),
+                  smax=("p_size", "max"))
+            h = pd.util.hash_pandas_object(
+                g["cluster_rep"], index=False
+            ).to_numpy()
+            g["_cb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+            return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cluster_rep", as_index=False).agg(
+            n_names=("p_name", "nunique"),
+            n_parts=("cnt", "sum"),
+            n_brands=("p_brand", "nunique"),
+            n_types=("p_type", "nunique"),
+            size_min=("smin", "min"),
+            size_max=("smax", "max"),
+        )
+        for c in ("n_names", "n_parts", "n_brands", "n_types",
+                  "size_min", "size_max"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        read(sf_dir, "part", ["p_name", "p_brand", "p_type", "p_size"])
+        .map_batches(Partial, batch_format="pandas", concurrency=(1, 8))
+        .groupby("_cb")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# --- deterministic matching cascade ------------------------------------------
+
+def q_rule_cascade(sf_dir: str):
+    """Deterministic linkage waterfall (Newcombe et al., Science 1959; the
+    MDM "match rule cascade"): an ordered list of ever-looser exact rules
+    — 1: (name, brand, size), 2: (name, brand), 3: (name) — where each
+    record is resolved by the FIRST rule under which it is not a
+    singleton, taking the group's min key as canonical id; records no
+    rule links keep themselves at rule 0.  The per-record (rule, canon)
+    pair records match provenance — which precision level produced each
+    link — the audit trail deterministic MDM systems require.
+
+    Distribution: three slim grouped (min-key, count) combines — one per
+    rule, hash-bucketed vectorized, shuffling only (key, partial) rows —
+    then a single broadcast attach (the lookup tables are bounded by
+    distinct key-combination counts; above the broadcast budget each
+    attach becomes the standard hash join, the semi_anti_filter
+    threshold discipline).  No record ever shuffles."""
+    n_buckets = default_buckets()
+    rules = [
+        ("r1", ["p_name", "p_brand", "p_size"]),
+        ("r2", ["p_name", "p_brand"]),
+        ("r3", ["p_name"]),
+    ]
+
+    def min_count(keys: list[str]) -> pd.DataFrame:
+        ds = read(sf_dir, "part", ["p_partkey"] + keys)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(keys, as_index=False).agg(
+                m=("p_partkey", "min"), c=("p_partkey", "size")
+            )
+            h = np.zeros(len(g), dtype=np.uint64)
+            for k in keys:
+                h = h * np.uint64(1099511628211) ^ pd.util.hash_pandas_object(
+                    g[k], index=False
+                ).to_numpy()
+            g["_rb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+            return g
+
+        def final(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby(keys, as_index=False).agg(
+                m=("m", "min"), c=("c", "sum")
+            )
+
+        parts = (
+            ds.map_batches(partial, batch_format="pandas")
+            .groupby("_rb")
+            .map_groups(final, batch_format="pandas")
+        )
+        return tree_to_pandas(parts, final)
+
+    luts = {name: min_count(keys) for name, keys in rules}
+    lut_ref = broadcast(luts)
+
+    class Attach:
+        def __init__(self):
+            self.luts = ray.get(lut_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            d = df.copy()
+            for name, keys in rules:
+                lut = self.luts[name].rename(
+                    columns={"m": f"{name}_m", "c": f"{name}_c"}
+                )
+                d = d.merge(lut, how="left", on=keys)
+            conds = [d[f"{name}_c"].to_numpy() >= 2 for name, _ in rules]
+            rule = np.select(conds, [1, 2, 3], default=0).astype(np.int64)
+            canon = np.select(
+                conds,
+                [d[f"{name}_m"].fillna(0).to_numpy(np.int64)
+                 for name, _ in rules],
+                default=0,
+            )
+            canon = np.where(
+                rule == 0, d["p_partkey"].to_numpy(np.int64), canon
+            ).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "p_partkey": d["p_partkey"].to_numpy(np.int64),
+                    "rule": rule,
+                    "canon": canon,
+                }
+            )
+
+    return read(
+        sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_size"]
+    ).map_batches(Attach, batch_format="pandas", concurrency=(1, 8))

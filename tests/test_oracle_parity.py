@@ -199,6 +199,12 @@ ORACLE_BACKED = [
     "kcore",
     "pprl_pairs",
     "stable_matching",
+    # r4q: Splink-style TF adjustment, unlinkables chart, merged-cluster
+    # consistency audit, deterministic match-rule cascade
+    "tf_adjustment",
+    "unlinkables",
+    "cluster_conflicts",
+    "rule_cascade",
 ]
 
 
