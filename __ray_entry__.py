@@ -347,6 +347,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unlinkables": er.q_unlinkables,
         "cluster_conflicts": er.q_cluster_conflicts,
         "rule_cascade": er.q_rule_cascade,
+        # r4q: MAD robust outliers, banded range self-join, media-reel dedup
+        "mad_outliers": relational.q_mad_outliers,
+        "near_events": relational.q_near_events,
+        "media_dup_docs": multimodal.q_media_dup_docs,
     })
 
 
@@ -2449,5 +2453,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN r1 USING (p_name, p_brand, p_size)
             JOIN r2 USING (p_name, p_brand)
             JOIN r3 USING (p_name)
+        """,
+        "mad_outliers": """
+            WITH v AS (SELECT event_id, event_type,
+                              CAST(round(value*100, 0) AS BIGINT) AS v
+                       FROM events),
+            med AS (SELECT event_type,
+                           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v)
+                                AS BIGINT) AS med
+                    FROM v GROUP BY 1),
+            dev AS (SELECT v.event_id, v.event_type, v.v, med.med,
+                           abs(v.v - med.med) AS d
+                    FROM v JOIN med USING (event_type)),
+            mad AS (SELECT event_type,
+                           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d)
+                                AS BIGINT) AS mad
+                    FROM dev GROUP BY 1)
+            SELECT dev.event_id, dev.event_type,
+                   dev.v AS value_cents,
+                   dev.med AS med_cents,
+                   mad.mad AS mad_cents
+            FROM dev JOIN mad USING (event_type)
+            WHERE dev.d > 3 * mad.mad
+        """,
+        "near_events": """
+            WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS u
+                       FROM events)
+            SELECT a.user_id,
+                   a.event_id AS event_id_a,
+                   b.event_id AS event_id_b,
+                   b.u - a.u AS gap_us
+            FROM v a JOIN v b
+              ON a.user_id = b.user_id
+             AND b.u > a.u
+             AND b.u - a.u <= CAST(3600 AS BIGINT) * 1000000
+        """,
+        "media_dup_docs": f"""
+            WITH m AS (
+                SELECT doc_id,
+                       string_agg(substring(s.media_ref, 9, 2), chr(31)
+                                  ORDER BY s."offset", s.media_ref) AS sig
+                FROM (SELECT doc_id, unnest(spans) AS s
+                      FROM read_parquet('{docs_tbl}'))
+                WHERE s.kind = 'media'
+                GROUP BY doc_id),
+            g AS (SELECT sig, min(doc_id) AS keeper,
+                         CAST(count(*) AS BIGINT) AS n_docs
+                  FROM m GROUP BY sig HAVING count(*) >= 2)
+            SELECT m.doc_id, g.keeper, g.n_docs
+            FROM m JOIN g USING (sig)
         """,
     }

@@ -703,3 +703,86 @@ def q_media_clusters(sf_dir: str):
     return distinct_column(rows, "doc_id").map_batches(
         attach, batch_format="pandas"
     )
+
+
+def q_media_dup_docs(sf_dir: str, n_buckets: int | None = None):
+    """Reel-fingerprint dedup on the MEDIA modality of the interleaved
+    payload: docs whose ORDERED perceptual-bucket sequences are identical
+    (the same ``q_media_bucket_pairs`` bucket derivation — leading byte of
+    the media content hash — applied per span, concatenated in offset
+    order) are duplicates of the same media reel even when their text
+    differs: the media-side complement of ``dedup_exact``, and the exact
+    sequence-sensitive counterpart of the order-blind bucket-pair
+    blocking.  Output one row per member of a dup group:
+    (doc_id, keeper = lexicographic-min doc_id, n_docs).
+
+    Per-row signature, no cross-row state: each doc's media spans are
+    sorted by (offset, media_ref) and their buckets joined into one
+    unit-separated string INSIDE the batch (rows are whole docs, so the
+    signature never needs a groupby across batches).  Then the
+    ``dedup_exact`` plan: slim (sig, doc_id) rows hash-bucket by signature
+    so each group lands whole in one bucket task, which emits members of
+    groups with >= 2 docs with their keeper — ONE shuffle, group tables
+    bounded by docs-with-media, text and media bytes never move."""
+    from .common import default_buckets
+
+    if n_buckets is None:
+        n_buckets = default_buckets()
+    fdir = fixtures.fixture_dir(fixtures.spec_for_sf_dir(sf_dir))
+    docs = rd.read_parquet(f"{fdir}/docs.parquet")
+
+    def sig(batch: pa.Table) -> pd.DataFrame:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        offs = spans.offsets.to_numpy(zero_copy_only=False)
+        parents = np.repeat(
+            np.arange(len(batch), dtype=np.int64), np.diff(offs)
+        )
+        import pyarrow.compute as pc
+
+        is_media = pc.equal(flat.field("kind"), "media")
+        mask = is_media.to_numpy(zero_copy_only=False)
+        par = parents[mask]
+        refs = flat.field("media_ref").filter(is_media).to_numpy(
+            zero_copy_only=False
+        )
+        off = (
+            flat.field("offset")
+            .filter(is_media)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        order = np.lexsort((refs, off, par))
+        # perceptual bucket: 2 leading hex chars of the content hash
+        # ("media://<hex>" → chars 8:10), the media_bucket_pairs derivation
+        buckets = pd.Series(refs[order]).str.slice(8, 10)
+        s = buckets.groupby(par[order], sort=True).agg("\x1f".join)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out = pd.DataFrame(
+            {"doc_id": doc_ids[s.index.to_numpy()], "sig": s.to_numpy()}
+        )
+        h = pd.util.hash_pandas_object(out["sig"], index=False).to_numpy()
+        out["_sb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def groups(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("sig", as_index=False).agg(
+            keeper=("doc_id", "min"), n_docs=("doc_id", "size")
+        )
+        agg = agg[agg["n_docs"] >= 2]
+        m = g.merge(agg, on="sig")
+        return pd.DataFrame(
+            {
+                "doc_id": m["doc_id"].astype(str),
+                "keeper": m["keeper"].astype(str),
+                "n_docs": m["n_docs"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        docs.map_batches(sig, batch_format="pyarrow")
+        .groupby("_sb")
+        .map_groups(groups, batch_format="pandas")
+    )

@@ -4199,3 +4199,219 @@ def q_pareto_orders(sf_dir: str):
         )
 
     return slimmed.map_batches(keep_frontier, batch_format="pandas")
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust grouped outliers via MEDIAN ABSOLUTE DEVIATION — the
+    data-quality complement to ``q_value_outliers``' z-score: events whose
+    value sits more than 3 MADs from their event_type's median.  Unlike
+    mean/σ, the median/MAD pair is not dragged by the outliers themselves
+    (breakdown point 50%), which is why profiling systems prefer it.
+    Everything is exact integer cents: med and mad are lower medians
+    (``percentile_disc(0.5)``, the ceil-walk of ``q_grouped_median``) and
+    the outlier test ``|v − med| > 3·mad`` is an int64 compare — no float
+    crosses the oracle boundary.
+
+    Three slim passes, all distinct-value-bounded:
+      1. (event_type, value) count histogram → per-type median walk
+         (``grouped_sums`` + bounded per-group walk inside the cluster);
+      2. broadcast {type: med}; (event_type, |v−med|) histogram → per-type
+         MAD walk;
+      3. broadcast {type: (med, mad)}; vectorized int64 filter per batch.
+    The shuffles carry one row per distinct (group, value) per batch —
+    never raw events — and the broadcast maps are group-cardinality-
+    bounded."""
+    ds = read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def value_hist(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"event_type": df["event_type"], "v": cents(df["value"])}
+        )
+        g = out.groupby(["event_type", "v"], as_index=False, sort=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def walk(hist: rd.Dataset, out_col: str) -> pd.DataFrame:
+        def one(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("v")
+            cum = g["n"].cumsum().to_numpy()
+            total = int(cum[-1])
+            k = max(1, -(-total // 2))  # ceil(p*n): percentile_disc(0.5)
+            idx = int(np.searchsorted(cum, k, side="left"))
+            return pd.DataFrame(
+                {
+                    "event_type": [g["event_type"].iloc[0]],
+                    out_col: np.array([g["v"].iloc[idx]], dtype=np.int64),
+                }
+            )
+
+        return (
+            hist.groupby("event_type")
+            .map_groups(one, batch_format="pandas")
+            .to_pandas()  # one row per event_type — group-bounded
+        )
+
+    med = walk(
+        grouped_sums(
+            ds.map_batches(value_hist, batch_format="pandas"),
+            ["event_type", "v"],
+            sums={"n": "n"},
+        ),
+        "med",
+    )
+    med_ref = broadcast(med.set_index("event_type")["med"])
+
+    class DevHist:
+        def __init__(self):
+            self.med = ray.get(med_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            v = cents(df["value"])
+            m = df["event_type"].map(self.med).to_numpy(np.int64)
+            out = pd.DataFrame(
+                {"event_type": df["event_type"], "v": np.abs(v - m)}
+            )
+            g = out.groupby(
+                ["event_type", "v"], as_index=False, sort=False
+            ).size()
+            return g.rename(columns={"size": "n"})
+
+    mad = walk(
+        grouped_sums(
+            ds.map_batches(DevHist, batch_format="pandas",
+                           concurrency=(1, 8)),
+            ["event_type", "v"],
+            sums={"n": "n"},
+        ),
+        "mad",
+    )
+    both = med.merge(mad, on="event_type")
+    both_ref = broadcast(
+        {
+            str(r.event_type): (int(r.med), int(r.mad))
+            for r in both.itertuples(index=False)
+        }
+    )
+
+    class Filter:
+        def __init__(self):
+            self.th = ray.get(both_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            et = df["event_type"].astype(str)
+            v = cents(df["value"])
+            m = et.map({k: x[0] for k, x in self.th.items()}).to_numpy(np.int64)
+            d = et.map({k: x[1] for k, x in self.th.items()}).to_numpy(np.int64)
+            keep = np.abs(v - m) > 3 * d
+            o = df[keep]
+            return pd.DataFrame(
+                {
+                    "event_id": o["event_id"].to_numpy(np.int64),
+                    "event_type": o["event_type"].astype(str),
+                    "value_cents": v[keep],
+                    "med_cents": m[keep],
+                    "mad_cents": d[keep],
+                }
+            )
+
+    return ds.map_batches(Filter, batch_format="pandas", concurrency=(1, 8))
+
+
+def q_near_events(sf_dir: str, window_s: int = 3600,
+                  n_buckets: int | None = None):
+    """Banded range self-join: pairs of events by the SAME user whose
+    timestamps differ by 0 < Δ ≤ ``window_s`` — the co-occurrence /
+    near-duplicate-activity join class (fraud rings, bot bursts,
+    session stitching) that equality joins cannot express.  Output
+    (user_id, event_id_a, event_id_b, gap_us) with a = the earlier event.
+
+    Distribution: ONE hash-bucketed shuffle keyed by user (the
+    sessionize/as-of co-partitioning) carrying slim (user, ts, id) rows;
+    each bucket sorts once by (user, ts) and enumerates windows
+    vectorized — per row the window end is a single ``searchsorted``
+    against the bucket's time array clipped to the user segment, and the
+    pair lists materialize by repeat/arange, never a Python loop.  Work
+    is O(rows·log + pairs); output volume is data-dependent (burst
+    density × window) — the honest cost of a range join — and the window
+    parameter is the knob that bounds it."""
+    if n_buckets is None:
+        n_buckets = default_buckets()
+    w_us = np.int64(window_s) * 1_000_000
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["ts"].astype("datetime64[us]").astype("int64")
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "u": u,
+                "event_id": df["event_id"].to_numpy(np.int64),
+            }
+        )
+        out["_ub"] = (
+            out["user_id"].to_numpy(np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "u", "event_id"])
+        uid = g["user_id"].to_numpy(np.int64)
+        u = g["u"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "user_id": np.empty(0, np.int64),
+                    "event_id_a": np.empty(0, np.int64),
+                    "event_id_b": np.empty(0, np.int64),
+                    "gap_us": np.empty(0, np.int64),
+                }
+            )
+        # user segment ends for each row
+        seg_start = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        seg_end = np.r_[seg_start[1:], n]
+        row_end = np.repeat(seg_end, np.diff(np.r_[seg_start, n]))
+        # window end: first j past the last u[j] <= u[i] + w WITHIN the
+        # row's user segment. ``u`` is sorted per segment, not globally,
+        # so a plain searchsorted is wrong; this is a VECTORIZED binary
+        # search with per-row bounds [i, row_end) — ~log2(rows) passes of
+        # O(rows) numpy, no per-user Python or Ray dispatch.
+        idx = np.arange(n, dtype=np.int64)
+        target = u + w_us
+        lo = idx + 1
+        hi_b = row_end.copy()
+        while True:
+            active = lo < hi_b
+            if not active.any():
+                break
+            mid = (lo + hi_b) // 2
+            go_right = active & (u[np.minimum(mid, n - 1)] <= target)
+            lo = np.where(go_right, mid + 1, lo)
+            hi_b = np.where(active & ~go_right, mid, hi_b)
+        hi = lo
+        cnt = hi - idx - 1
+        cnt = np.maximum(cnt, 0)
+        total = int(cnt.sum())
+        ia = np.repeat(idx, cnt)
+        # ib = ia + 1 .. hi-1, built without Python loops
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cnt, out=offs[1:])
+        ib = (np.arange(total, dtype=np.int64) - offs[ia]) + ia + 1
+        gap = u[ib] - u[ia]
+        keep = gap > 0  # strict: equal-timestamp pairs are excluded
+        return pd.DataFrame(
+            {
+                "user_id": uid[ia][keep],
+                "event_id_a": eid[ia][keep],
+                "event_id_b": eid[ib][keep],
+                "gap_us": gap[keep],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(pairs, batch_format="pandas")
+    )

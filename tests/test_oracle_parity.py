@@ -205,6 +205,9 @@ ORACLE_BACKED = [
     "unlinkables",
     "cluster_conflicts",
     "rule_cascade",
+    "mad_outliers",
+    "near_events",
+    "media_dup_docs",
 ]
 
 
