@@ -351,6 +351,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": relational.q_mad_outliers,
         "near_events": relational.q_near_events,
         "media_dup_docs": multimodal.q_media_dup_docs,
+        # r4q: salting plan, Q2 min-cost shape, radius similarity search
+        "block_skew_report": er.q_block_skew_report,
+        "cheapest_supplier": relational.q_cheapest_supplier,
+        "cosine_range": vectors.q_cosine_range,
     })
 
 
@@ -440,6 +444,7 @@ def oracle_sql() -> dict[str, str]:
             "kcore",
             "pprl_pairs",
             "stable_matching",
+            "cosine_range",
         )
     }
 
@@ -2502,5 +2507,34 @@ def oracle_sql() -> dict[str, str]:
                   FROM m GROUP BY sig HAVING count(*) >= 2)
             SELECT m.doc_id, g.keeper, g.n_docs
             FROM m JOIN g USING (sig)
+        """,
+        "block_skew_report": """
+            WITH c AS (
+                SELECT substr(p_name, 1, 1) AS ch,
+                       CAST(length(p_name) // 4 AS BIGINT) AS band,
+                       CAST(count(*) AS BIGINT) AS n_records
+                FROM part GROUP BY 1, 2)
+            SELECT ch, band, n_records,
+                   CAST(n_records * (n_records - 1) // 2 AS BIGINT)
+                       AS n_pairs,
+                   CAST(greatest(
+                       (n_records * (n_records - 1) // 2 + 65535) // 65536,
+                       1) AS BIGINT) AS n_salts
+            FROM c
+        """,
+        "cheapest_supplier": """
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                       min(CAST(round(l_extendedprice*100, 0) AS BIGINT))
+                           AS c
+                FROM lineitem GROUP BY 1, 2),
+            m AS (SELECT l_partkey, min(c) AS mc FROM ps GROUP BY 1)
+            SELECT ps.l_partkey AS p_partkey,
+                   ps.l_suppkey AS s_suppkey,
+                   ps.c AS cost_cents,
+                   s.s_name
+            FROM ps
+            JOIN m ON ps.l_partkey = m.l_partkey AND ps.c = m.mc
+            JOIN supplier s ON s.s_suppkey = ps.l_suppkey
         """,
     }

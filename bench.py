@@ -221,6 +221,18 @@ def run_bench() -> dict:
         timed("event_transitions", relational.q_event_transitions)
         timed("hourly_distinct_users", relational.q_hourly_distinct_users)
         timed("next_event_after_order", relational.q_next_event_after_order)
+        # r4q: TF adjustment, unlinkables, cluster audit, rule cascade,
+        # MAD outliers, range self-join, media-reel dedup
+        timed("tf_adjustment", er.q_tf_adjustment)
+        timed("unlinkables", er.q_unlinkables)
+        timed("cluster_conflicts", er.q_cluster_conflicts)
+        timed("rule_cascade", er.q_rule_cascade)
+        timed("mad_outliers", relational.q_mad_outliers)
+        timed("near_events", relational.q_near_events)
+        timed("media_dup_docs", multimodal.q_media_dup_docs)
+        timed("block_skew_report", er.q_block_skew_report)
+        timed("cheapest_supplier", relational.q_cheapest_supplier)
+        timed("cosine_range", vectors.q_cosine_range)
 
     result = {
         "metric": "entity_link_e2e",

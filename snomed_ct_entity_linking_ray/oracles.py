@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 29  # r4p: + greedy_assignment, kcore, pprl_pairs, stable_matching
+ORACLE_VERSION = 30  # r4q: + cosine_range
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -110,6 +110,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "kcore": lambda: _kcore(sf_dir),
         "pprl_pairs": lambda: _pprl_pairs(sf_dir),
         "stable_matching": lambda: _stable_matching(sf_dir),
+        "cosine_range": lambda: _cosine_range(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -783,6 +784,40 @@ def _winnow_dups(sf_dir: str, threshold: float = 0.5) -> pa.Table:
             "doc_b": pa.array([r[1] for r in rows], pa.int64()),
             "n_shared": pa.array([r[2] for r in rows], pa.int64()),
             "fp_jaccard": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _cosine_range(sf_dir: str) -> pa.Table:
+    """Radius (range) similarity-search oracle: plain per-pair integer
+    dot products over the SAME 1e6 quantization grid as the pipeline
+    (the grid is the scheme, like the LSH bucket codes) — int64 sums in
+    a Python loop, no matmul, so agreement with the engine's batched
+    matmul proves the integer contract, not float luck."""
+    from .pipelines.vectors import (
+        N_QUERIES as NQ,
+        RANGE_QUANT,
+        RANGE_TAU_Q12,
+    )
+
+    t = _read(sf_dir, "embeddings").select(["vec_id", "embedding"])
+    vid = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+    Ei = np.rint(E * RANGE_QUANT).astype(np.int64)
+    is_q = vid < NQ
+    rows = []
+    for qi in np.flatnonzero(is_q):
+        for ci in np.flatnonzero(~is_q):
+            s = int(sum(int(a) * int(b) for a, b in zip(Ei[qi], Ei[ci])))
+            if s >= RANGE_TAU_Q12:
+                rows.append((int(vid[qi]), int(vid[ci]), s))
+    rows.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "match_id": pa.array([r[1] for r in rows], pa.int64()),
+            "sim_q12": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
 

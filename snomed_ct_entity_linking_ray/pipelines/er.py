@@ -4209,3 +4209,62 @@ def q_rule_cascade(sf_dir: str):
     return read(
         sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_size"]
     ).map_batches(Attach, batch_format="pandas", concurrency=(1, 8))
+
+
+# --- blocking-key skew / salting plan ----------------------------------------
+
+SALT_TARGET_PAIRS = 1 << 16
+
+
+def q_block_skew_report(sf_dir: str, len_band: int = 4,
+                        target_pairs: int = SALT_TARGET_PAIRS):
+    """Blocking-key skew diagnostic + SALTING PLAN — the pre-flight audit
+    the north-star calls out explicitly ("explicit salting of skewed keys,
+    e.g. high-frequency terms like 'pain'"): per blocking key (first char
+    × length band over part names, the q_fuzzy_name_pairs scheme applied
+    to RECORDS), the record count, the quadratic verification cost
+    ``n_pairs = n(n−1)/2``, and the number of salt shards
+    ``ceil(n_pairs / target_pairs)`` a pair-generation stage must split
+    that key into so no single task exceeds ``target_pairs``
+    verifications.  This is the table a planner broadcasts to decide
+    which keys get salted before the block shuffle (the flagship's
+    grouped fallback plan salts exactly this way,
+    entity_link.py::candidate_pairs_grouped).
+
+    All integers; integer ceiling ``(p + t − 1) // t``.  One
+    ``grouped_sums`` combine over derived keys — the shuffle carries one
+    (key, count) row per batch, never records."""
+    ds = read(sf_dir, "part", ["p_name"])
+
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        nm = df["p_name"].astype(str)
+        return pd.DataFrame(
+            {
+                "ch": nm.str[:1],
+                "band": (nm.str.len().to_numpy(np.int64) // len_band),
+            }
+        )
+
+    counts = grouped_sums(
+        ds.map_batches(keys, batch_format="pandas"),
+        ["ch", "band"],
+        sums={},
+        count_as="n_records",
+    )
+
+    def plan(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_records"].to_numpy(np.int64)
+        pairs = n * (n - 1) // 2
+        return pd.DataFrame(
+            {
+                "ch": df["ch"].astype(str),
+                "band": df["band"].to_numpy(np.int64),
+                "n_records": n,
+                "n_pairs": pairs,
+                "n_salts": np.maximum(
+                    (pairs + target_pairs - 1) // target_pairs, 1
+                ),
+            }
+        )
+
+    return counts.map_batches(plan, batch_format="pandas")

@@ -4415,3 +4415,66 @@ def q_near_events(sf_dir: str, window_s: int = 3600,
         .groupby("_ub")
         .map_groups(pairs, batch_format="pandas")
     )
+
+
+def q_cheapest_supplier(sf_dir: str, n_buckets: int | None = None):
+    """Minimum-cost supplier per part — the TPC-H Q2 shape (correlated
+    scalar subquery on a group MIN, decorrelated): for every part, the
+    supplier(s) whose cheapest line for that part equals the global
+    cheapest line for the part.  Exact integer cents throughout.
+
+    Decorrelation, fully distributed: one slim grouped MIN combine per
+    (part, supplier) — partial per batch, hash-bucketed vectorized final —
+    then ONE shuffle keyed by part where each bucket computes the per-part
+    min and filters its (part, supplier) rows to the argmin in the same
+    vectorized pass (no second scan, no broadcast of the fact side).  The
+    supplier name attaches from the dimension table via broadcast
+    (dimension-bounded, the J1/J5 pattern)."""
+    if n_buckets is None:
+        n_buckets = default_buckets()
+    ds = read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "p": df["l_partkey"].to_numpy(np.int64),
+                "s": df["l_suppkey"].to_numpy(np.int64),
+                "c": cents(df["l_extendedprice"]),
+            }
+        ).groupby(["p", "s"], as_index=False).agg(c=("c", "min"))
+        g["_pb"] = (
+            g["p"].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return g
+
+    def argmin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["p", "s"], as_index=False).agg(c=("c", "min"))
+        m = g.groupby("p")["c"].transform("min")
+        out = g[g["c"] == m]
+        return pd.DataFrame(
+            {
+                "p_partkey": out["p"].to_numpy(np.int64),
+                "s_suppkey": out["s"].to_numpy(np.int64),
+                "cost_cents": out["c"].to_numpy(np.int64),
+            }
+        )
+
+    winners = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(argmin, batch_format="pandas")
+    )
+    sup = read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    ref = broadcast(sup.set_index("s_suppkey")["s_name"])
+
+    class Name:
+        def __init__(self):
+            self.nm = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            d = df.copy()
+            d["s_name"] = d["s_suppkey"].map(self.nm).astype(str)
+            return d
+
+    return winners.map_batches(Name, batch_format="pandas", concurrency=(1, 4))

@@ -863,3 +863,62 @@ def q_ann_recall(sf_dir: str, k: int = 5):
         return out
 
     return hits.map_batches(attach_k, batch_format="pandas")
+
+
+RANGE_QUANT = 1_000_000  # per-component grid → int64 dots, layout-exact
+RANGE_TAU_Q12 = 300_000_000_000  # cosine 0.30 on the QUANT² integer scale
+
+
+def q_cosine_range(sf_dir: str, tau_q12: int = RANGE_TAU_Q12):
+    """RANGE similarity search (radius query): ALL candidates within a
+    cosine radius of each query — the dual of top-k retrieval
+    (deduplication wants "everything closer than τ", not "the 5
+    closest").  Brute-force baseline of the similarity-search family:
+    the normalized query matrix broadcasts once, every candidate batch
+    is one matmul, and matches stream out without any per-query state.
+
+    EXACT-INTEGER cosine (the LSH bucket-code discipline): both sides
+    are L2-normalized in float64, quantized to a 1e6 integer grid, and
+    compared by int64 dot products — so the threshold test is bitwise
+    layout-independent (no BLAS accumulation-order ulp at the decision
+    boundary; |dot| ≤ d·QUANT² = 64·10¹² ≪ 2⁶³).  Output
+    (query_id, match_id, sim_q12) where sim_q12 is the integer dot
+    (cosine × 10¹² up to quantization).
+
+    Scale shape: identical to q_cosine_topk — pruned query-side read,
+    broadcast Q, per-batch kernel, no shuffle at all; output volume is
+    radius-dependent (the honest cost of a range query)."""
+    qids, Q = _query_matrix(sf_dir)
+    Qi = np.rint(Q * RANGE_QUANT).astype(np.int64)
+    ref = broadcast((qids, Qi))
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    class Score:
+        def __init__(self):
+            self.qids, self.Qi = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            cand = df[df["vec_id"] >= N_QUERIES]
+            if len(cand) == 0:
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series([], dtype=np.int64),
+                        "match_id": pd.Series([], dtype=np.int64),
+                        "sim_q12": pd.Series([], dtype=np.int64),
+                    }
+                )
+            C = np.stack(cand["embedding"].to_numpy()).astype(np.float64)
+            C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+            Ci = np.rint(C * RANGE_QUANT).astype(np.int64)
+            sims = self.Qi @ Ci.T  # int64, exact
+            ids = cand["vec_id"].to_numpy(np.int64)
+            qi, ci = np.nonzero(sims >= tau_q12)
+            return pd.DataFrame(
+                {
+                    "query_id": self.qids[qi].astype(np.int64),
+                    "match_id": ids[ci],
+                    "sim_q12": sims[qi, ci],
+                }
+            )
+
+    return ds.map_batches(Score, batch_format="pandas", concurrency=(1, 4))

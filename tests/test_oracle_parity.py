@@ -208,6 +208,9 @@ ORACLE_BACKED = [
     "mad_outliers",
     "near_events",
     "media_dup_docs",
+    "block_skew_report",
+    "cheapest_supplier",
+    "cosine_range",
 ]
 
 
