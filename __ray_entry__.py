@@ -355,6 +355,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "block_skew_report": er.q_block_skew_report,
         "cheapest_supplier": relational.q_cheapest_supplier,
         "cosine_range": vectors.q_cosine_range,
+        # r4q: collective-ER link prediction + threshold-stability audit
+        "predicted_links": er.q_predicted_links,
+        "threshold_stability": er.q_threshold_stability,
     })
 
 
@@ -2536,5 +2539,56 @@ def oracle_sql() -> dict[str, str]:
             FROM ps
             JOIN m ON ps.l_partkey = m.l_partkey AND ps.c = m.mc
             JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        """,
+        "predicted_links": """
+            WITH names AS (SELECT DISTINCT p_name FROM part),
+            e AS (SELECT a.p_name AS na, b.p_name AS nb
+                  FROM names a JOIN names b
+                    ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+                   AND abs(length(a.p_name) - length(b.p_name)) <= 3
+                   AND a.p_name < b.p_name
+                  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8),
+            und AS (SELECT na, nb FROM e UNION SELECT nb, na FROM e),
+            cn AS (SELECT u1.nb AS name_a, u2.nb AS name_b,
+                          CAST(count(*) AS BIGINT) AS cn
+                   FROM und u1 JOIN und u2
+                     ON u1.na = u2.na AND u1.nb < u2.nb
+                   GROUP BY 1, 2)
+            SELECT cn.name_a, cn.name_b, cn.cn
+            FROM cn LEFT JOIN e
+              ON e.na = cn.name_a AND e.nb = cn.name_b
+            WHERE e.na IS NULL AND cn.cn >= 2
+        """,
+        "threshold_stability": """
+            WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+            cand AS (SELECT a.p_name AS na, b.p_name AS nb,
+                            jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+                     FROM names a JOIN names b
+                       ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+                      AND abs(length(a.p_name) - length(b.p_name)) <= 3
+                      AND a.p_name < b.p_name),
+            und8 AS (SELECT na, nb FROM cand WHERE jw >= 0.8
+                     UNION SELECT nb, na FROM cand WHERE jw >= 0.8),
+            reach8(src, dst) AS (
+                SELECT p_name, p_name FROM names
+                UNION
+                SELECT r.src, u.nb FROM reach8 r JOIN und8 u ON r.dst = u.na
+            ),
+            cl8 AS (SELECT src AS p_name, min(dst) AS rep_lo
+                    FROM reach8 GROUP BY src),
+            und9 AS (SELECT na, nb FROM cand WHERE jw >= 0.9
+                     UNION SELECT nb, na FROM cand WHERE jw >= 0.9),
+            reach9(src, dst) AS (
+                SELECT p_name, p_name FROM names
+                UNION
+                SELECT r.src, u.nb FROM reach9 r JOIN und9 u ON r.dst = u.na
+            ),
+            cl9 AS (SELECT src AS p_name, min(dst) AS rep_hi
+                    FROM reach9 GROUP BY src)
+            SELECT cl8.rep_lo AS cluster_rep,
+                   CAST(count(DISTINCT cl8.p_name) AS BIGINT) AS n_names,
+                   CAST(count(DISTINCT cl9.rep_hi) AS BIGINT) AS n_sub
+            FROM cl8 JOIN cl9 USING (p_name)
+            GROUP BY 1
         """,
     }

@@ -233,6 +233,8 @@ def run_bench() -> dict:
         timed("block_skew_report", er.q_block_skew_report)
         timed("cheapest_supplier", relational.q_cheapest_supplier)
         timed("cosine_range", vectors.q_cosine_range)
+        timed("predicted_links", er.q_predicted_links)
+        timed("threshold_stability", er.q_threshold_stability)
 
     result = {
         "metric": "entity_link_e2e",

@@ -4268,3 +4268,118 @@ def q_block_skew_report(sf_dir: str, len_band: int = 4,
         )
 
     return counts.map_batches(plan, batch_format="pandas")
+
+
+# --- link prediction by common neighbors --------------------------------------
+
+def q_predicted_links(sf_dir: str, min_common: int = 2):
+    """Link prediction over the match graph by COMMON-NEIGHBOR counting
+    (the simplest Liben-Nowell/Kleinberg predictor; in ER terms: two
+    records each matching the same ≥2 third records are probably the
+    same entity even though their direct comparison fell below
+    threshold — the collective-ER signal that recovers blocked or
+    misspelled bridges).  Output: non-edge pairs with
+    ``cn >= min_common`` shared fuzzy-match neighbors.
+
+    Distributed closure, no driver materialization of anything unbounded:
+    undirected edge rows group by the shared endpoint (one hash shuffle);
+    each group emits its neighbor pairs (C(d,2) per node of degree d —
+    the wedge skew to salt/cap at web scale, the q_pair_triangles note);
+    a ``grouped_sums`` counts wedges per pair = common neighbors; the
+    verified-edge set (bounded by the match graph, which transitive
+    clustering must hold anyway) broadcasts for the final NOT-EXISTS
+    filter."""
+    edges = q_fuzzy_name_pairs(sf_dir)
+
+    def und(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "mid": pd.concat([df["name_b"], df["name_a"]],
+                                 ignore_index=True),
+                "nb": pd.concat([df["name_a"], df["name_b"]],
+                                ignore_index=True),
+            }
+        )
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        nbrs = np.unique(g["nb"].to_numpy(object))
+        n = len(nbrs)
+        if n < 2:
+            return pd.DataFrame(
+                {"name_a": pd.Series([], dtype=object),
+                 "name_b": pd.Series([], dtype=object)}
+            )
+        ia, ib = np.triu_indices(n, k=1)
+        return pd.DataFrame({"name_a": nbrs[ia], "name_b": nbrs[ib]})
+
+    cn = grouped_sums(
+        edges.map_batches(und, batch_format="pandas")
+        .groupby("mid")
+        .map_groups(wedge_pairs, batch_format="pandas"),
+        ["name_a", "name_b"],
+        sums={},
+        count_as="cn",
+    )
+    eset = tree_to_pandas(
+        edges, lambda df: df.drop_duplicates(subset=["name_a", "name_b"])
+    )
+    eref = broadcast(
+        frozenset(eset["name_a"] + "\x1f" + eset["name_b"])
+        if len(eset)
+        else frozenset()
+    )
+
+    class NonEdge:
+        def __init__(self):
+            self.e = ray.get(eref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            key = df["name_a"].astype(str) + "\x1f" + df["name_b"].astype(str)
+            keep = (df["cn"].to_numpy(np.int64) >= min_common) & ~key.isin(
+                self.e
+            ).to_numpy()
+            out = df[keep]
+            return pd.DataFrame(
+                {
+                    "name_a": out["name_a"].astype(str),
+                    "name_b": out["name_b"].astype(str),
+                    "cn": out["cn"].to_numpy(np.int64),
+                }
+            )
+
+    return cn.map_batches(NonEdge, batch_format="pandas", concurrency=(1, 4))
+
+
+# --- cluster stability across thresholds --------------------------------------
+
+def q_threshold_stability(sf_dir: str, t_lo: float = 0.8, t_hi: float = 0.9):
+    """Cluster-stability audit across two match thresholds (Splink's
+    "how do clusters split as the threshold rises" diagnostic): every
+    t_lo-cluster with the count of t_hi-subclusters it fractures into.
+    ``n_sub == 1`` means the cluster is threshold-stable (all its edges
+    are strong); a large ``n_sub`` flags a cluster glued by weak bridges
+    — exactly the merges a reviewer should inspect first.
+
+    Output: (cluster_rep, n_names, n_sub), all from the two
+    ``q_name_clusters`` transitive closures (t_hi edges ⊆ t_lo edges, so
+    each hi-cluster nests inside one lo-cluster and the count is exact).
+    Both name→rep maps are vocabulary-bounded (distinct names); the
+    final fold is a driver-side merge of those two bounded maps — the
+    match_weights discipline (counts distribute, the comparison of two
+    dictionary-sized labelings does not need to)."""
+    lo = tree_to_pandas(
+        q_name_clusters(sf_dir, threshold=t_lo),
+        lambda df: df.drop_duplicates(subset=["p_name"]),
+    ).rename(columns={"cluster_rep": "rep_lo"})
+    hi = tree_to_pandas(
+        q_name_clusters(sf_dir, threshold=t_hi),
+        lambda df: df.drop_duplicates(subset=["p_name"]),
+    ).rename(columns={"cluster_rep": "rep_hi"})
+    m = lo.merge(hi, on="p_name")
+    out = m.groupby("rep_lo", as_index=False).agg(
+        n_names=("p_name", "nunique"), n_sub=("rep_hi", "nunique")
+    )
+    out = out.rename(columns={"rep_lo": "cluster_rep"})
+    out["n_names"] = out["n_names"].astype(np.int64)
+    out["n_sub"] = out["n_sub"].astype(np.int64)
+    return rd.from_pandas(out)

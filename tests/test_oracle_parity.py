@@ -211,6 +211,8 @@ ORACLE_BACKED = [
     "block_skew_report",
     "cheapest_supplier",
     "cosine_range",
+    "predicted_links",
+    "threshold_stability",
 ]
 
 
