@@ -358,6 +358,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4q: collective-ER link prediction + threshold-stability audit
         "predicted_links": er.q_predicted_links,
         "threshold_stability": er.q_threshold_stability,
+        # r4q: directed shingle-containment join + full kNN self-join
+        "containment_pairs": dedup.q_containment_pairs,
+        "knn_join": vectors.q_knn_join,
     })
 
 
@@ -448,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
             "pprl_pairs",
             "stable_matching",
             "cosine_range",
+            "knn_join",
         )
     }
 
@@ -2590,5 +2594,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT cl9.rep_hi) AS BIGINT) AS n_sub
             FROM cl8 JOIN cl9 USING (p_name)
             GROUP BY 1
+        """,
+        "containment_pairs": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws
+                  FROM w),
+            ng AS (SELECT DISTINCT doc_id,
+                          array_to_string(
+                              ws[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)],
+                              ' ') AS gram
+                   FROM g),
+            ok AS (SELECT gram FROM ng GROUP BY gram
+                   HAVING count(*) <= 256),
+            p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                         CAST(count(*) AS BIGINT) AS n_shared
+                  FROM ng a JOIN ok USING (gram) JOIN ng b USING (gram)
+                  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS size_a
+                   FROM ng GROUP BY 1)
+            SELECT p.da AS doc_a, p.db AS doc_b, p.n_shared, sz.size_a
+            FROM p JOIN sz ON sz.doc_id = p.da
+            WHERE 2 * p.n_shared >= sz.size_a
         """,
     }

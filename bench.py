@@ -235,6 +235,8 @@ def run_bench() -> dict:
         timed("cosine_range", vectors.q_cosine_range)
         timed("predicted_links", er.q_predicted_links)
         timed("threshold_stability", er.q_threshold_stability)
+        timed("containment_pairs", dedup.q_containment_pairs)
+        timed("knn_join", vectors.q_knn_join)
 
     result = {
         "metric": "entity_link_e2e",

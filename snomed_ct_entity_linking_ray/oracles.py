@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 30  # r4q: + cosine_range
+ORACLE_VERSION = 31  # r4q: + cosine_range, knn_join
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -111,6 +111,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "pprl_pairs": lambda: _pprl_pairs(sf_dir),
         "stable_matching": lambda: _stable_matching(sf_dir),
         "cosine_range": lambda: _cosine_range(sf_dir),
+        "knn_join": lambda: _knn_join(sf_dir),
     }
     for name, build in writers.items():
         pq.write_table(build() if callable(build) else build,
@@ -818,6 +819,38 @@ def _cosine_range(sf_dir: str) -> pa.Table:
             "query_id": pa.array([r[0] for r in rows], pa.int64()),
             "match_id": pa.array([r[1] for r in rows], pa.int64()),
             "sim_q12": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _knn_join(sf_dir: str, k: int = 3) -> pa.Table:
+    """Full kNN self-join oracle: per-pair integer dots on the shared
+    1e6 quantization grid, selection by an explicit (sim desc, id asc)
+    sort per row — plain loops, no matmul, no argsort tricks."""
+    from .pipelines.vectors import RANGE_QUANT
+
+    t = _read(sf_dir, "embeddings").select(["vec_id", "embedding"])
+    vid = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+    Ei = np.rint(E * RANGE_QUANT).astype(np.int64)
+    rows = []
+    for i in range(len(vid)):
+        sims = []
+        for j in range(len(vid)):
+            if i == j:
+                continue
+            s = int(sum(int(a) * int(b) for a, b in zip(Ei[i], Ei[j])))
+            sims.append((-s, int(vid[j])))
+        sims.sort()
+        for r, (_, nn) in enumerate(sims[:k], start=1):
+            rows.append((int(vid[i]), nn, r))
+    rows.sort()
+    return pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "nn_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
 

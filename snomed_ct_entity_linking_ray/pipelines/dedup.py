@@ -1347,3 +1347,136 @@ def q_ppjoin_pairs(
         }
     ).sort_values(["doc_id_a", "doc_id_b"])
     return rd.from_pandas(out.reset_index(drop=True))
+
+
+CONTAIN_HOT_DF_CAP = 256
+CONTAIN_NGRAM = 3
+
+
+def q_containment_pairs(sf_dir: str, t_num: int = 1, t_den: int = 2,
+                        hot_df_cap: int = CONTAIN_HOT_DF_CAP,
+                        n_buckets: int | None = None):
+    """DIRECTED shingle-containment join (Broder '97's containment, the
+    asymmetric complement of resemblance/Jaccard): pairs (A→B) where at
+    least ``t_num/t_den`` of A's distinct word 3-gram shingles also occur
+    in B — the copy-detection direction Jaccard misses (a paragraph
+    pasted into a much larger page has low Jaccard but high containment).
+    The threshold test is the exact integer cross-multiplication
+    ``t_den·|A∩B| >= t_num·|A|`` — no float division.
+
+    Plan (the qgram_overlap inverted-list shape on word shingles):
+    per-doc DISTINCT shingles are computed row-locally (rows are whole
+    docs — sizes |S(doc)| need no cross-batch combine); the
+    gram-keyed posting shuffle yields ORDERED within-gram pairs whose
+    grouped sum is the exact overlap; doc sizes ride a second tagged
+    stream into the SAME doc_a-keyed bucket combine, where the
+    cross-multiplied gate filters (a hash co-partition join, no
+    broadcast of the corpus-sized size table).  Grams with
+    df > ``hot_df_cap`` are dropped with a logged count — stop-shingles
+    carry no containment signal and cost C(df,2) pairs — and the oracle
+    applies the SAME cap, so the contract is explicit."""
+    from .training import _ngrams
+
+    if n_buckets is None:
+        n_buckets = default_buckets()
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        g = _ngrams(df, CONTAIN_NGRAM).drop_duplicates()
+        h = pd.util.hash_pandas_object(g["gram"], index=False).to_numpy()
+        g = g.copy()
+        g["_gb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    posts = ds.map_batches(post, batch_format="pandas")
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["gram", "doc_id"], kind="mergesort")
+        doc = g["doc_id"].to_numpy(np.int64)
+        tok = g["gram"].to_numpy(object)
+        n = len(g)
+        a_parts: list = []
+        b_parts: list = []
+        dropped = 0
+        start = 0
+        for i in range(1, n + 1):
+            if i < n and tok[i] == tok[start]:
+                continue
+            d = i - start
+            if d > hot_df_cap:
+                dropped += 1
+            elif d >= 2:
+                ia, ib = np.triu_indices(d, k=1)
+                seg = doc[start:i]
+                # ordered: both directions (containment is directed)
+                a_parts.append(seg[ia]); b_parts.append(seg[ib])
+                a_parts.append(seg[ib]); b_parts.append(seg[ia])
+            start = i
+        if dropped:
+            logger.warning(
+                "containment: dropped %d hot shingles (df > %d)",
+                dropped, hot_df_cap,
+            )
+        a = np.concatenate(a_parts) if a_parts else np.array([], np.int64)
+        b = np.concatenate(b_parts) if b_parts else np.array([], np.int64)
+        return pd.DataFrame(
+            {"doc_a": a.astype(np.int64), "doc_b": b.astype(np.int64),
+             "n": np.ones(len(a), np.int64)}
+        )
+
+    overlap = grouped_sums(
+        posts.groupby("_gb").map_groups(pairs_of_bucket, batch_format="pandas"),
+        ["doc_a", "doc_b"],
+        {"n_shared": "n"},
+    )
+
+    # sizes |S(doc)| as a tagged stream into the doc_a-keyed combine
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        g = _ngrams(df, CONTAIN_NGRAM).drop_duplicates()
+        s = g.groupby("doc_id", sort=False).size()
+        out = pd.DataFrame(
+            {"doc_a": s.index.to_numpy(np.int64),
+             "doc_b": np.int64(-1),
+             "n_shared": s.to_numpy(np.int64)}
+        )
+        return out
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.copy()
+        d["_ab"] = (
+            d["doc_a"].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return d
+
+    both = (
+        overlap.map_batches(add_bucket, batch_format="pandas")
+        .union(ds.map_batches(sizes, batch_format="pandas")
+               .map_batches(add_bucket, batch_format="pandas"))
+    )
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g[g["doc_b"] == -1]
+        size_of = dict(zip(sz["doc_a"].to_numpy(np.int64),
+                           sz["n_shared"].to_numpy(np.int64)))
+        p = g[g["doc_b"] != -1]
+        if not len(p):
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=np.int64),
+                 "doc_b": pd.Series([], dtype=np.int64),
+                 "n_shared": pd.Series([], dtype=np.int64),
+                 "size_a": pd.Series([], dtype=np.int64)}
+            )
+        size_a = p["doc_a"].map(size_of).to_numpy(np.int64)
+        keep = t_den * p["n_shared"].to_numpy(np.int64) >= t_num * size_a
+        out = p[keep]
+        return pd.DataFrame(
+            {
+                "doc_a": out["doc_a"].to_numpy(np.int64),
+                "doc_b": out["doc_b"].to_numpy(np.int64),
+                "n_shared": out["n_shared"].to_numpy(np.int64),
+                "size_a": size_a[keep],
+            }
+        )
+
+    return both.groupby("_ab").map_groups(gate, batch_format="pandas")

@@ -922,3 +922,77 @@ def q_cosine_range(sf_dir: str, tau_q12: int = RANGE_TAU_Q12):
             )
 
     return ds.map_batches(Score, batch_format="pandas", concurrency=(1, 4))
+
+
+KNN_JOIN_K = 3
+
+
+def q_knn_join(sf_dir: str, k: int = KNN_JOIN_K):
+    """Full kNN SELF-join: the k nearest neighbors of EVERY vector (not
+    just the query set) — the candidate-generation primitive of
+    embedding-blocked entity resolution (every record retrieves its k
+    closest before pairwise verification).  Cosine on the exact-int64
+    1e6 quantization grid (the ``q_cosine_range`` contract) so ranking
+    is bitwise layout-independent; ties break by ascending neighbor id.
+    Output (vec_id, nn_id, rank), self excluded.
+
+    Scale shape: the candidate matrix broadcasts ONCE (``ray.put``) and
+    each batch of rows is one integer matmul — O(n²) total work, the
+    honest brute-force baseline this family's IVF/LSH variants
+    (``cosine_topk_ivf``/``_lsh``, ``embedding_neardup_pairs``) trade
+    recall to avoid; at corpus scale the same per-batch kernel runs
+    inside IVF cells instead of against the full broadcast."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    df = tbl.to_pandas().sort_values("vec_id")
+    E = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+    Ei = np.rint(E * RANGE_QUANT).astype(np.int64)
+    ids = df["vec_id"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    ref = broadcast((ids[order], Ei[order]))
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    class Neighbors:
+        def __init__(self):
+            self.ids, self.Ei = ray.get(ref)  # id-ascending
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {"vec_id": pd.Series([], dtype=np.int64),
+                     "nn_id": pd.Series([], dtype=np.int64),
+                     "rank": pd.Series([], dtype=np.int64)}
+                )
+            R = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            R /= np.maximum(np.linalg.norm(R, axis=1, keepdims=True), 1e-30)
+            Ri = np.rint(R * RANGE_QUANT).astype(np.int64)
+            rid = df["vec_id"].to_numpy(np.int64)
+            sims = Ri @ self.Ei.T  # int64 exact, candidates id-ascending
+            # exclude self: candidate column index of each row's own id
+            pos = np.searchsorted(self.ids, rid)
+            # sentinel must survive the ``-sims`` negation below
+            # (-int64.min wraps back to int64.min and would sort FIRST);
+            # -2^62 is far below any real dot (|dot| <= d·QUANT² ≈ 6e13)
+            sims[np.arange(len(rid)), pos] = -(1 << 62)
+            # top-k by (sim desc, id asc): candidates are already id-asc,
+            # so a STABLE descending argsort realizes the tie-break
+            ordk = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+            kk = ordk.shape[1]
+            return pd.DataFrame(
+                {
+                    "vec_id": np.repeat(rid, kk),
+                    "nn_id": self.ids[ordk].ravel(),
+                    "rank": np.tile(
+                        np.arange(1, kk + 1, dtype=np.int64), len(rid)
+                    ),
+                }
+            )
+
+    return ds.map_batches(Neighbors, batch_format="pandas", concurrency=(1, 4))

@@ -213,6 +213,8 @@ ORACLE_BACKED = [
     "cosine_range",
     "predicted_links",
     "threshold_stability",
+    "containment_pairs",
+    "knn_join",
 ]
 
 
