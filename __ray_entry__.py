@@ -361,6 +361,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4q: directed shingle-containment join + full kNN self-join
         "containment_pairs": dedup.q_containment_pairs,
         "knn_join": vectors.q_knn_join,
+        # r4q: match-graph cohesion + FD profiling
+        "clustering_coefficient": er.q_clustering_coefficient,
+        "fd_violations": relational.q_fd_violations,
     })
 
 
@@ -2616,5 +2619,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.da AS doc_a, p.db AS doc_b, p.n_shared, sz.size_a
             FROM p JOIN sz ON sz.doc_id = p.da
             WHERE 2 * p.n_shared >= sz.size_a
+        """,
+        "clustering_coefficient": """
+            WITH names AS (SELECT DISTINCT p_name FROM part),
+            e AS (SELECT a.p_name AS na, b.p_name AS nb
+                  FROM names a JOIN names b
+                    ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+                   AND abs(length(a.p_name) - length(b.p_name)) <= 3
+                   AND a.p_name < b.p_name
+                  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8),
+            und AS (SELECT na, nb FROM e UNION SELECT nb, na FROM e),
+            deg AS (SELECT na AS p_name, CAST(count(*) AS BIGINT) AS deg
+                    FROM und GROUP BY 1),
+            tri AS (SELECT e1.na AS a, e1.nb AS b, e2.nb AS c
+                    FROM e e1
+                    JOIN e e2 ON e1.nb = e2.na
+                    JOIN e e3 ON e3.na = e1.na AND e3.nb = e2.nb),
+            corners AS (SELECT a AS p FROM tri
+                        UNION ALL SELECT b FROM tri
+                        UNION ALL SELECT c FROM tri),
+            nt AS (SELECT p AS p_name, CAST(count(*) AS BIGINT) AS n_tri
+                   FROM corners GROUP BY 1)
+            SELECT deg.p_name, deg.deg,
+                   COALESCE(nt.n_tri, 0) AS n_tri,
+                   deg.deg * (deg.deg - 1) AS denom
+            FROM deg LEFT JOIN nt USING (p_name)
+        """,
+        "fd_violations": """
+            WITH f1 AS (SELECT p_name AS g, count(DISTINCT p_brand) AS nb,
+                               count(*) AS r FROM part GROUP BY 1),
+            f2 AS (SELECT p_name AS g, count(DISTINCT p_type) AS nb,
+                          count(*) AS r FROM part GROUP BY 1),
+            f3 AS (SELECT p_brand AS g, count(DISTINCT p_type) AS nb,
+                          count(*) AS r FROM part GROUP BY 1),
+            f4 AS (SELECT CAST(o_custkey AS VARCHAR) AS g,
+                          count(DISTINCT o_orderpriority) AS nb,
+                          count(*) AS r FROM orders GROUP BY 1)
+            SELECT 'part' AS tbl, 'p_name' AS lhs, 'p_brand' AS rhs,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violating_groups,
+                   CAST(sum(CASE WHEN nb > 1 THEN r ELSE 0 END) AS BIGINT)
+                       AS n_violating_rows
+            FROM f1
+            UNION ALL
+            SELECT 'part', 'p_name', 'p_type',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN nb > 1 THEN r ELSE 0 END) AS BIGINT)
+            FROM f2
+            UNION ALL
+            SELECT 'part', 'p_brand', 'p_type',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN nb > 1 THEN r ELSE 0 END) AS BIGINT)
+            FROM f3
+            UNION ALL
+            SELECT 'orders', 'o_custkey', 'o_orderpriority',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(sum(CASE WHEN nb > 1 THEN r ELSE 0 END) AS BIGINT)
+            FROM f4
         """,
     }

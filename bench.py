@@ -237,6 +237,8 @@ def run_bench() -> dict:
         timed("threshold_stability", er.q_threshold_stability)
         timed("containment_pairs", dedup.q_containment_pairs)
         timed("knn_join", vectors.q_knn_join)
+        timed("clustering_coefficient", er.q_clustering_coefficient)
+        timed("fd_violations", relational.q_fd_violations)
 
     result = {
         "metric": "entity_link_e2e",

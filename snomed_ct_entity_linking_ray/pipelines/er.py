@@ -4383,3 +4383,87 @@ def q_threshold_stability(sf_dir: str, t_lo: float = 0.8, t_hi: float = 0.9):
     out["n_names"] = out["n_names"].astype(np.int64)
     out["n_sub"] = out["n_sub"].astype(np.int64)
     return rd.from_pandas(out)
+
+
+# --- local clustering coefficient ---------------------------------------------
+
+def q_clustering_coefficient(sf_dir: str):
+    """Local clustering coefficient per match-graph node — the per-record
+    cohesion signal (a node whose neighbors all match each other sits in
+    a dense true-entity clique; a low-coefficient high-degree node is a
+    hub gluing unrelated clusters, the first place transitive closure
+    goes wrong).  Output (p_name, deg, n_tri, denom = deg·(deg−1)) with
+    the coefficient left as the exact integer pair 2·n_tri / denom —
+    single-division floats stay out of the oracle boundary entirely by
+    emitting numerator count and denominator instead.
+
+    Distribution: degrees are one grouped count over undirected edge
+    rows; per-node triangle counts fold the ``q_pair_triangles`` closure
+    (wedge join + closing-edge join, no all-pairs, no driver step)
+    through one more grouped sum — each triangle (a<b<c) contributes to
+    all three corners via a slim 3-row explode."""
+    edges = q_fuzzy_name_pairs(sf_dir)
+
+    def und(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_name": pd.concat([df["name_a"], df["name_b"]],
+                                    ignore_index=True)
+            }
+        )
+
+    deg = grouped_sums(
+        edges.map_batches(und, batch_format="pandas"),
+        ["p_name"],
+        sums={},
+        count_as="deg",
+    )
+    tri = q_pair_triangles(sf_dir)
+
+    def corners(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_name": pd.concat(
+                    [df["name_a"], df["name_b"], df["name_c"]],
+                    ignore_index=True,
+                )
+            }
+        )
+
+    ntri = grouped_sums(
+        tri.map_batches(corners, batch_format="pandas"),
+        ["p_name"],
+        sums={},
+        count_as="n_tri",
+    )
+    # attach triangle counts to degrees (nodes without triangles keep 0):
+    # the triangle-corner table is bounded by the verified match graph,
+    # the same object transitive clustering already broadcasts
+    tmap = tree_to_pandas(
+        ntri, lambda df: df.groupby("p_name", as_index=False).agg(
+            n_tri=("n_tri", "sum"))
+    )
+    tref = broadcast(tmap.set_index("p_name")["n_tri"] if len(tmap)
+                     else pd.Series(dtype=np.int64))
+
+    class Attach:
+        def __init__(self):
+            self.t = ray.get(tref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            d = df["deg"].to_numpy(np.int64)
+            nt = (
+                df["p_name"].map(self.t).fillna(0).to_numpy(np.int64)
+                if len(self.t)
+                else np.zeros(len(df), np.int64)
+            )
+            return pd.DataFrame(
+                {
+                    "p_name": df["p_name"].astype(str),
+                    "deg": d,
+                    "n_tri": nt,
+                    "denom": d * (d - 1),
+                }
+            )
+
+    return deg.map_batches(Attach, batch_format="pandas", concurrency=(1, 4))

@@ -4478,3 +4478,85 @@ def q_cheapest_supplier(sf_dir: str, n_buckets: int | None = None):
             return d
 
     return winners.map_batches(Name, batch_format="pandas", concurrency=(1, 4))
+
+
+FD_CANDIDATES = [
+    ("part", "p_name", "p_brand"),
+    ("part", "p_name", "p_type"),
+    ("part", "p_brand", "p_type"),
+    ("orders", "o_custkey", "o_orderpriority"),
+]
+
+
+def q_fd_violations(sf_dir: str):
+    """Functional-dependency violation profiling (the Metanome/data-
+    profiling class): for each candidate FD A→B, how many A-groups map to
+    more than one distinct B and how many rows sit in those violating
+    groups — the audit that decides whether a column pair can serve as a
+    merge/survivorship rule before linkage trusts it.  Output one row per
+    candidate: (tbl, lhs, rhs, n_groups, n_violating_groups,
+    n_violating_rows), all exact integers.
+
+    Distribution: per candidate, one map-side partial that reduces each
+    batch to distinct (A, B) rows with a row-count partial, then ONE
+    hash-bucketed combine keyed by A computing (distinct-B count, row
+    sum) per group and folding the per-bucket violation tallies; a tiny
+    tree-combine sums the per-bucket tallies — the driver only ever sees
+    one row per bucket per candidate."""
+    out_rows = []
+    n_buckets = default_buckets()
+    for tbl, lhs, rhs in FD_CANDIDATES:
+        ds = read(sf_dir, tbl, [lhs, rhs])
+
+        def partial(df: pd.DataFrame, lhs=lhs, rhs=rhs) -> pd.DataFrame:
+            g = df.groupby([lhs, rhs], as_index=False).size()
+            g = g.rename(columns={"size": "n"})
+            h = pd.util.hash_pandas_object(g[lhs], index=False).to_numpy()
+            g["_fb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+            return g
+
+        def tally(g: pd.DataFrame, lhs=lhs, rhs=rhs) -> pd.DataFrame:
+            gg = g.groupby([lhs, rhs], as_index=False).agg(n=("n", "sum"))
+            per = gg.groupby(lhs).agg(
+                n_b=(rhs, "nunique"), rows=("n", "sum")
+            )
+            viol = per["n_b"] > 1
+            return pd.DataFrame(
+                {
+                    "n_groups": [np.int64(len(per))],
+                    "n_violating_groups": [np.int64(int(viol.sum()))],
+                    "n_violating_rows": [
+                        np.int64(int(per.loc[viol, "rows"].sum()))
+                    ],
+                }
+            )
+
+        folded = tree_to_pandas(
+            ds.map_batches(partial, batch_format="pandas")
+            .groupby("_fb")
+            .map_groups(tally, batch_format="pandas"),
+            lambda df: pd.DataFrame(
+                {
+                    "n_groups": [df["n_groups"].sum()],
+                    "n_violating_groups": [df["n_violating_groups"].sum()],
+                    "n_violating_rows": [df["n_violating_rows"].sum()],
+                }
+            ),
+        )
+        out_rows.append(
+            {
+                "tbl": tbl,
+                "lhs": lhs,
+                "rhs": rhs,
+                "n_groups": np.int64(folded["n_groups"].iloc[0]),
+                "n_violating_groups": np.int64(
+                    folded["n_violating_groups"].iloc[0]
+                ),
+                "n_violating_rows": np.int64(
+                    folded["n_violating_rows"].iloc[0]
+                ),
+            }
+        )
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(out_rows))

@@ -215,6 +215,8 @@ ORACLE_BACKED = [
     "threshold_stability",
     "containment_pairs",
     "knn_join",
+    "clustering_coefficient",
+    "fd_violations",
 ]
 
 
