@@ -364,6 +364,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4q: match-graph cohesion + FD profiling
         "clustering_coefficient": er.q_clustering_coefficient,
         "fd_violations": relational.q_fd_violations,
+        # r4q: WNP meta-blocking pruning, triangle-free edge audit,
+        # winsorized robust stats
+        "wnp_pairs": er.q_wnp_pairs,
+        "unsupported_edges": er.q_unsupported_edges,
+        "winsorized_stats": relational.q_winsorized_stats,
     })
 
 
@@ -2644,6 +2649,69 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(nt.n_tri, 0) AS n_tri,
                    deg.deg * (deg.deg - 1) AS denom
             FROM deg LEFT JOIN nt USING (p_name)
+        """,
+        "wnp_pairs": """
+            WITH cand AS (
+                SELECT pk_a, pk_b, n_shared FROM (
+                    SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+                           CAST((CASE WHEN substr(a.p_name,1,1)
+                                           = substr(b.p_name,1,1)
+                                 THEN 1 ELSE 0 END)
+                              + (CASE WHEN a.p_size = b.p_size
+                                 THEN 1 ELSE 0 END)
+                              + (CASE WHEN a.p_type = b.p_type
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+                    FROM part a JOIN part b ON a.p_partkey < b.p_partkey)
+                WHERE n_shared >= 2),
+            nd AS (SELECT pk, CAST(sum(w) AS BIGINT) AS sw,
+                          CAST(count(*) AS BIGINT) AS d
+                   FROM (SELECT pk_a AS pk, n_shared AS w FROM cand
+                         UNION ALL
+                         SELECT pk_b, n_shared FROM cand)
+                   GROUP BY 1)
+            SELECT c.pk_a, c.pk_b, c.n_shared
+            FROM cand c
+            JOIN nd na ON na.pk = c.pk_a
+            JOIN nd nb ON nb.pk = c.pk_b
+            WHERE c.n_shared * na.d >= na.sw
+               OR c.n_shared * nb.d >= nb.sw
+        """,
+        "unsupported_edges": """
+            WITH names AS (SELECT DISTINCT p_name FROM part),
+            e AS (SELECT a.p_name AS na, b.p_name AS nb
+                  FROM names a JOIN names b
+                    ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+                   AND abs(length(a.p_name) - length(b.p_name)) <= 3
+                   AND a.p_name < b.p_name
+                  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85),
+            tri AS (SELECT e1.na AS a, e1.nb AS b, e2.nb AS c
+                    FROM e e1
+                    JOIN e e2 ON e1.nb = e2.na
+                    JOIN e e3 ON e3.na = e1.na AND e3.nb = e2.nb),
+            sup AS (SELECT a AS na, b AS nb FROM tri
+                    UNION SELECT b, c FROM tri
+                    UNION SELECT a, c FROM tri)
+            SELECT e.na AS name_a, e.nb AS name_b
+            FROM e LEFT JOIN sup ON sup.na = e.na AND sup.nb = e.nb
+            WHERE sup.na IS NULL
+        """,
+        "winsorized_stats": """
+            WITH v AS (SELECT event_type,
+                              CAST(round(value*100, 0) AS BIGINT) AS v
+                       FROM events),
+            th AS (SELECT event_type,
+                          CAST(percentile_disc(0.05) WITHIN GROUP
+                               (ORDER BY v) AS BIGINT) AS lo_cents,
+                          CAST(percentile_disc(0.95) WITHIN GROUP
+                               (ORDER BY v) AS BIGINT) AS hi_cents
+                   FROM v GROUP BY 1)
+            SELECT v.event_type, th.lo_cents, th.hi_cents,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN v.v < th.lo_cents THEN th.lo_cents
+                                 WHEN v.v > th.hi_cents THEN th.hi_cents
+                                 ELSE v.v END) AS BIGINT) AS sum_clipped
+            FROM v JOIN th USING (event_type)
+            GROUP BY 1, 2, 3
         """,
         "fd_violations": """
             WITH f1 AS (SELECT p_name AS g, count(DISTINCT p_brand) AS nb,

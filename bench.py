@@ -239,6 +239,9 @@ def run_bench() -> dict:
         timed("knn_join", vectors.q_knn_join)
         timed("clustering_coefficient", er.q_clustering_coefficient)
         timed("fd_violations", relational.q_fd_violations)
+        timed("wnp_pairs", er.q_wnp_pairs)
+        timed("unsupported_edges", er.q_unsupported_edges)
+        timed("winsorized_stats", relational.q_winsorized_stats)
 
     result = {
         "metric": "entity_link_e2e",

@@ -2465,7 +2465,7 @@ def q_multipass_pairs(sf_dir: str):
     )
 
 
-def q_pair_triangles(sf_dir: str):
+def q_pair_triangles(sf_dir: str, threshold: float = 0.8):
     """Triangle enumeration over the fuzzy-match graph — the classical
     graph-strengthening signal for transitive clustering (a pair inside a
     triangle is far likelier a true match than a lone edge; used to
@@ -2484,7 +2484,7 @@ def q_pair_triangles(sf_dir: str):
     Skew note: a hot middle node of degree d yields C(d,2) wedges — the
     wedge join is the stage to salt/cap at web scale (the metablocking
     discipline); fuzzy blocks are already capped upstream."""
-    edges = q_fuzzy_name_pairs(sf_dir)
+    edges = q_fuzzy_name_pairs(sf_dir, threshold=threshold)
 
     def as_mid(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"mid": df["name_a"], "name_c": df["name_b"]})
@@ -4467,3 +4467,205 @@ def q_clustering_coefficient(sf_dir: str):
             )
 
     return deg.map_batches(Attach, batch_format="pandas", concurrency=(1, 4))
+
+
+# --- weighted node pruning (meta-blocking WNP) --------------------------------
+
+def q_wnp_pairs(sf_dir: str, block_cap: int = METABLOCK_CAP,
+                n_buckets: int | None = None):
+    """Weighted Node Pruning over the meta-blocking candidate graph
+    (Papadakis et al. TKDE'14 WNP, the node-centric pruning that follows
+    the edge-weighting scheme): keep a candidate pair iff its weight
+    (shared blocking keys, ``q_metablocking_pairs``) is at least the MEAN
+    weight of EITHER endpoint's candidates.  Per-record adaptive
+    thresholds prune hub records' weak edges without a global cutoff —
+    the standard precision-recovery step between blocking and pairwise
+    scoring.  The mean test is the exact integer cross-multiplication
+    ``w·deg >= Σw`` — no float thresholds.
+
+    Distribution: node weight sums are one grouped combine over the
+    directed explode of the candidate stream; the two endpoint attaches
+    are hash co-partition joins (pair stream bucketed by pk_a, then by
+    pk_b, node partials tagged into the same buckets) — candidate pairs
+    never broadcast, node tables never leave the cluster."""
+    if n_buckets is None:
+        n_buckets = default_buckets()
+    cand = q_metablocking_pairs(sf_dir, block_cap=block_cap)
+
+    def directed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "pk": np.concatenate(
+                    [df["pk_a"].to_numpy(np.int64),
+                     df["pk_b"].to_numpy(np.int64)]
+                ),
+                "w": np.concatenate(
+                    [df["n_shared"].to_numpy(np.int64)] * 2
+                ),
+            }
+        )
+
+    nodes = grouped_sums(
+        cand.map_batches(directed, batch_format="pandas"),
+        ["pk"],
+        sums={"sw": "w"},
+        count_as="d",
+    )
+
+    # UNIFIED-SCHEMA tagged streams (Ray's sort-based groupby needs one
+    # block schema): every row carries (pk_a, pk_b, w, sw, d, _k); node
+    # rows use pk_b = -1 as the tag. extra[] columns thread the already-
+    # attached side through the second shuffle.
+    def attach_side(pairs: "rd.Dataset", side: str, extra: list[str]
+                    ) -> "rd.Dataset":
+        cols = ["pk_a", "pk_b", "w"] + extra
+
+        def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "pk_a": df["pk_a"].to_numpy(np.int64),
+                "pk_b": df["pk_b"].to_numpy(np.int64),
+                "w": df["w"].to_numpy(np.int64),
+            })
+            for c in extra:
+                out[c] = df[c].to_numpy(np.int64)
+            out["sw"] = np.int64(0)
+            out["d"] = np.int64(0)
+            out["_k"] = df[side].to_numpy(np.int64)
+            return out
+
+        def tag_nodes(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "pk_a": df["pk"].to_numpy(np.int64),
+                "pk_b": np.full(len(df), -1, np.int64),
+                "w": np.int64(0),
+            })
+            for c in extra:
+                out[c] = np.int64(0)
+            out["sw"] = df["sw"].to_numpy(np.int64)
+            out["d"] = df["d"].to_numpy(np.int64)
+            out["_k"] = df["pk"].to_numpy(np.int64)
+            return out
+
+        def bucket(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.copy()
+            d["_wb"] = (
+                d["_k"].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                % np.uint64(n_buckets)
+            ).astype(np.int64)
+            return d
+
+        def join(g: pd.DataFrame) -> pd.DataFrame:
+            nd = g[g["pk_b"] == -1]
+            pr = g[g["pk_b"] != -1]
+            empty = {c: pd.Series([], dtype=np.int64)
+                     for c in cols + [f"sw_{side[-1]}", f"d_{side[-1]}"]}
+            if not len(pr):
+                return pd.DataFrame(empty)
+            lut_s = dict(zip(nd["_k"].to_numpy(np.int64),
+                             nd["sw"].to_numpy(np.int64)))
+            lut_d = dict(zip(nd["_k"].to_numpy(np.int64),
+                             nd["d"].to_numpy(np.int64)))
+            out = pr[cols].copy()
+            out[f"sw_{side[-1]}"] = pr["_k"].map(lut_s).to_numpy(np.int64)
+            out[f"d_{side[-1]}"] = pr["_k"].map(lut_d).to_numpy(np.int64)
+            return out
+
+        both = (
+            pairs.map_batches(tag_pairs, batch_format="pandas")
+            .union(nodes.map_batches(tag_nodes, batch_format="pandas"))
+            .map_batches(bucket, batch_format="pandas")
+        )
+        return both.groupby("_wb").map_groups(join, batch_format="pandas")
+
+    cand_w = cand.map_batches(
+        lambda df: pd.DataFrame({
+            "pk_a": df["pk_a"].to_numpy(np.int64),
+            "pk_b": df["pk_b"].to_numpy(np.int64),
+            "w": df["n_shared"].to_numpy(np.int64),
+        }),
+        batch_format="pandas",
+    )
+    withA = attach_side(cand_w, "pk_a", extra=[])
+    withB = attach_side(withA, "pk_b", extra=["sw_a", "d_a"])
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"].to_numpy(np.int64)
+        keep = (w * df["d_a"].to_numpy(np.int64)
+                >= df["sw_a"].to_numpy(np.int64)) | (
+            w * df["d_b"].to_numpy(np.int64)
+            >= df["sw_b"].to_numpy(np.int64)
+        )
+        out = df[keep]
+        return pd.DataFrame(
+            {
+                "pk_a": out["pk_a"].to_numpy(np.int64),
+                "pk_b": out["pk_b"].to_numpy(np.int64),
+                "n_shared": out["w"].to_numpy(np.int64),
+            }
+        )
+
+    return withB.map_batches(gate, batch_format="pandas")
+
+
+# --- unsupported (triangle-free) match edges -----------------------------------
+
+def q_unsupported_edges(sf_dir: str, threshold: float = 0.85):
+    """Match edges supported by NO triangle — the weak links transitive
+    clustering should re-verify before trusting (an edge inside a
+    triangle has independent corroboration; a triangle-free edge is the
+    classic false-positive bridge between two true entities).  The
+    complement of ``q_pair_triangles`` folded back onto the edge set.
+
+    Distribution: triangles stream through a 3-edge explode into the
+    same canonical (name_a, name_b) key space; the supported-edge set
+    (bounded by edges-in-triangles ⊆ the verified match graph) collects
+    once and broadcasts for a vectorized anti-filter over the edge
+    stream — the semi_anti_filter shape.
+
+    Default threshold 0.85 (not the family's 0.8): at 0.8 the fixture
+    match graph is dense enough that EVERY edge sits in a triangle — a
+    vacuous audit; 0.85 leaves a meaningful unsupported set while the
+    oracle applies the identical threshold."""
+    edges = q_fuzzy_name_pairs(sf_dir, threshold=threshold)
+    tri = q_pair_triangles(sf_dir, threshold=threshold)
+
+    def tri_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "name_a": pd.concat(
+                    [df["name_a"], df["name_b"], df["name_a"]],
+                    ignore_index=True,
+                ),
+                "name_b": pd.concat(
+                    [df["name_b"], df["name_c"], df["name_c"]],
+                    ignore_index=True,
+                ),
+            }
+        )
+
+    sup = tree_to_pandas(
+        tri.map_batches(tri_edges, batch_format="pandas"),
+        lambda df: df.drop_duplicates(),
+    )
+    sref = broadcast(
+        frozenset(sup["name_a"] + "\x1f" + sup["name_b"])
+        if len(sup)
+        else frozenset()
+    )
+
+    class Anti:
+        def __init__(self):
+            self.s = ray.get(sref)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            key = df["name_a"].astype(str) + "\x1f" + df["name_b"].astype(str)
+            out = df[~key.isin(self.s).to_numpy()]
+            # Arrow output with an explicit schema: empty pandas string
+            # blocks lose their schema in Ray's estimator (common.py note)
+            return pa.Table.from_arrays(
+                [pa.array(out["name_a"].astype(str), pa.string()),
+                 pa.array(out["name_b"].astype(str), pa.string())],
+                names=["name_a", "name_b"],
+            )
+
+    return edges.map_batches(Anti, batch_format="pandas", concurrency=(1, 4))

@@ -4560,3 +4560,82 @@ def q_fd_violations(sf_dir: str):
     import ray.data as rd
 
     return rd.from_pandas(pd.DataFrame(out_rows))
+
+
+def q_winsorized_stats(sf_dir: str, p_lo: int = 5, p_hi: int = 95):
+    """Winsorized grouped statistics — the robust-prep class: per
+    event_type, values clipped to the exact [p05, p95] percentile band
+    before summing, so a handful of extreme rows can't dominate a mean
+    (the standard pre-aggregation step for noisy metrics).  Percentile
+    thresholds are exact lower quantiles (``percentile_disc``, the
+    grouped_median ceil-walk); clipping and summation are pure int64.
+    Output (event_type, lo_cents, hi_cents, n, sum_clipped).
+
+    Two passes, both distinct-value-bounded: one (group, value) count
+    histogram feeds BOTH quantile walks (single shuffle); the clip pass
+    re-streams events against the broadcast {type: (lo, hi)} map and
+    folds through ``grouped_sums``."""
+    ds = read(sf_dir, "events", ["event_type", "value"])
+
+    def value_hist(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"event_type": df["event_type"], "v": cents(df["value"])}
+        )
+        g = out.groupby(["event_type", "v"], as_index=False, sort=False).size()
+        return g.rename(columns={"size": "n"})
+
+    hist = grouped_sums(
+        ds.map_batches(value_hist, batch_format="pandas"),
+        ["event_type", "v"],
+        sums={"n": "n"},
+    )
+
+    def both_walk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        out = {}
+        for name, p in (("lo", p_lo), ("hi", p_hi)):
+            k = max(1, -(-(total * p) // 100))  # ceil(p% of total)
+            out[name] = np.int64(
+                g["v"].iloc[int(np.searchsorted(cum, k, side="left"))]
+            )
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "lo": [out["lo"]], "hi": [out["hi"]]}
+        )
+
+    th = (
+        hist.groupby("event_type")
+        .map_groups(both_walk, batch_format="pandas")
+        .to_pandas()  # one row per event_type — group-bounded
+    )
+    ref = broadcast(
+        {str(r.event_type): (int(r.lo), int(r.hi))
+         for r in th.itertuples(index=False)}
+    )
+
+    class Clip:
+        def __init__(self):
+            self.th = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            et = df["event_type"].astype(str)
+            v = cents(df["value"])
+            lo = et.map({k: x[0] for k, x in self.th.items()}).to_numpy(np.int64)
+            hi = et.map({k: x[1] for k, x in self.th.items()}).to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    "event_type": et,
+                    "lo_cents": lo,
+                    "hi_cents": hi,
+                    "c": np.clip(v, lo, hi),
+                }
+            )
+
+    return grouped_sums(
+        ds.map_batches(Clip, batch_format="pandas", concurrency=(1, 8)),
+        ["event_type", "lo_cents", "hi_cents"],
+        sums={"sum_clipped": "c"},
+        count_as="n",
+    ).select_columns(["event_type", "lo_cents", "hi_cents", "n", "sum_clipped"])

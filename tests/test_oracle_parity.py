@@ -217,6 +217,9 @@ ORACLE_BACKED = [
     "knn_join",
     "clustering_coefficient",
     "fd_violations",
+    "wnp_pairs",
+    "unsupported_edges",
+    "winsorized_stats",
 ]
 
 
