@@ -369,6 +369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wnp_pairs": er.q_wnp_pairs,
         "unsupported_edges": er.q_unsupported_edges,
         "winsorized_stats": relational.q_winsorized_stats,
+        # r4q: cross-modal dup verification (media reel × text)
+        "media_dup_text_check": multimodal.q_media_dup_text_check,
     })
 
 
@@ -2712,6 +2714,36 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE v.v END) AS BIGINT) AS sum_clipped
             FROM v JOIN th USING (event_type)
             GROUP BY 1, 2, 3
+        """,
+        "media_dup_text_check": f"""
+            WITH m AS (
+                SELECT doc_id,
+                       string_agg(substring(s.media_ref, 9, 2), chr(31)
+                                  ORDER BY s."offset", s.media_ref) AS sig
+                FROM (SELECT doc_id, unnest(spans) AS s
+                      FROM read_parquet('{docs_tbl}'))
+                WHERE s.kind = 'media'
+                GROUP BY doc_id),
+            g AS (SELECT sig, min(doc_id) AS keeper
+                  FROM m GROUP BY sig HAVING count(*) >= 2),
+            pairs AS (SELECT m.doc_id, g.keeper
+                      FROM m JOIN g USING (sig)
+                      WHERE m.doc_id <> g.keeper),
+            tx AS (SELECT doc_id,
+                          array_to_string(
+                              list_transform(
+                                  list_filter(spans, s -> s.kind = 'text'),
+                                  s -> s.text), '') AS t
+                   FROM read_parquet('{docs_tbl}'))
+            SELECT p.doc_id, p.keeper,
+                   CAST(floor(jaccard(ta.t, tb.t) * 1000000) AS BIGINT)
+                       AS jacc_micro,
+                   CAST(CASE WHEN floor(jaccard(ta.t, tb.t) * 1000000)
+                                  >= 500000
+                             THEN 1 ELSE 0 END AS BIGINT) AS consistent
+            FROM pairs p
+            JOIN tx ta ON ta.doc_id = p.doc_id
+            JOIN tx tb ON tb.doc_id = p.keeper
         """,
         "fd_violations": """
             WITH f1 AS (SELECT p_name AS g, count(DISTINCT p_brand) AS nb,

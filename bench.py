@@ -242,6 +242,7 @@ def run_bench() -> dict:
         timed("wnp_pairs", er.q_wnp_pairs)
         timed("unsupported_edges", er.q_unsupported_edges)
         timed("winsorized_stats", relational.q_winsorized_stats)
+        timed("media_dup_text_check", multimodal.q_media_dup_text_check)
 
     result = {
         "metric": "entity_link_e2e",

@@ -25,6 +25,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from .. import fixtures
@@ -786,3 +787,91 @@ def q_media_dup_docs(sf_dir: str, n_buckets: int | None = None):
         .groupby("_sb")
         .map_groups(groups, batch_format="pandas")
     )
+
+
+def q_media_dup_text_check(sf_dir: str, tau_micro: int = 500_000):
+    """CROSS-MODAL dup verification: every media-reel dup pair
+    (``q_media_dup_docs``) re-checked against the TEXT modality — char-set
+    Jaccard between the member's and keeper's assembled text (the pinned
+    DuckDB ``jaccard()`` kernel).  Agreement across independent modalities
+    is the strongest dedup evidence there is; a reel match whose texts
+    diverge (``consistent = 0``) flags either a template reel reused under
+    different copy or a bucket collision — the rows a human reviews.
+    Output (doc_id, keeper, jacc_micro, consistent), floor-quantized
+    micro-units, identical floor in the oracle.
+
+    Plan: dup pairs are bounded by docs-with-a-shared-reel (the same set
+    q_media_dup_docs's group table holds), so their id set broadcasts; doc
+    texts assemble via the flagship's vectorized ``flatten_batch`` with a
+    broadcast-id filter so ONLY dup-member texts ever leave the read
+    (semi-join pushdown — the corpus text never moves); the bounded
+    id→text map broadcasts back for a per-batch vectorized verify.  Above
+    the broadcast budget the attach becomes the tagged co-partition join
+    (the wnp_pairs shape)."""
+    import pandas as pd
+
+    from ..functions.docs import flatten_batch
+    from ..functions.text import char_set_jaccard_batch
+    from .common import broadcast, tree_to_pandas
+
+    pairs = q_media_dup_docs(sf_dir)
+    pairs_pdf = tree_to_pandas(
+        pairs, lambda df: df.drop_duplicates(subset=["doc_id"])
+    )
+    pairs_pdf = pairs_pdf[pairs_pdf["doc_id"] != pairs_pdf["keeper"]]
+    if not len(pairs_pdf):
+        return rd.from_pandas(pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=object),
+             "keeper": pd.Series([], dtype=object),
+             "jacc_micro": pd.Series([], dtype=np.int64),
+             "consistent": pd.Series([], dtype=np.int64)}
+        ))
+    idset = frozenset(pairs_pdf["doc_id"]) | frozenset(pairs_pdf["keeper"])
+    idref = broadcast(idset)
+
+    fdir = fixtures.fixture_dir(fixtures.spec_for_sf_dir(sf_dir))
+    docs = rd.read_parquet(f"{fdir}/docs.parquet")
+
+    class TextOf:
+        def __init__(self):
+            self.ids = ray.get(idref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            flat = flatten_batch(batch)
+            df = pd.DataFrame(
+                {
+                    "doc_id": flat["doc_id"].to_numpy(zero_copy_only=False),
+                    "text": flat["text"].to_numpy(zero_copy_only=False),
+                }
+            )
+            return df[df["doc_id"].isin(self.ids)]
+
+    texts = tree_to_pandas(
+        docs.map_batches(TextOf, batch_format="pyarrow",
+                         concurrency=(1, 4)),
+        lambda df: df.drop_duplicates(subset=["doc_id"]),
+    )
+    tref = broadcast(dict(zip(texts["doc_id"], texts["text"])))
+
+    class Verify:
+        def __init__(self):
+            self.t = ray.get(tref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["doc_id"] != df["keeper"]]
+            ta = df["doc_id"].map(self.t)
+            tb = df["keeper"].map(self.t)
+            j = char_set_jaccard_batch(ta.to_numpy(object),
+                                       tb.to_numpy(object))
+            jm = np.floor(j * 1_000_000.0).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype(str),
+                    "keeper": df["keeper"].astype(str),
+                    "jacc_micro": jm,
+                    "consistent": (jm >= tau_micro).astype(np.int64),
+                }
+            )
+
+    return pairs.map_batches(Verify, batch_format="pandas",
+                             concurrency=(1, 4))

@@ -220,6 +220,7 @@ ORACLE_BACKED = [
     "wnp_pairs",
     "unsupported_edges",
     "winsorized_stats",
+    "media_dup_text_check",
 ]
 
 
