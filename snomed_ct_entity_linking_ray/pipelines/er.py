@@ -2484,7 +2484,14 @@ def q_pair_triangles(sf_dir: str, threshold: float = 0.8):
     Skew note: a hot middle node of degree d yields C(d,2) wedges — the
     wedge join is the stage to salt/cap at web scale (the metablocking
     discipline); fuzzy blocks are already capped upstream."""
-    edges = q_fuzzy_name_pairs(sf_dir, threshold=threshold)
+    return _triangles_of(q_fuzzy_name_pairs(sf_dir, threshold=threshold))
+
+
+def _triangles_of(edges: "rd.Dataset") -> "rd.Dataset":
+    """Triangle closure over a canonical (name_a < name_b) edge Dataset —
+    shared by q_pair_triangles / q_unsupported_edges /
+    q_clustering_coefficient so callers can pass one MATERIALIZED edge
+    set instead of re-running the blocked JW join per consumer."""
 
     def as_mid(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"mid": df["name_a"], "name_c": df["name_b"]})
@@ -4289,7 +4296,7 @@ def q_predicted_links(sf_dir: str, min_common: int = 2):
     verified-edge set (bounded by the match graph, which transitive
     clustering must hold anyway) broadcasts for the final NOT-EXISTS
     filter."""
-    edges = q_fuzzy_name_pairs(sf_dir)
+    edges = q_fuzzy_name_pairs(sf_dir).materialize()  # feeds two consumers
 
     def und(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -4402,7 +4409,9 @@ def q_clustering_coefficient(sf_dir: str):
     (wedge join + closing-edge join, no all-pairs, no driver step)
     through one more grouped sum — each triangle (a<b<c) contributes to
     all three corners via a slim 3-row explode."""
-    edges = q_fuzzy_name_pairs(sf_dir)
+    # materialize once: the edge set is match-graph-bounded and feeds BOTH
+    # the degree count and the triangle closure
+    edges = q_fuzzy_name_pairs(sf_dir).materialize()
 
     def und(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -4418,7 +4427,7 @@ def q_clustering_coefficient(sf_dir: str):
         sums={},
         count_as="deg",
     )
-    tri = q_pair_triangles(sf_dir)
+    tri = _triangles_of(edges)
 
     def corners(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -4626,8 +4635,8 @@ def q_unsupported_edges(sf_dir: str, threshold: float = 0.85):
     match graph is dense enough that EVERY edge sits in a triangle — a
     vacuous audit; 0.85 leaves a meaningful unsupported set while the
     oracle applies the identical threshold."""
-    edges = q_fuzzy_name_pairs(sf_dir, threshold=threshold)
-    tri = q_pair_triangles(sf_dir, threshold=threshold)
+    edges = q_fuzzy_name_pairs(sf_dir, threshold=threshold).materialize()
+    tri = _triangles_of(edges)
 
     def tri_edges(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

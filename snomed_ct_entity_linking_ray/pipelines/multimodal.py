@@ -873,5 +873,9 @@ def q_media_dup_text_check(sf_dir: str, tau_micro: int = 500_000):
                 }
             )
 
-    return pairs.map_batches(Verify, batch_format="pandas",
-                             concurrency=(1, 4))
+    # verify from the ALREADY-COLLECTED bounded pair table (re-consuming
+    # the lazy `pairs` Dataset would re-execute the whole dup pipeline a
+    # second time — measured 23s → ~12s at sf0.1)
+    return rd.from_pandas(
+        pairs_pdf[["doc_id", "keeper"]].reset_index(drop=True)
+    ).map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
