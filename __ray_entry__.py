@@ -371,6 +371,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_stats": relational.q_winsorized_stats,
         # r4q: cross-modal dup verification (media reel × text)
         "media_dup_text_check": multimodal.q_media_dup_text_check,
+        # r4r: source-reliability data fusion, set-valued group linkage,
+        # KwikCluster correlation clustering, C4-style segment dedup
+        "truth_discovery": er.q_truth_discovery,
+        "group_linkage": er.q_group_linkage,
+        "cc_pivot": er.q_cc_pivot,
+        "segment_dedup": dedup.q_segment_dedup,
     })
 
 
@@ -462,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
             "stable_matching",
             "cosine_range",
             "knn_join",
+            "cc_pivot",
         )
     }
 
@@ -2780,5 +2787,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT),
                    CAST(sum(CASE WHEN nb > 1 THEN r ELSE 0 END) AS BIGINT)
             FROM f4
+        """,
+        # r4r: 2-round exact-integer truth discovery (latest claim per
+        # (object, source), majority -> floor-micro accuracy -> weighted
+        # revote, ties to the smallest bucket at every argmax)
+        "truth_discovery": """
+            WITH claims AS (
+              SELECT user_id, event_type AS src,
+                     COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), 0)
+                         // 10 AS v
+              FROM (SELECT *, row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events) WHERE rn = 1),
+            vote1 AS (SELECT user_id, v, count(*) AS c
+                      FROM claims GROUP BY 1, 2),
+            truth1 AS (SELECT user_id, v FROM (
+                SELECT user_id, v, row_number() OVER (
+                    PARTITION BY user_id ORDER BY c DESC, v ASC) AS rn
+                FROM vote1) WHERE rn = 1),
+            acc AS (SELECT src,
+                           SUM(CASE WHEN c.v = t.v THEN 1 ELSE 0 END) AS num,
+                           count(*) AS den
+                    FROM claims c JOIN truth1 t USING (user_id)
+                    GROUP BY src),
+            w AS (SELECT src, CAST(num * 1000000 // den AS BIGINT) AS wt
+                  FROM acc),
+            vote2 AS (SELECT user_id, v, CAST(SUM(wt) AS BIGINT) AS weight,
+                             CAST(count(*) AS BIGINT) AS n_support
+                      FROM claims JOIN w USING (src) GROUP BY 1, 2)
+            SELECT user_id, v AS value_bin, weight, n_support FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY weight DESC, v ASC) AS rn
+                FROM vote2) WHERE rn = 1
+        """,
+        # r4r: set-Jaccard group linkage over ordered-part sets; members
+        # with df > 256 are stop-members on BOTH sides of the compare
+        "group_linkage": """
+            WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                        FROM orders o
+                        JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+            keep AS (SELECT p FROM cp GROUP BY p
+                     HAVING count(*) <= 256),
+            cpk AS (SELECT cp.c, cp.p FROM cp JOIN keep USING (p)),
+            sz AS (SELECT c, count(*) AS n FROM cp GROUP BY c),
+            ov AS (SELECT a.c AS c_a, b.c AS c_b, count(*) AS n_inter
+                   FROM cpk a JOIN cpk b ON a.p = b.p AND a.c < b.c
+                   GROUP BY 1, 2)
+            SELECT ov.c_a, ov.c_b, CAST(ov.n_inter AS BIGINT) AS n_inter,
+                   CAST(sa.n + sb.n - ov.n_inter AS BIGINT) AS n_union
+            FROM ov JOIN sz sa ON sa.c = ov.c_a
+                    JOIN sz sb ON sb.c = ov.c_b
+            WHERE 10 * ov.n_inter >= 1 * (sa.n + sb.n - ov.n_inter)
+        """,
+        # r4r: C4-style fixed-window segment dedup (keeper = global min
+        # (doc_id, seg_idx) per segment text)
+        "segment_dedup": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            segs AS (
+              SELECT doc_id, s.j AS seg_idx,
+                     array_to_string(ws[(s.j*20+1):(s.j*20+20)], ' ') AS seg
+              FROM w, LATERAL (SELECT unnest(generate_series(
+                       0, CAST(ceil(len(ws)/20.0) AS BIGINT) - 1)) AS j) s),
+            ranked AS (SELECT doc_id, seg_idx,
+                              row_number() OVER (PARTITION BY seg
+                                  ORDER BY doc_id, seg_idx) AS rn
+                       FROM segs)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed
+            FROM ranked GROUP BY doc_id
         """,
     }

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 31  # r4q: + cosine_range, knn_join
+ORACLE_VERSION = 32  # r4r: + cc_pivot
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -111,6 +111,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "pprl_pairs": lambda: _pprl_pairs(sf_dir),
         "stable_matching": lambda: _stable_matching(sf_dir),
         "cosine_range": lambda: _cosine_range(sf_dir),
+        "cc_pivot": lambda: _cc_pivot(sf_dir),
         "knn_join": lambda: _knn_join(sf_dir),
     }
     for name, build in writers.items():
@@ -819,6 +820,43 @@ def _cosine_range(sf_dir: str) -> pa.Table:
             "query_id": pa.array([r[0] for r in rows], pa.int64()),
             "match_id": pa.array([r[1] for r in rows], pa.int64()),
             "sim_q12": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _cc_pivot(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+    """Sequential KwikCluster (Ailon-Charikar-Newman) over the fuzzy-name
+    match graph in ascending name order — the TEXTBOOK walk: each
+    unassigned name becomes a pivot and claims every still-unassigned
+    neighbor. The engine computes the same clustering by iterated
+    local-minima MIS rounds + a grouped-min assignment pass; the driver
+    compare pins the parallel == sequential equivalence. Edge predicate
+    identical to the engine's q_fuzzy_name_pairs contract (shared first
+    char, length diff <= 3, pinned jaro_winkler >= threshold). Shared
+    pinned kernel: jaro_winkler only."""
+    from .functions.similarity import jaro_winkler
+
+    t = _read(sf_dir, "part")
+    names = sorted(set(t["p_name"].to_pylist()))
+    adj: dict = {m: [] for m in names}
+    for i, x in enumerate(names):
+        for y in names[i + 1:]:
+            if x[:1] == y[:1] and abs(len(x) - len(y)) <= 3:
+                if jaro_winkler(x, y) >= threshold:
+                    adj[x].append(y)
+                    adj[y].append(x)
+    rep: dict = {}
+    for v in names:  # ascending == processing order
+        if v in rep:
+            continue
+        rep[v] = v
+        for u in adj[v]:
+            if u not in rep:
+                rep[u] = v
+    return pa.table(
+        {
+            "p_name": pa.array(names, pa.string()),
+            "cluster_rep": pa.array([rep[m] for m in names], pa.string()),
         }
     )
 

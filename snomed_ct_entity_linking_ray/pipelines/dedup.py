@@ -1480,3 +1480,129 @@ def q_containment_pairs(sf_dir: str, t_num: int = 1, t_den: int = 2,
         )
 
     return both.groupby("_ab").map_groups(gate, batch_format="pandas")
+
+
+# --- segment-level exact dedup (C4-style) -------------------------------------
+
+SEGMENT_WORDS = 20
+
+
+def q_segment_dedup(sf_dir: str, seg_words: int = SEGMENT_WORDS,
+                    n_buckets: int | None = None):
+    """Segment-level exact dedup (the C4 / Lee-et-al.'22 "Deduplicating
+    Training Data" discipline at fixed-window granularity): every doc is
+    cut into consecutive ``seg_words``-word segments; across the corpus
+    each distinct segment text keeps ONE canonical instance (global min
+    (doc_id, seg_idx)) and every other instance is removed.  Output per
+    doc: ``(doc_id, n_segments, n_removed)`` — the per-doc dedup bill a
+    training-data pipeline applies before packing.
+
+    Scale shape (the dedup_exact fingerprint discipline pushed to
+    sub-document granularity): segment TEXT never rides the shuffle —
+    per batch each segment becomes an md5 fingerprint, the batch keeps
+    one min-(doc_id, seg_idx) CANDIDATE per fp (instances beyond the
+    batch-local min are *definitely* removed and short-circuit straight
+    into the doc-keyed sum as slim ``(doc_id, n)`` partials), and only
+    the one-candidate-per-fp-per-batch stream enters the fp-bucketed
+    combine where global rank > 1 marks the remaining removals.
+    ``n_segments`` is a per-row scalar (ceil(words/seg_words)) — it joins
+    the same final ``grouped_sums`` as a tagged stream, so the whole op
+    is one slim all-to-all plus one doc-keyed combine."""
+    if n_buckets is None:
+        n_buckets = default_buckets()
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def seg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids: list = []
+        seg_idxs: list = []
+        fps: list = []
+        nseg_rows = []
+        for did, text in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            words = str(text).split(" ")
+            k = (len(words) + seg_words - 1) // seg_words
+            nseg_rows.append((did, k))
+            for j in range(k):
+                seg = " ".join(words[j * seg_words:(j + 1) * seg_words])
+                doc_ids.append(did)
+                seg_idxs.append(j)
+                fps.append(hashing.md5_hex(seg))
+        g = pd.DataFrame(
+            {"fp": fps,
+             "doc_id": np.asarray(doc_ids, np.int64),
+             "seg_idx": np.asarray(seg_idxs, np.int64)}
+        )
+        # batch-local min candidate per fp; the rest are definite removals
+        g = g.sort_values(["fp", "doc_id", "seg_idx"], kind="mergesort")
+        first = ~g["fp"].duplicated()
+        cand = g[first].copy()
+        definite = g[~first]
+        h = pd.util.hash_pandas_object(cand["fp"], index=False).to_numpy()
+        cand["_fb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        cand["kind"] = np.int64(0)
+        # tagged doc-keyed partials: (doc_id, n_segments, n_removed)
+        nseg = pd.DataFrame(nseg_rows, columns=["doc_id", "n_segments"])
+        rm = (
+            definite.groupby("doc_id", as_index=False)
+            .size()
+            .rename(columns={"size": "n_removed"})
+        )
+        doc_part = nseg.merge(rm, on="doc_id", how="left")
+        doc_part["n_removed"] = (
+            doc_part["n_removed"].fillna(0).astype(np.int64)
+        )
+        doc_part["n_segments"] = doc_part["n_segments"].astype(np.int64)
+        # single tagged frame: kind 0 = fp candidate, kind 1 = doc partial
+        doc_tag = pd.DataFrame(
+            {"fp": "", "doc_id": doc_part["doc_id"].to_numpy(np.int64),
+             "seg_idx": doc_part["n_segments"].to_numpy(np.int64),
+             "_fb": doc_part["n_removed"].to_numpy(np.int64),
+             "kind": np.int64(1)}
+        )
+        return pd.concat([cand, doc_tag], ignore_index=True)
+
+    tagged = ds.map_batches(seg_partial, batch_format="pandas")
+
+    def split_cand(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["kind"] == 0][["fp", "doc_id", "seg_idx", "_fb"]]
+
+    def split_doc(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["kind"] == 1]
+        return pd.DataFrame(
+            {"doc_id": d["doc_id"].to_numpy(np.int64),
+             "n_segments": d["seg_idx"].to_numpy(np.int64),
+             "n_removed": d["_fb"].to_numpy(np.int64)}
+        )
+
+    tagged = tagged.materialize()  # two consumers, one segmentation pass
+
+    def bucket_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["fp", "doc_id", "seg_idx"], kind="mergesort")
+        dup = g["fp"].duplicated().to_numpy()
+        loser = g[dup]
+        if not len(loser):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "n_segments": pd.Series([], dtype=np.int64),
+                 "n_removed": pd.Series([], dtype=np.int64)}
+            )
+        out = (
+            loser.groupby("doc_id", as_index=False)
+            .size()
+            .rename(columns={"size": "n_removed"})
+        )
+        out["n_segments"] = np.int64(0)
+        out["n_removed"] = out["n_removed"].astype(np.int64)
+        return out[["doc_id", "n_segments", "n_removed"]]
+
+    shuffled_rm = (
+        tagged.map_batches(split_cand, batch_format="pandas")
+        .groupby("_fb")
+        .map_groups(bucket_rank, batch_format="pandas")
+    )
+
+    return grouped_sums(
+        shuffled_rm.union(tagged.map_batches(split_doc,
+                                             batch_format="pandas")),
+        ["doc_id"],
+        sums={"n_segments": "n_segments", "n_removed": "n_removed"},
+    )

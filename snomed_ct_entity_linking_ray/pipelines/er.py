@@ -4678,3 +4678,521 @@ def q_unsupported_edges(sf_dir: str, threshold: float = 0.85):
             )
 
     return edges.map_batches(Anti, batch_format="pandas", concurrency=(1, 4))
+
+
+# --- truth discovery (source-reliability data fusion) -------------------------
+
+def q_truth_discovery(sf_dir: str):
+    """Source-reliability data fusion (truth discovery, Dong/Berti-Equille
+    VLDB'09 tutorial lineage; ACCU-lite): conflicting per-object claims
+    from multiple sources are resolved by TWO exact-integer rounds —
+    majority vote -> per-source accuracy -> accuracy-weighted revote.
+    In ER terms this is conflict resolution ACROSS sources (the
+    survivorship step golden_user_profile does by fixed priority, done
+    instead with LEARNED source weights — the data-fusion upgrade of the
+    rule_cascade family).
+
+    Fixture mapping: each event stream (``event_type``) is a source
+    claiming a bucketed reading ``props.k // 10`` for object ``user_id``;
+    the latest claim per (object, source) wins (ts desc, event_id desc —
+    the latest_user_state contract).
+
+    Exact-arithmetic contract: source accuracy is the integer
+    ``num * 1_000_000 // den`` (floor micro-units), so round-2 weighted
+    votes are int64 sums — no float crosses the oracle boundary and
+    block order can never flip an argmax.  Ties break to the SMALLEST
+    value bucket in both rounds (both engines).
+
+    Scale shape: claims are a keep-latest combine bounded by
+    |objects| x |sources| (slim int rows; map-side latest per batch);
+    vote counts and weighted votes are ``grouped_sums``; per-object
+    argmaxes are user-bucketed vectorized sort+head (never per-group
+    Python); truth1 co-partitions with claims through a tagged union
+    into the SAME user bucket (no corpus-scale broadcast); only the
+    per-SOURCE accuracy table (dictionary-bounded) is collected and
+    broadcast."""
+    ds = read(sf_dir, "events",
+              ["event_id", "user_id", "event_type", "ts", "props"])
+    n_buckets = default_buckets()
+
+    def batch_latest(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k":\s*(\d+)', expand=False)
+        g = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "src": df["event_type"].astype(str),
+                "v": (k.fillna("0").astype(np.int64) // 10).to_numpy(np.int64),
+                "ts": df["ts"].to_numpy(),
+                "event_id": df["event_id"].to_numpy(np.int64),
+            }
+        )
+        g = g.sort_values(["ts", "event_id"]).drop_duplicates(
+            subset=["user_id", "src"], keep="last"
+        )
+        g["_ub"] = (
+            g["user_id"].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return g
+
+    def bucket_latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).drop_duplicates(
+            subset=["user_id", "src"], keep="last"
+        )
+        return g[["user_id", "src", "v"]].reset_index(drop=True)
+
+    claims = (
+        ds.map_batches(batch_latest, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(bucket_latest, batch_format="pandas")
+    ).materialize()  # |objects| x |sources| slim rows; three consumers
+
+    def ubucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.copy()
+        d["_ub"] = (
+            d["user_id"].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return d
+
+    # round 1: unweighted majority per object (ties -> smallest bucket)
+    vote1 = grouped_sums(claims, ["user_id", "v"], sums={}, count_as="c")
+
+    def argmax1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "c", "v"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.drop_duplicates(subset=["user_id"], keep="first")
+        return g[["user_id", "v"]].rename(columns={"v": "t1"})
+
+    truth1 = (
+        vote1.map_batches(ubucket, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(argmax1, batch_format="pandas")
+    )
+
+    # per-source accuracy: claims co-partition with truth1 by user bucket
+    # (tagged union — truth rows carry src="" sentinel), then one
+    # dictionary-bounded grouped_sums by source.
+    def tag_truth(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "src": "",
+                "v": df["t1"].to_numpy(np.int64),
+            }
+        )
+
+    def acc_partial(g: pd.DataFrame) -> pd.DataFrame:
+        t = g[g["src"] == ""]
+        c = g[g["src"] != ""]
+        if not len(c):
+            return pd.DataFrame(
+                {"src": pd.Series([], dtype=object),
+                 "num": pd.Series([], dtype=np.int64),
+                 "den": pd.Series([], dtype=np.int64)}
+            )
+        t1_of = dict(zip(t["user_id"].to_numpy(np.int64),
+                         t["v"].to_numpy(np.int64)))
+        hit = (
+            c["user_id"].map(t1_of).to_numpy(np.int64)
+            == c["v"].to_numpy(np.int64)
+        ).astype(np.int64)
+        out = pd.DataFrame({"src": c["src"].to_numpy(object), "num": hit,
+                            "den": np.ones(len(c), np.int64)})
+        return out.groupby("src", as_index=False).agg(
+            num=("num", "sum"), den=("den", "sum")
+        )
+
+    acc = grouped_sums(
+        claims.union(truth1.map_batches(tag_truth, batch_format="pandas"))
+        .map_batches(ubucket, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(acc_partial, batch_format="pandas"),
+        ["src"],
+        sums={"num": "num", "den": "den"},
+    ).to_pandas()  # dictionary-bounded: one row per source
+    wt_of = {
+        s: int(n) * 1_000_000 // int(d)
+        for s, n, d in zip(acc["src"], acc["num"], acc["den"])
+    }
+    wref = broadcast(wt_of)
+
+    # round 2: accuracy-weighted revote
+    class Weigh:
+        def __init__(self):
+            self.wt = ray.get(wref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            d = df[["user_id", "v"]].copy()
+            d["wt"] = df["src"].map(self.wt).to_numpy(np.int64)
+            return d
+
+    vote2 = grouped_sums(
+        claims.map_batches(Weigh, batch_format="pandas", concurrency=(1, 4)),
+        ["user_id", "v"],
+        sums={"weight": "wt"},
+        count_as="n_support",
+    )
+
+    def argmax2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "weight", "v"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.drop_duplicates(subset=["user_id"], keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "value_bin": g["v"].to_numpy(np.int64),
+                "weight": g["weight"].to_numpy(np.int64),
+                "n_support": g["n_support"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        vote2.map_batches(ubucket, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(argmax2, batch_format="pandas")
+    )
+
+
+# --- group linkage (set-valued entities) --------------------------------------
+
+GROUP_LINK_HOT_DF_CAP = 256
+
+
+def q_group_linkage(sf_dir: str, t_num: int = 1, t_den: int = 10,
+                    hot_df_cap: int = GROUP_LINK_HOT_DF_CAP,
+                    n_buckets: int | None = None):
+    """GROUP linkage (On Group Linkage, Ye et al. ICDE'07): entities
+    represented as SETS of members are linked by set Jaccard — here
+    customer pairs whose ordered-part sets overlap with
+    ``|A∩B| / |A∪B| >= t_num/t_den``.  The set-valued complement of the
+    record-level matchers: two accounts that buy nearly the same parts
+    are one household even when no name/attribute agrees.
+
+    The threshold is the exact integer cross-multiplication
+    ``t_den·inter >= t_num·(|A| + |B| − inter)`` — no float division.
+
+    Plan (the containment_pairs inverted-list shape, symmetric): the
+    member table (cust, part) is made distinct by a map-side+bucketed
+    combine; part-keyed posting lists emit canonical C(df,2) customer
+    pairs (members with df > ``hot_df_cap`` are dropped WITH a logged
+    count — stop-members carry no linkage signal and cost quadratic
+    pairs; the oracle applies the SAME cap); a ``grouped_sums`` folds the
+    exact intersection; set sizes co-partition into cust_a- then
+    cust_b-keyed tagged bucket combines (hash co-partition joins — the
+    corpus-sized size table is never broadcast)."""
+    if n_buckets is None:
+        n_buckets = default_buckets()
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    n_part = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    cp_raw = li.join(
+        orders, "inner", num_partitions=n_part,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    # distinct (cust, part) membership: map-side distinct + bucketed combine
+    def dpart(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "c": df["o_custkey"].to_numpy(np.int64),
+                "p": df["l_partkey"].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+        g["_mb"] = (
+            (g["c"].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             ^ g["p"].to_numpy(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return g
+
+    members = (
+        cp_raw.map_batches(dpart, batch_format="pandas")
+        .groupby("_mb")
+        .map_groups(
+            lambda g: g.drop_duplicates(subset=["c", "p"])[["c", "p"]],
+            batch_format="pandas",
+        )
+    ).materialize()  # distinct membership; two consumers (posts + sizes)
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.copy()
+        g["_pb"] = (
+            g["p"].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return g
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p", "c"], kind="mergesort")
+        part_ids = g["p"].to_numpy(np.int64)
+        cust = g["c"].to_numpy(np.int64)
+        n = len(g)
+        a_parts: list = []
+        b_parts: list = []
+        dropped = 0
+        start = 0
+        for i in range(1, n + 1):
+            if i < n and part_ids[i] == part_ids[start]:
+                continue
+            d = i - start
+            if d > hot_df_cap:
+                dropped += 1
+            elif d >= 2:
+                ia, ib = np.triu_indices(d, k=1)
+                seg = cust[start:i]
+                a_parts.append(seg[ia])
+                b_parts.append(seg[ib])
+            start = i
+        if dropped:
+            logger.warning(
+                "group_linkage: dropped %d hot members (df > %d)",
+                dropped, hot_df_cap,
+            )
+        a = np.concatenate(a_parts) if a_parts else np.array([], np.int64)
+        b = np.concatenate(b_parts) if b_parts else np.array([], np.int64)
+        return pd.DataFrame(
+            {"c_a": a.astype(np.int64), "c_b": b.astype(np.int64),
+             "n": np.ones(len(a), np.int64)}
+        )
+
+    inter = grouped_sums(
+        members.map_batches(post, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(pairs_of_bucket, batch_format="pandas"),
+        ["c_a", "c_b"],
+        {"n_inter": "n"},
+    )
+
+    # sizes |set(cust)| as a tagged stream (c_b = -1 sentinel)
+    sizes = grouped_sums(members, ["c"], sums={}, count_as="n_mem")
+
+    def size_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_a": df["c"].to_numpy(np.int64),
+                "c_b": np.full(len(df), -1, np.int64),
+                "n_inter": df["n_mem"].to_numpy(np.int64),
+            }
+        )
+
+    def attach(key: str, out_col: str):
+        def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.copy()
+            d["_ab"] = (
+                d[key].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                % np.uint64(n_buckets)
+            ).astype(np.int64)
+            return d
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            sz = g[g["c_b"] == -1]
+            size_of = dict(zip(sz["c_a"].to_numpy(np.int64),
+                               sz["n_inter"].to_numpy(np.int64)))
+            p = g[g["c_b"] != -1].copy()
+            if not len(p):
+                cols = {c: pd.Series([], dtype=np.int64)
+                        for c in list(g.columns) + [out_col]
+                        if c not in ("_ab",)}
+                return pd.DataFrame(cols)
+            p[out_col] = p[key].map(size_of).to_numpy(np.int64)
+            return p.drop(columns=["_ab"])
+
+        return add_bucket, fold
+
+    ab1, f1 = attach("c_a", "n_a")
+    with_a = (
+        inter.map_batches(ab1, batch_format="pandas")
+        .union(sizes.map_batches(size_rows, batch_format="pandas")
+               .map_batches(ab1, batch_format="pandas"))
+        .groupby("_ab")
+        .map_groups(f1, batch_format="pandas")
+    )
+
+    # second co-partition keyed by c_b; size rows re-tagged on that key
+    def size_rows_b(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_a": np.full(len(df), -1, np.int64),
+                "c_b": df["c"].to_numpy(np.int64),
+                "n_inter": df["n_mem"].to_numpy(np.int64),
+                "n_a": np.full(len(df), -1, np.int64),
+            }
+        )
+
+    def add_bucket_b(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.copy()
+        d["_ab"] = (
+            d["c_b"].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return d
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g[g["c_a"] == -1]
+        size_of = dict(zip(sz["c_b"].to_numpy(np.int64),
+                           sz["n_inter"].to_numpy(np.int64)))
+        p = g[g["c_a"] != -1]
+        if not len(p):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64)
+                 for c in ["c_a", "c_b", "n_inter", "n_union"]}
+            )
+        nb = p["c_b"].map(size_of).to_numpy(np.int64)
+        ni = p["n_inter"].to_numpy(np.int64)
+        union = p["n_a"].to_numpy(np.int64) + nb - ni
+        keep = t_den * ni >= t_num * union
+        out = p[keep]
+        return pd.DataFrame(
+            {
+                "c_a": out["c_a"].to_numpy(np.int64),
+                "c_b": out["c_b"].to_numpy(np.int64),
+                "n_inter": ni[keep],
+                "n_union": union[keep],
+            }
+        )
+
+    return (
+        with_a.map_batches(add_bucket_b, batch_format="pandas")
+        .union(sizes.map_batches(size_rows_b, batch_format="pandas")
+               .map_batches(add_bucket_b, batch_format="pandas"))
+        .groupby("_ab")
+        .map_groups(gate, batch_format="pandas")
+    )
+
+
+# --- correlation clustering (KwikCluster / CC-Pivot) --------------------------
+
+CCPIVOT_MAX_ROUNDS = 64
+
+
+def q_cc_pivot(sf_dir: str, threshold: float = 0.8,
+               max_rounds: int = CCPIVOT_MAX_ROUNDS):
+    """Correlation clustering of the fuzzy-name match graph by
+    KwikCluster / CC-Pivot (Ailon-Charikar-Newman JACM'08) with the
+    DETERMINISTIC id order: pivots = the lexicographically-first maximal
+    independent set; every non-pivot joins its SMALLEST pivot neighbor.
+    The 3-approximation alternative to connected components
+    (q_name_clusters) that does NOT chain weak bridges — a pivot only
+    claims DIRECT neighbors, so the pain/pan/pin chain splits instead of
+    collapsing into one entity.
+
+    Parallel = sequential: greedy-by-id KwikCluster's pivot set is
+    exactly the lex-first MIS, and Blelloch-Fineman-Shun (SPAA'12) show
+    iterated LOCAL MINIMA over the undecided subgraph computes that MIS
+    in O(log n) rounds w.h.p.; the assignment rep(v) = min pivot
+    neighbor is then one grouped-min pass over the edge set.  The
+    sequential-walk oracle pins the equivalence.
+
+    Scale shape: each round is one vectorized pass over the (broadcast-
+    filtered) edge Dataset + a node-bounded grouped-min collect — the
+    name_clusters vocabulary-bounded discipline; no per-node Python, no
+    quadratic structure."""
+    names = sorted(
+        distinct_column(read(sf_dir, "part", ["p_name"]), "p_name")
+        .to_pandas()["p_name"]
+        .astype(str)
+        .tolist()
+    )
+    id_of = {n: i for i, n in enumerate(names)}
+    id_ref = broadcast(id_of)
+
+    pairs = q_fuzzy_name_pairs(sf_dir, threshold=threshold)
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"u": pd.Series([], dtype=np.int64),
+                 "v": pd.Series([], dtype=np.int64)}
+            )
+        lk = ray.get(id_ref)
+        a = df["name_a"].map(lk).to_numpy(np.int64)
+        b = df["name_b"].map(lk).to_numpy(np.int64)
+        return pd.DataFrame({"u": np.minimum(a, b), "v": np.maximum(a, b)})
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+
+    n = len(names)
+    undecided = np.ones(n, dtype=bool)
+    in_mis = np.zeros(n, dtype=bool)
+
+    def min_nbr_partial(und_ref):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            und = ray.get(und_ref)
+            u = df["u"].to_numpy(np.int64)
+            v = df["v"].to_numpy(np.int64)
+            live = und[u] & und[v]
+            u, v = u[live], v[live]
+            g = pd.DataFrame(
+                {"node": np.concatenate([u, v]),
+                 "nbr": np.concatenate([v, u])}
+            )
+            return g.groupby("node", as_index=False).agg(nbr=("nbr", "min"))
+        return fn
+
+    for _ in range(max_rounds):
+        if not undecided.any():
+            break
+        und_ref = broadcast(undecided.copy())
+        mn = tree_to_pandas(
+            edges.map_batches(min_nbr_partial(und_ref),
+                              batch_format="pandas"),
+            lambda df: df.groupby("node", as_index=False).agg(
+                nbr=("nbr", "min")),
+        )  # node-bounded: one row per undecided node with a live edge
+        has_nbr = np.zeros(n, dtype=bool)
+        min_nbr = np.full(n, n, dtype=np.int64)
+        if len(mn):
+            nd = mn["node"].to_numpy(np.int64)
+            has_nbr[nd] = True
+            min_nbr[nd] = mn["nbr"].to_numpy(np.int64)
+        ids = np.arange(n, dtype=np.int64)
+        pivots = undecided & (~has_nbr | (ids < min_nbr))
+        if not pivots.any():
+            break
+        in_mis |= pivots
+        undecided &= ~pivots
+        # neighbors of new pivots decide OUT (they have a MIS neighbor)
+        piv_ref = broadcast(pivots)
+
+        def out_partial(df: pd.DataFrame) -> pd.DataFrame:
+            piv = ray.get(piv_ref)
+            u = df["u"].to_numpy(np.int64)
+            v = df["v"].to_numpy(np.int64)
+            hit = np.concatenate([v[piv[u]], u[piv[v]]])
+            return pd.DataFrame({"node": np.unique(hit)})
+
+        out_nodes = tree_to_pandas(
+            edges.map_batches(out_partial, batch_format="pandas"),
+            lambda df: df.drop_duplicates(),
+        )
+        if len(out_nodes):
+            undecided[out_nodes["node"].to_numpy(np.int64)] = False
+    else:
+        if undecided.any():
+            raise RuntimeError("cc_pivot: MIS rounds did not converge")
+
+    # assignment: rep(v) = min pivot neighbor, one grouped-min pass
+    mis_ref = broadcast(in_mis.copy())
+
+    def assign_partial(df: pd.DataFrame) -> pd.DataFrame:
+        mis = ray.get(mis_ref)
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        g = pd.DataFrame(
+            {"node": np.concatenate([u[mis[v] & ~mis[u]], v[mis[u] & ~mis[v]]]),
+             "rep": np.concatenate([v[mis[v] & ~mis[u]], u[mis[u] & ~mis[v]]])}
+        )
+        return g.groupby("node", as_index=False).agg(rep=("rep", "min"))
+
+    asg = tree_to_pandas(
+        edges.map_batches(assign_partial, batch_format="pandas"),
+        lambda df: df.groupby("node", as_index=False).agg(rep=("rep", "min")),
+    )
+    rep = np.arange(n, dtype=np.int64)
+    if len(asg):
+        rep[asg["node"].to_numpy(np.int64)] = asg["rep"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {"p_name": names, "cluster_rep": [names[r] for r in rep]}
+    )
+    return rd.from_pandas(out)

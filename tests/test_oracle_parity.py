@@ -221,6 +221,11 @@ ORACLE_BACKED = [
     "unsupported_edges",
     "winsorized_stats",
     "media_dup_text_check",
+    # r4r: truth discovery, group linkage, KwikCluster, segment dedup
+    "truth_discovery",
+    "group_linkage",
+    "cc_pivot",
+    "segment_dedup",
 ]
 
 
