@@ -377,6 +377,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_linkage": er.q_group_linkage,
         "cc_pivot": er.q_cc_pivot,
         "segment_dedup": dedup.q_segment_dedup,
+        # r4s: data-lake join discovery, BPE tokenizer application,
+        # contrastive hard-negative mining
+        "join_discovery": relational.q_join_discovery,
+        "bpe_tokens": training.q_bpe_tokens,
+        "hard_negatives": vectors.q_hard_negatives,
     })
 
 
@@ -469,6 +474,8 @@ def oracle_sql() -> dict[str, str]:
             "cosine_range",
             "knn_join",
             "cc_pivot",
+            "bpe_tokens",
+            "hard_negatives",
         )
     }
 
@@ -2859,5 +2866,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_removed
             FROM ranked GROUP BY doc_id
+        """,
+        # r4s: directed distinct-value containment over the fixed column
+        # inventory (schema metadata — mirrored from JOINDISC_COLS)
+        "join_discovery": """
+            WITH u AS (
+              SELECT 'region.r_regionkey' AS col, CAST(r_regionkey AS BIGINT) AS v FROM (SELECT DISTINCT r_regionkey FROM region)
+              UNION ALL SELECT 'nation.n_nationkey', CAST(n_nationkey AS BIGINT) FROM (SELECT DISTINCT n_nationkey FROM nation)
+              UNION ALL SELECT 'nation.n_regionkey', CAST(n_regionkey AS BIGINT) FROM (SELECT DISTINCT n_regionkey FROM nation)
+              UNION ALL SELECT 'customer.c_custkey', CAST(c_custkey AS BIGINT) FROM (SELECT DISTINCT c_custkey FROM customer)
+              UNION ALL SELECT 'customer.c_nationkey', CAST(c_nationkey AS BIGINT) FROM (SELECT DISTINCT c_nationkey FROM customer)
+              UNION ALL SELECT 'supplier.s_suppkey', CAST(s_suppkey AS BIGINT) FROM (SELECT DISTINCT s_suppkey FROM supplier)
+              UNION ALL SELECT 'supplier.s_nationkey', CAST(s_nationkey AS BIGINT) FROM (SELECT DISTINCT s_nationkey FROM supplier)
+              UNION ALL SELECT 'part.p_partkey', CAST(p_partkey AS BIGINT) FROM (SELECT DISTINCT p_partkey FROM part)
+              UNION ALL SELECT 'orders.o_orderkey', CAST(o_orderkey AS BIGINT) FROM (SELECT DISTINCT o_orderkey FROM orders)
+              UNION ALL SELECT 'orders.o_custkey', CAST(o_custkey AS BIGINT) FROM (SELECT DISTINCT o_custkey FROM orders)
+              UNION ALL SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS BIGINT) FROM (SELECT DISTINCT l_orderkey FROM lineitem)
+              UNION ALL SELECT 'lineitem.l_partkey', CAST(l_partkey AS BIGINT) FROM (SELECT DISTINCT l_partkey FROM lineitem)
+              UNION ALL SELECT 'lineitem.l_suppkey', CAST(l_suppkey AS BIGINT) FROM (SELECT DISTINCT l_suppkey FROM lineitem)
+              UNION ALL SELECT 'events.event_id', CAST(event_id AS BIGINT) FROM (SELECT DISTINCT event_id FROM events)
+              UNION ALL SELECT 'events.user_id', CAST(user_id AS BIGINT) FROM (SELECT DISTINCT user_id FROM events)
+              UNION ALL SELECT 'documents.doc_id', CAST(doc_id AS BIGINT) FROM (SELECT DISTINCT doc_id FROM documents)
+              UNION ALL SELECT 'embeddings.vec_id', CAST(vec_id AS BIGINT) FROM (SELECT DISTINCT vec_id FROM embeddings)
+            ),
+            sz AS (SELECT col, count(*) AS n FROM u GROUP BY col),
+            ov AS (SELECT a.col AS col_a, b.col AS col_b,
+                          count(*) AS n_inter
+                   FROM u a JOIN u b ON a.v = b.v AND a.col <> b.col
+                   GROUP BY 1, 2)
+            SELECT ov.col_a, ov.col_b, CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(ov.n_inter AS BIGINT) AS n_inter
+            FROM ov JOIN sz sa ON sa.col = ov.col_a
+            WHERE 2 * ov.n_inter >= 1 * sa.n
         """,
     }

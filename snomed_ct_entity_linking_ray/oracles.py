@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 32  # r4r: + cc_pivot
+ORACLE_VERSION = 33  # r4s: + bpe_tokens, hard_negatives
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -112,6 +112,8 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "stable_matching": lambda: _stable_matching(sf_dir),
         "cosine_range": lambda: _cosine_range(sf_dir),
         "cc_pivot": lambda: _cc_pivot(sf_dir),
+        "bpe_tokens": lambda: _bpe_tokens(sf_dir),
+        "hard_negatives": lambda: _hard_negatives(sf_dir),
         "knn_join": lambda: _knn_join(sf_dir),
     }
     for name, build in writers.items():
@@ -888,6 +890,102 @@ def _knn_join(sf_dir: str, k: int = 3) -> pa.Table:
         {
             "vec_id": pa.array([r[0] for r in rows], pa.int64()),
             "nn_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _bpe_tokens(sf_dir: str, n_merges: int = 12) -> pa.Table:
+    """Single-process BPE ENCODE oracle: merge rules from the independent
+    full-recount trainer (_bpe_merges), then a plain per-word apply walk
+    (repeatedly merge the lowest-rank learned pair, left-to-right within
+    a pass) — implemented here independently of the engine's cached
+    actor-pool encoder, so agreement pins both the walk and the
+    orchestration."""
+    mt = _bpe_merges(sf_dir, n_merges=n_merges)
+    rank_of = {
+        (l, r): int(k)
+        for k, l, r in zip(
+            mt["rank"].to_pylist(), mt["left"].to_pylist(),
+            mt["right"].to_pylist(),
+        )
+    }
+
+    def encode_len(word: str) -> int:
+        syms = list(word)
+        while True:
+            ranked = [
+                (rank_of[(a, b)], i)
+                for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                if (a, b) in rank_of
+            ]
+            if not ranked:
+                return len(syms)
+            best = min(r for r, _ in ranked)
+            la, rb = None, None
+            for r, i in ranked:
+                if r == best:
+                    la, rb = syms[i], syms[i + 1]
+                    break
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == la and syms[j + 1] == rb:
+                    out.append(la + rb)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+
+    t = _read(sf_dir, "documents").select(["doc_id", "text"])
+    cache: dict = {}
+    rows = []
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        words = str(txt).split(" ")
+        n_tok = 0
+        for w in words:
+            if w not in cache:
+                cache[w] = encode_len(w)
+            n_tok += cache[w]
+        rows.append((int(did), len(words), n_tok))
+    rows.sort()
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_words": pa.array([r[1] for r in rows], pa.int64()),
+            "n_tokens": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _hard_negatives(sf_dir: str, k: int = 3) -> pa.Table:
+    """Hard-negative mining oracle: the _knn_join plain-loop shape with a
+    different-label filter — per-pair integer dots on the shared 1e6
+    quantization grid, selection by explicit (sim desc, id asc) sort."""
+    from .pipelines.vectors import RANGE_QUANT
+
+    t = _read(sf_dir, "embeddings").select(["vec_id", "embedding", "label"])
+    vid = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    lab = np.array(t["label"].to_pylist(), dtype=np.int64)
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+    Ei = np.rint(E * RANGE_QUANT).astype(np.int64)
+    rows = []
+    for i in range(len(vid)):
+        sims = []
+        for j in range(len(vid)):
+            if i == j or lab[i] == lab[j]:
+                continue
+            s = int(sum(int(a) * int(b) for a, b in zip(Ei[i], Ei[j])))
+            sims.append((-s, int(vid[j])))
+        sims.sort()
+        for r, (_, nn) in enumerate(sims[:k], start=1):
+            rows.append((int(vid[i]), nn, r))
+    rows.sort()
+    return pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "neg_id": pa.array([r[1] for r in rows], pa.int64()),
             "rank": pa.array([r[2] for r in rows], pa.int64()),
         }
     )

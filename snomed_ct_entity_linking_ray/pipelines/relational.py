@@ -4639,3 +4639,136 @@ def q_winsorized_stats(sf_dir: str, p_lo: int = 5, p_hi: int = 95):
         sums={"sum_clipped": "c"},
         count_as="n",
     ).select_columns(["event_type", "lo_cents", "hi_cents", "n", "sum_clipped"])
+
+
+# --- join discovery (data-lake joinability profiling) ------------------------
+
+# (table, column) pairs profiled for joinability: every integer key-ish
+# column of the fixture schema. Dictionary-bounded by construction — the
+# COLUMN inventory is schema metadata, never data.
+JOINDISC_COLS: tuple = (
+    ("region", "r_regionkey"), ("nation", "n_nationkey"),
+    ("nation", "n_regionkey"), ("customer", "c_custkey"),
+    ("customer", "c_nationkey"), ("supplier", "s_suppkey"),
+    ("supplier", "s_nationkey"), ("part", "p_partkey"),
+    ("orders", "o_orderkey"), ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"), ("events", "event_id"),
+    ("events", "user_id"), ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+)
+
+
+def q_join_discovery(sf_dir: str, t_num: int = 1, t_den: int = 2,
+                     n_buckets: int | None = None):
+    """JOIN DISCOVERY over the data lake (the JOSIE / Aurum class, Zhu et
+    al. SIGMOD'19): directed column pairs (A → B) where at least
+    ``t_num/t_den`` of A's distinct values also occur in B — set
+    CONTAINMENT over distinct value sets, the signal that surfaces
+    foreign-key joins nobody declared.  Output
+    ``(col_a, col_b, n_a, n_inter)`` for every pair clearing the exact
+    integer cross-multiplied gate ``t_den·|A∩B| >= t_num·|A|``.
+
+    Scale shape: each table is read ONCE (key columns only, pruned at
+    the read) and every column contributes map-side-distinct
+    ``(col_id, value)`` rows into ONE value-hash-bucketed combine; a
+    bucket re-distincts, then per VALUE emits its column-id list's
+    directed pairs (per-value degree ≤ #columns — schema-bounded, the
+    safe side of the bipartite projection, the ``audience_overlap``
+    rationale) PLUS per-column distinct-count partials as a tagged
+    stream (col_b = -1).  One ``grouped_sums`` folds both; the final
+    gate runs on the driver over ≤ #columns² rows — schema-bounded, not
+    data-bounded.  Values never ride more than one shuffle and text/fact
+    payloads never move."""
+    import ray.data as rd
+
+    if n_buckets is None:
+        n_buckets = default_buckets()
+    col_names = [f"{t}.{c}" for t, c in JOINDISC_COLS]
+    by_table: dict = {}
+    for cid, (t, c) in enumerate(JOINDISC_COLS):
+        by_table.setdefault(t, []).append((cid, c))
+
+    def emitter(cols):
+        def emit(df: pd.DataFrame) -> pd.DataFrame:
+            parts = []
+            for cid, c in cols:
+                v = np.unique(df[c].to_numpy(np.int64))
+                parts.append(pd.DataFrame(
+                    {"cid": np.full(len(v), cid, np.int64), "v": v}
+                ))
+            g = pd.concat(parts, ignore_index=True)
+            g["_vb"] = (
+                g["v"].to_numpy(np.uint64) * _PB % np.uint64(n_buckets)
+            ).astype(np.int64)
+            return g
+        return emit
+
+    streams = [
+        read(sf_dir, t, [c for _, c in cols]).map_batches(
+            emitter(cols), batch_format="pandas"
+        )
+        for t, cols in by_table.items()
+    ]
+    u = streams[0]
+    for s in streams[1:]:
+        u = u.union(s)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["cid", "v"])
+        g = g.sort_values(["v", "cid"], kind="mergesort")
+        v = g["v"].to_numpy(np.int64)
+        cid = g["cid"].to_numpy(np.int64)
+        n = len(g)
+        a_parts: list = []
+        b_parts: list = []
+        start = 0
+        for i in range(1, n + 1):
+            if i < n and v[i] == v[start]:
+                continue
+            d = i - start
+            if d >= 2:
+                seg = cid[start:i]
+                ia, ib = np.triu_indices(d, k=1)
+                # directed: both orders
+                a_parts.append(seg[ia]); b_parts.append(seg[ib])
+                a_parts.append(seg[ib]); b_parts.append(seg[ia])
+            start = i
+        a = np.concatenate(a_parts) if a_parts else np.array([], np.int64)
+        b = np.concatenate(b_parts) if b_parts else np.array([], np.int64)
+        # tagged per-column distinct-count partials (col_b = -1)
+        sz = pd.DataFrame(
+            {"ca": np.unique(cid), "cb": np.int64(-1)}
+        )
+        szn = pd.Series(cid).value_counts().sort_index()
+        sz["n"] = szn.to_numpy(np.int64)
+        pairs = pd.DataFrame(
+            {"ca": a, "cb": b, "n": np.ones(len(a), np.int64)}
+        )
+        return pd.concat([pairs, sz], ignore_index=True)
+
+    folded = tree_to_pandas(
+        grouped_sums(
+            u.groupby("_vb").map_groups(bucket_pairs, batch_format="pandas"),
+            ["ca", "cb"],
+            {"n": "n"},
+        ),
+        lambda df: df.groupby(["ca", "cb"], as_index=False).agg(n=("n", "sum")),
+    )  # schema-bounded: <= #columns² rows
+    sizes = dict(
+        zip(folded[folded["cb"] == -1]["ca"].to_numpy(np.int64),
+            folded[folded["cb"] == -1]["n"].to_numpy(np.int64))
+    )
+    p = folded[folded["cb"] != -1]
+    n_a = p["ca"].map(sizes).to_numpy(np.int64)
+    ni = p["n"].to_numpy(np.int64)
+    keep = t_den * ni >= t_num * n_a
+    out = pd.DataFrame(
+        {
+            "col_a": [col_names[i] for i in p["ca"].to_numpy(np.int64)[keep]],
+            "col_b": [col_names[i] for i in p["cb"].to_numpy(np.int64)[keep]],
+            "n_a": n_a[keep],
+            "n_inter": ni[keep],
+        }
+    )
+    return rd.from_pandas(out)

@@ -818,3 +818,93 @@ def q_bpe_merges(sf_dir: str, n_merges: int = 12):
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer application (the encode step paired with q_bpe_merges)
+# --------------------------------------------------------------------------
+
+
+def bpe_encode_len(word: str, rank_of: dict) -> int:
+    """Token count of one word under a learned merge table: the textbook
+    BPE apply loop — repeatedly merge the pair with the LOWEST rank,
+    left-to-right within a pass, until no learned pair remains.  Shared
+    by the engine actors and the single-process oracle so the contract
+    under test is the distributed orchestration, not the walk."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best_rank = None
+        for a, b in zip(syms, syms[1:]):
+            r = rank_of.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                la, rb = a, b
+        if best_rank is None:
+            break
+        out, j = [], 0
+        while j < len(syms):
+            if j + 1 < len(syms) and syms[j] == la and syms[j + 1] == rb:
+                out.append(la + rb)
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        syms = out
+    return len(syms)
+
+
+def q_bpe_tokens(sf_dir: str, n_merges: int = 12):
+    """Per-doc token counts under the corpus-trained BPE merge table —
+    tokenizer APPLICATION, the encode pass every training-data pipeline
+    runs after q_bpe_merges trains the rules (Sennrich 2016 §3.2's
+    apply step).  Output: (doc_id, n_words, n_tokens).
+
+    Scale shape: the merge table is rank-bounded (n_merges rows) and
+    broadcasts once; encoding is an actor-pool stage whose per-actor
+    word→length CACHE exploits the Zipfian corpus (each actor pays the
+    merge walk once per DISTINCT word it sees — the A6 tokenizer-pool
+    discipline); per doc the count is one vectorized unique+map over its
+    words.  No shuffle at all — the op is embarrassingly parallel after
+    the (bounded) training collect."""
+    merges = q_bpe_merges(sf_dir, n_merges=n_merges).to_pandas()
+    rank_of = {
+        (l, r): int(k)
+        for k, l, r in zip(merges["rank"], merges["left"], merges["right"])
+    }
+    ref = broadcast(rank_of)
+
+    class Encode:
+        def __init__(self):
+            self.rank_of = ray.get(ref)
+            self.cache: dict = {}
+
+        def _len(self, w: str) -> int:
+            n = self.cache.get(w)
+            if n is None:
+                n = bpe_encode_len(w, self.rank_of)
+                self.cache[w] = n
+            return n
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            n_words = np.zeros(len(df), np.int64)
+            n_tokens = np.zeros(len(df), np.int64)
+            for i, text in enumerate(df["text"]):
+                words = str(text).split(" ")
+                n_words[i] = len(words)
+                uw, cnt = np.unique(np.asarray(words, object),
+                                    return_counts=True)
+                lens = np.fromiter(
+                    (self._len(w) for w in uw), np.int64, len(uw)
+                )
+                n_tokens[i] = int((lens * cnt).sum())
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(np.int64),
+                    "n_words": n_words,
+                    "n_tokens": n_tokens,
+                }
+            )
+
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        Encode, batch_format="pandas", concurrency=(1, 8)
+    )

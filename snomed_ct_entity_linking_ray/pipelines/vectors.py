@@ -996,3 +996,78 @@ def q_knn_join(sf_dir: str, k: int = KNN_JOIN_K):
             )
 
     return ds.map_batches(Neighbors, batch_format="pandas", concurrency=(1, 4))
+
+
+# --- hard-negative mining ----------------------------------------------------
+
+HARDNEG_K = 3
+
+
+def q_hard_negatives(sf_dir: str, k: int = HARDNEG_K):
+    """Contrastive hard-negative mining over the embedding table: for
+    every vector, the ``k`` MOST similar vectors with a DIFFERENT label —
+    the negatives-that-almost-fool-the-model a reranker / bi-encoder
+    trainer wants in every batch (the retrieval-training complement of
+    ``q_knn_join``'s same-space neighbors).  Output
+    ``(vec_id, neg_id, rank)``.
+
+    Same exactness contract as the kNN family: cosine on the exact-int64
+    1e6 quantization grid, ties break by ascending neighbor id via one
+    stable argsort over id-ascending candidates; same-label candidates
+    (and self) are masked with the −2^62 sentinel BEFORE ranking, so the
+    decision is bitwise layout-independent.  Scale shape: candidate
+    matrix + labels broadcast once; per-batch integer matmul; the
+    IVF/LSH variants are the documented recall-traded scale path."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    df = tbl.to_pandas().sort_values("vec_id")
+    E = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+    Ei = np.rint(E * RANGE_QUANT).astype(np.int64)
+    ids = df["vec_id"].to_numpy(np.int64)
+    labels = df["label"].to_numpy(np.int64)
+    ref = broadcast((ids, Ei, labels))  # already id-ascending
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    class HardNeg:
+        def __init__(self):
+            self.ids, self.Ei, self.labels = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {"vec_id": pd.Series([], dtype=np.int64),
+                     "neg_id": pd.Series([], dtype=np.int64),
+                     "rank": pd.Series([], dtype=np.int64)}
+                )
+            R = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            R /= np.maximum(np.linalg.norm(R, axis=1, keepdims=True), 1e-30)
+            Ri = np.rint(R * RANGE_QUANT).astype(np.int64)
+            rid = df["vec_id"].to_numpy(np.int64)
+            rlab = df["label"].to_numpy(np.int64)
+            sims = Ri @ self.Ei.T
+            # mask self and same-label candidates (sentinel below any
+            # real dot; see q_knn_join's negation note)
+            same = rlab[:, None] == self.labels[None, :]
+            sims[same] = -(1 << 62)
+            pos = np.searchsorted(self.ids, rid)
+            sims[np.arange(len(rid)), pos] = -(1 << 62)
+            ordk = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+            kk = ordk.shape[1]
+            return pd.DataFrame(
+                {
+                    "vec_id": np.repeat(rid, kk),
+                    "neg_id": self.ids[ordk].ravel(),
+                    "rank": np.tile(
+                        np.arange(1, kk + 1, dtype=np.int64), len(rid)
+                    ),
+                }
+            )
+
+    return ds.map_batches(HardNeg, batch_format="pandas", concurrency=(1, 4))

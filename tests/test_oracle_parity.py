@@ -226,6 +226,10 @@ ORACLE_BACKED = [
     "group_linkage",
     "cc_pivot",
     "segment_dedup",
+    # r4s: join discovery, BPE encode, hard negatives
+    "join_discovery",
+    "bpe_tokens",
+    "hard_negatives",
 ]
 
 
