@@ -382,6 +382,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_discovery": relational.q_join_discovery,
         "bpe_tokens": training.q_bpe_tokens,
         "hard_negatives": vectors.q_hard_negatives,
+        # r4t: executed key salting (same pair set as the unsalted
+        # oracle), KMV bottom-k distinct sketch
+        "salted_pairs": er.q_salted_pairs,
+        "kmv_users": relational.q_kmv_users,
     })
 
 
@@ -476,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
             "cc_pivot",
             "bpe_tokens",
             "hard_negatives",
+            "kmv_users",
         )
     }
 
@@ -2898,5 +2903,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ov.n_inter AS BIGINT) AS n_inter
             FROM ov JOIN sz sa ON sa.col = ov.col_a
             WHERE 2 * ov.n_inter >= 1 * sa.n
+        """,
+        # r4t: the salted execution must emit EXACTLY the unsalted
+        # blocked-fuzzy pair set (the q_fuzzy_name_pairs predicate)
+        "salted_pairs": """
+            WITH names AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b
+            FROM names a JOIN names b
+              ON substr(a.p_name,1,1) = substr(b.p_name,1,1)
+             AND abs(length(a.p_name) - length(b.p_name)) <= 3
+             AND a.p_name < b.p_name
+            WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8
         """,
     }

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 33  # r4s: + bpe_tokens, hard_negatives
+ORACLE_VERSION = 34  # r4t: + kmv_users
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -114,6 +114,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "cc_pivot": lambda: _cc_pivot(sf_dir),
         "bpe_tokens": lambda: _bpe_tokens(sf_dir),
         "hard_negatives": lambda: _hard_negatives(sf_dir),
+        "kmv_users": lambda: _kmv_users(sf_dir),
         "knn_join": lambda: _knn_join(sf_dir),
     }
     for name, build in writers.items():
@@ -987,6 +988,35 @@ def _hard_negatives(sf_dir: str, k: int = 3) -> pa.Table:
             "vec_id": pa.array([r[0] for r in rows], pa.int64()),
             "neg_id": pa.array([r[1] for r in rows], pa.int64()),
             "rank": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _kmv_users(sf_dir: str, k: int = 64) -> pa.Table:
+    """KMV bottom-k distinct oracle: plain per-type sets of splitmix64
+    hashes (shared pinned kernel, the HLL rationale), k-th smallest by a
+    full sort, INTEGER floor estimator (k-1)*2^64 // h_k, exact count
+    below k distinct hashes."""
+    from .functions.sketches import splitmix64
+
+    t = _read(sf_dir, "events").select(["event_type", "user_id"])
+    by_type: dict = {}
+    uid = np.array(t["user_id"].to_pylist(), dtype=np.int64)
+    hs = splitmix64(uid.view(np.uint64))
+    for et, h in zip(t["event_type"].to_pylist(), hs):
+        by_type.setdefault(et, set()).add(int(h))
+    rows = []
+    for et in sorted(by_type):
+        s_ = sorted(by_type[et])
+        if len(s_) < k:
+            est = len(s_)
+        else:
+            est = (k - 1) * (1 << 64) // s_[k - 1]
+        rows.append((et, est))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "est_users": pa.array([r[1] for r in rows], pa.int64()),
         }
     )
 

@@ -5196,3 +5196,142 @@ def q_cc_pivot(sf_dir: str, threshold: float = 0.8,
         {"p_name": names, "cluster_rep": [names[r] for r in rep]}
     )
     return rd.from_pandas(out)
+
+
+# --- salted blocked pair generation (executed skew plan) ----------------------
+
+SALT_SHARD_CAP = 4
+
+
+def q_salted_pairs(sf_dir: str, threshold: float = 0.8,
+                   max_len_diff: int = 3, len_band: int = 4,
+                   shard_cap: int = SALT_SHARD_CAP):
+    """EXECUTED key salting: the same candidate-pair semantics as
+    ``q_fuzzy_name_pairs`` (identical oracle predicate), computed through
+    the skew plan ``q_block_skew_report`` only *plans* — every block is
+    split into ``s = ceil(n / shard_cap)`` member shards and its pair
+    work fans out over the C(s+1, 2) SHARD-PAIR tasks of the triangle
+    distribution (each member replicates to ``s`` tasks; an (i, j) task
+    emits only shard_i × shard_j cross pairs, an (i, i) task only its
+    within-shard pairs), so no single task ever holds a hot key's full
+    quadratic block.  This is the north rule's "explicit salting of
+    skewed keys" as a driver-gated operator: the oracle proves the
+    salted execution emits EXACTLY the unsalted pair set.
+
+    ``shard_cap=4`` forces real salting on the fixtures (the distinct
+    part-name vocabulary is small, so fuzzy blocks run 4-8 members), and
+    the gate exercises genuine multi-shard fan-out, not a degenerate
+    s=1; at corpus scale the cap is the per-task pair budget knob.  Two passes: a slim block-count
+    combine (block dictionary-bounded) broadcasts the per-block shard
+    counts; the emit pass replicates (ch, band, shard-pair, name) rows —
+    names only, ~s× the vocabulary, never records."""
+    from ..functions.hashing import stable_u64
+
+    names = distinct_column(read(sf_dir, "part", ["p_name"]), "p_name")
+    nm = names.materialize()
+
+    def block_rows(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["p_name"].astype(str)
+        ln = s.str.len().to_numpy(np.int64)
+        band = ln // len_band
+        return pd.DataFrame(
+            {
+                "ch": pd.concat([s.str[:1], s.str[:1]], ignore_index=True),
+                "band": np.concatenate([band, band + 1]),
+            }
+        )
+
+    counts = tree_to_pandas(
+        grouped_sums(
+            nm.map_batches(block_rows, batch_format="pandas"),
+            ["ch", "band"], sums={}, count_as="n",
+        ),
+        lambda df: df.groupby(["ch", "band"], as_index=False).agg(
+            n=("n", "sum")),
+    )  # block-dictionary bounded
+    s_of = {
+        (c, int(b)): max(1, -(-int(n) // shard_cap))
+        for c, b, n in zip(counts["ch"], counts["band"], counts["n"])
+    }
+    s_ref = broadcast(s_of)
+
+    class Emit:
+        def __init__(self):
+            self.s_of = ray.get(s_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rows_ch: list = []
+            rows_band: list = []
+            rows_i: list = []
+            rows_j: list = []
+            rows_nm: list = []
+            rows_ln: list = []
+            rows_sh: list = []
+            for name in df["p_name"].astype(str):
+                ch = name[:1]
+                ln = len(name)
+                for band in (ln // len_band, ln // len_band + 1):
+                    s = self.s_of.get((ch, band), 1)
+                    i = stable_u64(name) % s
+                    for j in range(s):
+                        rows_ch.append(ch)
+                        rows_band.append(band)
+                        rows_i.append(min(i, j))
+                        rows_j.append(max(i, j))
+                        rows_nm.append(name)
+                        rows_ln.append(ln)
+                        rows_sh.append(i)
+            return pd.DataFrame(
+                {
+                    "ch": rows_ch,
+                    "band": np.asarray(rows_band, np.int64),
+                    "si": np.asarray(rows_i, np.int64),
+                    "sj": np.asarray(rows_j, np.int64),
+                    "p_name": rows_nm,
+                    "ln": np.asarray(rows_ln, np.int64),
+                    "shard": np.asarray(rows_sh, np.int64),
+                }
+            )
+
+    pair_schema = pa.schema([("name_a", pa.string()), ("name_b", pa.string())])
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        si = int(g["si"].iloc[0])
+        sj = int(g["sj"].iloc[0])
+        nm_ = g["p_name"].to_numpy(object)
+        ln = g["ln"].to_numpy(np.int64)
+        sh = g["shard"].to_numpy(np.int64)
+        a_out: list = []
+        b_out: list = []
+        if si == sj:
+            idx = np.flatnonzero(sh == si)
+            if len(idx) >= 2:
+                ia, ib = np.triu_indices(len(idx), k=1)
+                ia, ib = idx[ia], idx[ib]
+                keep = np.abs(ln[ia] - ln[ib]) <= max_len_diff
+                for x, y in zip(ia[keep], ib[keep]):
+                    if jaro_winkler(nm_[x], nm_[y]) >= threshold:
+                        a_out.append(nm_[x])
+                        b_out.append(nm_[y])
+        else:
+            ii = np.flatnonzero(sh == si)
+            jj = np.flatnonzero(sh == sj)
+            if len(ii) and len(jj):
+                ia = np.repeat(ii, len(jj))
+                ib = np.tile(jj, len(ii))
+                keep = np.abs(ln[ia] - ln[ib]) <= max_len_diff
+                for x, y in zip(ia[keep], ib[keep]):
+                    if jaro_winkler(nm_[x], nm_[y]) >= threshold:
+                        a_out.append(nm_[x])
+                        b_out.append(nm_[y])
+        return pa.Table.from_arrays(
+            [pa.array(a_out, pa.string()), pa.array(b_out, pa.string())],
+            schema=pair_schema,
+        )
+
+    cand = (
+        nm.map_batches(Emit, batch_format="pandas", concurrency=(1, 4))
+        .groupby(["ch", "band", "si", "sj"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return _distinct_name_pairs(cand)

@@ -4772,3 +4772,68 @@ def q_join_discovery(sf_dir: str, t_num: int = 1, t_den: int = 2,
         }
     )
     return rd.from_pandas(out)
+
+
+# --- KMV bottom-k distinct sketch --------------------------------------------
+
+KMV_K = 64
+
+
+def q_kmv_users(sf_dir: str, k: int = KMV_K):
+    """Approximate distinct users per event type by the KMV / bottom-k
+    sketch (Beyer et al. SIGMOD'07) — the ORDER-STATISTICS complement of
+    the HLL registers ``q_approx_users`` ships: keep the k smallest
+    splitmix64 hashes per group; the k-th smallest U_(k) estimates
+    distinct ≈ (k−1)/U_(k).  Mergeable by construction (k smallest of a
+    union = k smallest of the per-partial k-smallest), so partials are
+    associative-idempotent and block order cannot change a bit.
+
+    Exactness contract: hashes are uint64 splitmix64 (the pinned HLL
+    kernel); the estimator is the INTEGER floor
+    ``(k−1) * 2^64 // h_k`` (Python bigints — no float), with the exact
+    distinct count when a group holds fewer than k distinct hashes.
+    Per-batch partial = k smallest distinct hashes per type (≤ k rows
+    per (type, batch)); the final fold runs over the dictionary-bounded
+    type table on the driver."""
+    from ..functions.sketches import splitmix64
+
+    import ray.data as rd
+
+    ds = read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates()
+        h = splitmix64(g["user_id"].to_numpy(np.int64).view(np.uint64))
+        p = pd.DataFrame({"event_type": g["event_type"].astype(str),
+                          "h": h.astype(np.uint64).view(np.int64)})
+        # k smallest per type in UNSIGNED order (int64 view: reorder via
+        # xor with the sign bit so numpy's signed sort ranks uint64)
+        p["_s"] = p["h"].to_numpy(np.int64) ^ np.int64(-0x8000000000000000)
+        p = p.sort_values(["event_type", "_s"], kind="mergesort")
+        p = p.drop_duplicates(subset=["event_type", "h"])
+        p = p.groupby("event_type", group_keys=False).head(k)
+        return p[["event_type", "h", "_s"]]
+
+    folded = tree_to_pandas(
+        ds.map_batches(partial, batch_format="pandas"),
+        lambda df: (
+            df.sort_values(["event_type", "_s"], kind="mergesort")
+            .drop_duplicates(subset=["event_type", "h"])
+            .groupby("event_type", group_keys=False)
+            .head(k)
+        ),
+    )  # <= k rows per event type
+    rows = []
+    for et, g in folded.groupby("event_type"):
+        hs = sorted(
+            int(h) & 0xFFFFFFFFFFFFFFFF for h in g["h"].to_numpy(np.int64)
+        )
+        if len(hs) < k:
+            est = len(hs)
+        else:
+            est = (k - 1) * (1 << 64) // hs[k - 1]
+        rows.append((et, est))
+    rows.sort()
+    out = pd.DataFrame(rows, columns=["event_type", "est_users"])
+    out["est_users"] = out["est_users"].astype(np.int64)
+    return rd.from_pandas(out)

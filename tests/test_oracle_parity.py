@@ -230,6 +230,9 @@ ORACLE_BACKED = [
     "join_discovery",
     "bpe_tokens",
     "hard_negatives",
+    # r4t: executed salting, KMV sketch
+    "salted_pairs",
+    "kmv_users",
 ]
 
 
