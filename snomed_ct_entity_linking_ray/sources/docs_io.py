@@ -1,4 +1,5 @@
-"""Documents-table IO with input-format dispatch (Parquet | Lance).
+"""Documents-table IO with input-format dispatch (Parquet | Lance |
+JSONL | CSV).
 
 The deployment's input hint is "a Lance table of interleaved text + media
 documents". Lance and Parquet carry the identical Arrow schema here
@@ -8,7 +9,17 @@ so the engine dispatches on the dataset path:
 - ``*.lance`` (or a directory containing ``_versions/``) → Ray Data's
   native ``read_lance`` (fragment-parallel, column-pruned, zero-copy
   Arrow), when the ``lance`` package is importable.
+- ``*.jsonl`` / ``*.json`` → ``read_json`` (pyarrow JSON reader; nested
+  ``spans`` structs round-trip — tests/test_sources.py pins it).
+- ``*.csv`` → ``read_csv`` (FLAT tables only; a nested spans column has
+  no faithful CSV encoding, so reading one raises downstream by schema
+  mismatch rather than silently corrupting).
 - anything else → ``read_parquet`` with the same downstream pipeline.
+
+JSON/CSV readers have no column pushdown in Ray Data, so ``columns``
+is applied as a ``select_columns`` projection immediately after the
+read — same visible schema, the pruning just happens post-scan
+(another reason Parquet/Lance are the production formats).
 
 This container has no network access and no ``lance`` wheel baked in, so
 Parquet is the TESTED substitution (see README "Input formats"); the
@@ -47,6 +58,18 @@ def read_docs(path: str, *, columns: list[str] | None = None,
         if override_num_blocks is not None:
             kw["override_num_blocks"] = override_num_blocks
         return rd.read_lance(path, **kw)
+    if path.endswith((".jsonl", ".json")):
+        kw = {}
+        if override_num_blocks is not None:
+            kw["override_num_blocks"] = override_num_blocks
+        ds = rd.read_json(path, **kw)
+        return ds.select_columns(columns) if columns is not None else ds
+    if path.endswith(".csv"):
+        kw = {}
+        if override_num_blocks is not None:
+            kw["override_num_blocks"] = override_num_blocks
+        ds = rd.read_csv(path, **kw)
+        return ds.select_columns(columns) if columns is not None else ds
     kw = {}
     if columns is not None:
         kw["columns"] = columns
