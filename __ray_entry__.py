@@ -386,6 +386,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle), KMV bottom-k distinct sketch
         "salted_pairs": er.q_salted_pairs,
         "kmv_users": relational.q_kmv_users,
+        # r4u: CDC merge apply, deterministic global shuffle index
+        "cdc_state": relational.q_cdc_state,
+        "shuffle_index": relational.q_shuffle_index,
     })
 
 
@@ -2914,5 +2917,24 @@ def oracle_sql() -> dict[str, str]:
              AND abs(length(a.p_name) - length(b.p_name)) <= 3
              AND a.p_name < b.p_name
             WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8
+        """,
+        # r4u: last-op-wins CDC apply with delete markers
+        "cdc_state": """
+            SELECT user_id, event_type AS op,
+                   CAST(round(value*100, 0) AS BIGINT) AS value_cents
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # r4u: exact global rank under the RNG-free mixer
+        "shuffle_index": """
+            SELECT doc_id,
+                   ((doc_id % 1000003) * 2654435761) % 1000000007 AS rk,
+                   CAST(row_number() OVER (
+                       ORDER BY ((doc_id % 1000003) * 2654435761)
+                                % 1000000007, doc_id) - 1 AS BIGINT)
+                       AS shuffle_pos
+            FROM documents
         """,
     }

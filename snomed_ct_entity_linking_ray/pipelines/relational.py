@@ -4837,3 +4837,129 @@ def q_kmv_users(sf_dir: str, k: int = KMV_K):
     out = pd.DataFrame(rows, columns=["event_type", "est_users"])
     out["est_users"] = out["est_users"].astype(np.int64)
     return rd.from_pandas(out)
+
+
+# --- CDC merge apply ---------------------------------------------------------
+
+def q_cdc_state(sf_dir: str):
+    """CDC / MERGE-INTO apply: collapse an ordered change log into the
+    current snapshot — the warehouse upsert semantics (Delta/Hudi/Iceberg
+    MERGE): per key the LAST operation wins in (ts, event_id) order, and
+    a last-op DELETE removes the row entirely.  Fixture mapping: events
+    are the change stream per ``user_id``; ``event_type = 'error'`` is
+    the delete marker, every other type upserts ``value``.
+
+    Output: (user_id, op, value_cents) for surviving users only.
+
+    Shuffle shape: the ``latest_user_state`` keep-last discipline on the
+    single user key — per-batch map-side last bounds the exchange at one
+    row per (user, batch); one user-bucketed vectorized combine applies
+    keep-last + the delete filter. Values cross the oracle boundary as
+    integer cents."""
+    ds = read(sf_dir, "events",
+              ["event_id", "user_id", "event_type", "ts", "value"])
+    n_buckets = default_buckets()
+
+    def batch_last(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.sort_values(["ts", "event_id"])
+            .drop_duplicates(subset=["user_id"], keep="last")
+            .copy()
+        )
+        g["_ub"] = _user_bucket(g["user_id"].to_numpy(np.int64), n_buckets)
+        return g
+
+    def bucket_apply(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).drop_duplicates(
+            subset=["user_id"], keep="last"
+        )
+        live = g[g["event_type"] != "error"]
+        return pd.DataFrame(
+            {
+                "user_id": live["user_id"].to_numpy(np.int64),
+                "op": live["event_type"].astype(str),
+                "value_cents": cents(live["value"]),
+            }
+        )
+
+    return (
+        ds.map_batches(batch_last, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(bucket_apply, batch_format="pandas")
+    )
+
+
+# --- deterministic global shuffle index --------------------------------------
+
+def q_shuffle_index(sf_dir: str):
+    """Deterministic TRAINING-ORDER shuffle: every doc gets its exact
+    rank under the RNG-free integer mixer (the ``sample_topk_hash``
+    mixer) — the reproducible, resumable global data ordering an epoch
+    of LLM training consumes (same answer on any cluster size, any
+    block order, any retry; no RNG state to checkpoint).
+
+    Output: (doc_id, rk, shuffle_pos), shuffle_pos = 0-based rank by
+    (rk, doc_id).
+
+    Scale shape — global rank WITHOUT a global sort (the
+    ``q_sorted_neighborhood_pairs`` machinery on the hash key): a slim
+    pass takes the mixer's min/max from per-batch partials; value-range
+    buckets co-locate each hash range; per-bucket counts fold to
+    exclusive prefix offsets (driver-bounded: one row per bucket,
+    broadcast once); each bucket sorts its range vectorized and adds
+    its offset. The shuffle moves 16 B/row."""
+    import ray.data as rd
+
+    ds = read(sf_dir, "documents", ["doc_id"])
+    n_buckets = default_buckets()
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(np.int64)
+        rk = ((d % 1000003) * 2654435761) % 1000000007
+        return pd.DataFrame({"doc_id": d, "rk": rk.astype(np.int64)})
+
+    slim_ds = ds.map_batches(slim, batch_format="pandas").materialize()
+
+    def minmax(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"lo": pd.Series([], dtype=np.int64),
+                                 "hi": pd.Series([], dtype=np.int64)})
+        v = df["rk"].to_numpy(np.int64)
+        return pd.DataFrame({"lo": [v.min()], "hi": [v.max()]})
+
+    mm = slim_ds.map_batches(minmax, batch_format="pandas").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def add_vb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_vb"] = np.minimum(
+            (df["rk"].to_numpy(np.int64) - lo) // width, n_buckets - 1
+        ).astype(np.int64)
+        return df
+
+    keyed = slim_ds.map_batches(add_vb, batch_format="pandas").materialize()
+    counts = (
+        grouped_sums(keyed, ["_vb"], sums={}, count_as="n")
+        .to_pandas()
+        .sort_values("_vb")
+    )
+    nrow = counts["n"].to_numpy(np.int64)
+    offsets = dict(
+        zip(counts["_vb"].to_numpy(np.int64).tolist(),
+            (np.cumsum(nrow) - nrow).tolist())
+    )
+    off_ref = broadcast(offsets)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[int(g["_vb"].iloc[0])]
+        g = g.sort_values(["rk", "doc_id"])
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "rk": g["rk"].to_numpy(np.int64),
+                "shuffle_pos": off + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return keyed.groupby("_vb").map_groups(rank_bucket, batch_format="pandas")

@@ -233,6 +233,9 @@ ORACLE_BACKED = [
     # r4t: executed salting, KMV sketch
     "salted_pairs",
     "kmv_users",
+    # r4u: CDC apply, deterministic shuffle index
+    "cdc_state",
+    "shuffle_index",
 ]
 
 
