@@ -243,6 +243,20 @@ def run_bench() -> dict:
         timed("unsupported_edges", er.q_unsupported_edges)
         timed("winsorized_stats", relational.q_winsorized_stats)
         timed("media_dup_text_check", multimodal.q_media_dup_text_check)
+        # r4r-r4u: truth discovery, group linkage, KwikCluster, segment
+        # dedup, join discovery, BPE encode, hard negatives, executed
+        # salting, KMV sketch, CDC apply, shuffle index
+        timed("truth_discovery", er.q_truth_discovery)
+        timed("group_linkage", er.q_group_linkage)
+        timed("cc_pivot", er.q_cc_pivot)
+        timed("segment_dedup", dedup.q_segment_dedup)
+        timed("join_discovery", relational.q_join_discovery)
+        timed("bpe_tokens", training.q_bpe_tokens)
+        timed("hard_negatives", vectors.q_hard_negatives)
+        timed("salted_pairs", er.q_salted_pairs)
+        timed("kmv_users", relational.q_kmv_users)
+        timed("cdc_state", relational.q_cdc_state)
+        timed("shuffle_index", relational.q_shuffle_index)
 
     result = {
         "metric": "entity_link_e2e",
