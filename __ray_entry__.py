@@ -389,6 +389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4u: CDC merge apply, deterministic global shuffle index
         "cdc_state": relational.q_cdc_state,
         "shuffle_index": relational.q_shuffle_index,
+        # r4v: per-pair Fellegi-Sunter waterfall explanation
+        "match_explain": er.q_match_explain,
     })
 
 
@@ -2936,5 +2938,50 @@ def oracle_sql() -> dict[str, str]:
                                 % 1000000007, doc_id) - 1 AS BIGINT)
                        AS shuffle_pos
             FROM documents
+        """,
+        # r4v: per-pair FS field contributions in floor micro-units
+        "match_explain": """
+            WITH pairs AS (
+                SELECT a.p_partkey AS p_partkey_a, b.p_partkey AS p_partkey_b,
+                       CAST(jaro_winkler_similarity(a.p_name, b.p_name)
+                            >= 0.85 AS BIGINT) AS agree_name,
+                       CAST(a.p_type = b.p_type AS BIGINT) AS agree_type,
+                       CAST(abs(a.p_size - b.p_size) <= 2 AS BIGINT)
+                           AS agree_size
+                FROM part a JOIN part b
+                  ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+                 AND a.p_brand = b.p_brand
+                 AND a.p_partkey < b.p_partkey),
+            m AS (SELECT
+                SUM(agree_type) AS n_match,
+                SUM(CASE WHEN agree_type = 1 THEN agree_name ELSE 0 END)
+                    AS a_name,
+                SUM(CASE WHEN agree_type = 1 THEN agree_size ELSE 0 END)
+                    AS a_size,
+                SUM(1 - agree_type) AS n_nonmatch,
+                SUM(CASE WHEN agree_type = 0 THEN agree_name ELSE 0 END)
+                    AS c_name,
+                SUM(CASE WHEN agree_type = 0 THEN agree_size ELSE 0 END)
+                    AS c_size
+                FROM pairs)
+            SELECT p.p_partkey_a, p.p_partkey_b, 'name' AS field,
+                   p.agree_name AS agree,
+                   CAST(CAST(CASE WHEN p.agree_name = 1 THEN m.a_name
+                                  ELSE m.n_match - m.a_name END AS HUGEINT)
+                        * m.n_nonmatch * 1000000
+                        // (CAST(CASE WHEN p.agree_name = 1 THEN m.c_name
+                                 ELSE m.n_nonmatch - m.c_name END AS HUGEINT)
+                            * m.n_match) AS BIGINT) AS wt_micro
+            FROM pairs p, m
+            UNION ALL
+            SELECT p.p_partkey_a, p.p_partkey_b, 'size',
+                   p.agree_size,
+                   CAST(CAST(CASE WHEN p.agree_size = 1 THEN m.a_size
+                                  ELSE m.n_match - m.a_size END AS HUGEINT)
+                        * m.n_nonmatch * 1000000
+                        // (CAST(CASE WHEN p.agree_size = 1 THEN m.c_size
+                                 ELSE m.n_nonmatch - m.c_size END AS HUGEINT)
+                            * m.n_match) AS BIGINT)
+            FROM pairs p, m
         """,
     }

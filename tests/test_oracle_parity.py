@@ -236,6 +236,8 @@ ORACLE_BACKED = [
     # r4u: CDC apply, deterministic shuffle index
     "cdc_state",
     "shuffle_index",
+    # r4v: FS waterfall explanation
+    "match_explain",
 ]
 
 
