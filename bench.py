@@ -257,6 +257,7 @@ def run_bench() -> dict:
         timed("kmv_users", relational.q_kmv_users)
         timed("cdc_state", relational.q_cdc_state)
         timed("shuffle_index", relational.q_shuffle_index)
+        timed("match_explain", er.q_match_explain)
 
     result = {
         "metric": "entity_link_e2e",
