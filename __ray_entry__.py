@@ -2966,22 +2966,36 @@ def oracle_sql() -> dict[str, str]:
                 FROM pairs)
             SELECT p.p_partkey_a, p.p_partkey_b, 'name' AS field,
                    p.agree_name AS agree,
-                   CAST(CAST(CASE WHEN p.agree_name = 1 THEN m.a_name
-                                  ELSE m.n_match - m.a_name END AS HUGEINT)
-                        * m.n_nonmatch * 1000000
-                        // (CAST(CASE WHEN p.agree_name = 1 THEN m.c_name
-                                 ELSE m.n_nonmatch - m.c_name END AS HUGEINT)
-                            * m.n_match) AS BIGINT) AS wt_micro
+                   CAST(CASE WHEN
+                        CAST(CASE WHEN p.agree_name = 1 THEN m.c_name
+                             ELSE m.n_nonmatch - m.c_name END AS HUGEINT)
+                            * m.n_match = 0
+                        THEN 1000000000000000
+                        ELSE LEAST(
+                          CAST(CASE WHEN p.agree_name = 1 THEN m.a_name
+                               ELSE m.n_match - m.a_name END AS HUGEINT)
+                            * m.n_nonmatch * 1000000
+                          // (CAST(CASE WHEN p.agree_name = 1 THEN m.c_name
+                                   ELSE m.n_nonmatch - m.c_name END AS HUGEINT)
+                              * m.n_match),
+                          1000000000000000) END AS BIGINT) AS wt_micro
             FROM pairs p, m
             UNION ALL
             SELECT p.p_partkey_a, p.p_partkey_b, 'size',
                    p.agree_size,
-                   CAST(CAST(CASE WHEN p.agree_size = 1 THEN m.a_size
-                                  ELSE m.n_match - m.a_size END AS HUGEINT)
-                        * m.n_nonmatch * 1000000
-                        // (CAST(CASE WHEN p.agree_size = 1 THEN m.c_size
-                                 ELSE m.n_nonmatch - m.c_size END AS HUGEINT)
-                            * m.n_match) AS BIGINT)
+                   CAST(CASE WHEN
+                        CAST(CASE WHEN p.agree_size = 1 THEN m.c_size
+                             ELSE m.n_nonmatch - m.c_size END AS HUGEINT)
+                            * m.n_match = 0
+                        THEN 1000000000000000
+                        ELSE LEAST(
+                          CAST(CASE WHEN p.agree_size = 1 THEN m.a_size
+                               ELSE m.n_match - m.a_size END AS HUGEINT)
+                            * m.n_nonmatch * 1000000
+                          // (CAST(CASE WHEN p.agree_size = 1 THEN m.c_size
+                                   ELSE m.n_nonmatch - m.c_size END AS HUGEINT)
+                              * m.n_match),
+                          1000000000000000) END AS BIGINT)
             FROM pairs p, m
         """,
     }

@@ -4716,12 +4716,16 @@ def q_truth_discovery(sf_dir: str):
     n_buckets = default_buckets()
 
     def batch_latest(df: pd.DataFrame) -> pd.DataFrame:
-        k = df["props"].str.extract(r'"k":\s*(\d+)', expand=False)
+        # sign-tolerant extract (the q_json_field_sum contract) and
+        # TRUNCATING division to mirror DuckDB's `//` on negatives
+        # (-5 // 10 is 0 there, -1 under Python floor division)
+        k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+        kv = k.fillna("0").astype(np.int64).to_numpy(np.int64)
         g = pd.DataFrame(
             {
                 "user_id": df["user_id"].to_numpy(np.int64),
                 "src": df["event_type"].astype(str),
-                "v": (k.fillna("0").astype(np.int64) // 10).to_numpy(np.int64),
+                "v": np.sign(kv) * (np.abs(kv) // 10),
                 "ts": df["ts"].to_numpy(),
                 "event_id": df["event_id"].to_numpy(np.int64),
             }
@@ -5078,11 +5082,18 @@ def q_cc_pivot(sf_dir: str, threshold: float = 0.8,
     collapsing into one entity.
 
     Parallel = sequential: greedy-by-id KwikCluster's pivot set is
-    exactly the lex-first MIS, and Blelloch-Fineman-Shun (SPAA'12) show
-    iterated LOCAL MINIMA over the undecided subgraph computes that MIS
-    in O(log n) rounds w.h.p.; the assignment rep(v) = min pivot
-    neighbor is then one grouped-min pass over the edge set.  The
-    sequential-walk oracle pins the equivalence.
+    exactly the lex-first MIS, and iterated LOCAL MINIMA over the
+    undecided subgraph computes that MIS (Blelloch-Fineman-Shun
+    SPAA'12).  Round-count caveat: their O(log n) w.h.p. bound needs
+    RANDOM priorities; the DETERMINISTIC id order here can take
+    O(longest ascending-id path) rounds (fuzzy-match graphs sort
+    similar names adjacently, so ascending chains are the common worst
+    case).  After ``max_rounds`` the residual undecided subgraph —
+    vocabulary-bounded, and shrunk by every completed round — is
+    finished by the exact sequential walk on the driver (same result by
+    the equivalence above, so the cap changes cost, never output).  The
+    assignment rep(v) = min pivot neighbor is one grouped-min pass over
+    the edge set.  The sequential-walk oracle pins the equivalence.
 
     Scale shape: each round is one vectorized pass over the (broadcast-
     filtered) edge Dataset + a node-bounded grouped-min collect — the
@@ -5168,9 +5179,35 @@ def q_cc_pivot(sf_dir: str, threshold: float = 0.8,
         )
         if len(out_nodes):
             undecided[out_nodes["node"].to_numpy(np.int64)] = False
-    else:
-        if undecided.any():
-            raise RuntimeError("cc_pivot: MIS rounds did not converge")
+    if undecided.any():
+        # residual sequential completion (deterministic id order can
+        # leave a long ascending chain; see the docstring's round-count
+        # caveat). The residual edge set is vocabulary-bounded and the
+        # walk is the oracle's own algorithm, so output is unchanged.
+        und_ref = broadcast(undecided.copy())
+        live = tree_to_pandas(
+            edges.map_batches(
+                lambda df, _u=und_ref: df[
+                    ray.get(_u)[df["u"].to_numpy(np.int64)]
+                    & ray.get(_u)[df["v"].to_numpy(np.int64)]
+                ],
+                batch_format="pandas",
+            ),
+            lambda df: df.drop_duplicates(),
+        )
+        adj: dict = {}
+        for uu, vv in zip(live["u"].to_numpy(np.int64),
+                          live["v"].to_numpy(np.int64)):
+            adj.setdefault(int(uu), []).append(int(vv))
+            adj.setdefault(int(vv), []).append(int(uu))
+        for x in np.flatnonzero(undecided):
+            x = int(x)
+            if not undecided[x]:
+                continue
+            in_mis[x] = True
+            undecided[x] = False
+            for nb in adj.get(x, ()):
+                undecided[nb] = False
 
     # assignment: rep(v) = min pivot neighbor, one grouped-min pass
     mis_ref = broadcast(in_mis.copy())
@@ -5215,8 +5252,15 @@ def q_salted_pairs(sf_dir: str, threshold: float = 0.8,
     emits only shard_i × shard_j cross pairs, an (i, i) task only its
     within-shard pairs), so no single task ever holds a hot key's full
     quadratic block.  This is the north rule's "explicit salting of
-    skewed keys" as a driver-gated operator: the oracle proves the
-    salted execution emits EXACTLY the unsalted pair set.
+    skewed keys" as a driver-gated operator: the oracle (the UNCAPPED
+    blocked predicate) proves the salted execution emits EXACTLY the
+    full pair set.  Deliberate contrast with ``q_fuzzy_name_pairs``:
+    that op bounds hot blocks by TRUNCATING at ``block_cap`` (lossy,
+    logged); this op bounds per-task work by fanning the same block
+    out over shard pairs (lossless) — salting REPLACES the cap, which
+    is the whole point of the plan.  The two emit identical sets only
+    while every block is under the other's cap (true on the fixtures;
+    the invariant test pins equality against an uncapped fuzzy run).
 
     ``shard_cap=4`` forces real salting on the fixtures (the distinct
     part-name vocabulary is small, so fuzzy blocks run 4-8 members), and
@@ -5339,6 +5383,11 @@ def q_salted_pairs(sf_dir: str, threshold: float = 0.8,
 
 # --- per-pair match explanation (Splink waterfall) ---------------------------
 
+# ceiling for an infinite/huge likelihood ratio in micro-units (u = 0):
+# mirrored verbatim by the SQL oracle's CASE WHEN den = 0 branch
+EXPLAIN_WT_CAP = 10**15
+
+
 def q_match_explain(sf_dir: str,
                     threshold: float = MATCH_JW_THRESHOLD,
                     size_tol: int = MATCH_SIZE_TOL):
@@ -5370,7 +5419,13 @@ def q_match_explain(sf_dir: str,
         c = int(w[field].n_nonmatch_agree)
         num = (a if agree else B - a) * D
         den = (c if agree else D - c) * B
-        return num * 1_000_000 // den
+        if den == 0:
+            # u = 0 (or 1-u = 0): infinite likelihood ratio. Cap at a
+            # documented ceiling instead of dividing by zero — mirrored
+            # by the oracle's CASE WHEN den = 0 branch. (match_classify
+            # never divides; the ratio there stays a cross-multiply.)
+            return EXPLAIN_WT_CAP
+        return min(num * 1_000_000 // den, EXPLAIN_WT_CAP)
 
     table = {
         (f, ag): wt_micro(f, ag) for f in ("name", "size") for ag in (0, 1)

@@ -985,13 +985,18 @@ def q_knn_join(sf_dir: str, k: int = KNN_JOIN_K):
             # so a STABLE descending argsort realizes the tie-break
             ordk = np.argsort(-sims, axis=1, kind="stable")[:, :k]
             kk = ordk.shape[1]
+            # drop sentinel picks (corpus smaller than k+1: only real
+            # neighbors are emitted — sentinels sort last, so valid
+            # entries are a per-row prefix)
+            valid = np.take_along_axis(sims, ordk, axis=1) > -(1 << 62)
+            flat = valid.ravel()
             return pd.DataFrame(
                 {
-                    "vec_id": np.repeat(rid, kk),
-                    "nn_id": self.ids[ordk].ravel(),
+                    "vec_id": np.repeat(rid, kk)[flat],
+                    "nn_id": self.ids[ordk].ravel()[flat],
                     "rank": np.tile(
                         np.arange(1, kk + 1, dtype=np.int64), len(rid)
-                    ),
+                    )[flat],
                 }
             )
 
@@ -1060,13 +1065,19 @@ def q_hard_negatives(sf_dir: str, k: int = HARDNEG_K):
             sims[np.arange(len(rid)), pos] = -(1 << 62)
             ordk = np.argsort(-sims, axis=1, kind="stable")[:, :k]
             kk = ordk.shape[1]
+            # drop sentinel picks: a row with fewer than k different-label
+            # candidates must emit only its valid ones (the oracle's
+            # min(k, #valid) contract). Sentinels sort LAST, so valid
+            # entries are a per-row prefix and ranks stay 1..v.
+            valid = np.take_along_axis(sims, ordk, axis=1) > -(1 << 62)
+            flat = valid.ravel()
             return pd.DataFrame(
                 {
-                    "vec_id": np.repeat(rid, kk),
-                    "neg_id": self.ids[ordk].ravel(),
+                    "vec_id": np.repeat(rid, kk)[flat],
+                    "neg_id": self.ids[ordk].ravel()[flat],
                     "rank": np.tile(
                         np.arange(1, kk + 1, dtype=np.int64), len(rid)
-                    ),
+                    )[flat],
                 }
             )
 

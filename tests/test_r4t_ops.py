@@ -11,14 +11,17 @@ SF = "/root/testdata/sf0.001"
 
 def test_salted_pairs_equal_unsalted_pair_set():
     """The whole point: the triangle-distributed salted execution emits
-    EXACTLY the unsalted blocked-fuzzy pair set."""
+    EXACTLY the unsalted blocked-fuzzy pair set.  The fuzzy side runs
+    UNCAPPED (block_cap huge): salting REPLACES truncation, so the
+    equality contract is against the full predicate, not the lossy
+    capped one."""
     from snomed_ct_entity_linking_ray.pipelines.er import (
         q_fuzzy_name_pairs,
         q_salted_pairs,
     )
 
     a = q_salted_pairs(SF).to_pandas()
-    b = q_fuzzy_name_pairs(SF).to_pandas()
+    b = q_fuzzy_name_pairs(SF, block_cap=1 << 62).to_pandas()
     sa = set(zip(a["name_a"], a["name_b"]))
     sb = set(zip(b["name_a"], b["name_b"]))
     assert sa == sb
@@ -50,7 +53,7 @@ def test_salted_pairs_tiny_shard_cap_still_exact():
     )
 
     a = q_salted_pairs(SF, shard_cap=2).to_pandas()
-    b = q_fuzzy_name_pairs(SF).to_pandas()
+    b = q_fuzzy_name_pairs(SF, block_cap=1 << 62).to_pandas()
     assert set(zip(a["name_a"], a["name_b"])) == set(
         zip(b["name_a"], b["name_b"])
     )

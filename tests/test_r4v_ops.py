@@ -45,8 +45,10 @@ def test_match_explain_weight_product_tracks_decision():
     w = exp.pivot_table(index=["p_partkey_a", "p_partkey_b"],
                         columns="field", values="wt_micro").reset_index()
     m = cls.merge(w, on=["p_partkey_a", "p_partkey_b"])
-    approx = (m["name"].astype(np.int64) * m["size"].astype(np.int64)
-              >= 10**12).astype(np.int64)
+    # Python-int products: two micro-weights can exceed int64 when a
+    # field's likelihood ratio is large (the capped-weight regime)
+    prod = [int(a) * int(b) for a, b in zip(m["name"], m["size"])]
+    approx = np.array([int(p >= 10**12) for p in prod], dtype=np.int64)
     agree_rate = (approx == m["is_match"]).mean()
     assert agree_rate == 1.0, agree_rate
 
