@@ -1696,6 +1696,7 @@ def q_match_classify(
     threshold: float = MATCH_JW_THRESHOLD,
     size_tol: int = MATCH_SIZE_TOL,
     block_cap: int = CLASSIFY_BLOCK_CAP,
+    weights: pd.DataFrame | None = None,
 ):
     """Fellegi-Sunter DECISION rule (JASA'69 §2 — the classification step
     that the m/u estimation exists for): every blocked part pair is
@@ -1719,7 +1720,8 @@ def q_match_classify(
     ``_pattern_counts`` — integer fancy-indexing, no per-pair Python —
     already classified. Output: (p_partkey_a, p_partkey_b, agree_name,
     agree_size, is_match) with partkey-canonical ordering."""
-    wts = q_match_weights(sf_dir, threshold, size_tol).to_pandas()
+    wts = (weights if weights is not None
+           else q_match_weights(sf_dir, threshold, size_tol).to_pandas())
     w = {r.field: r for r in wts.itertuples()}
     B = int(w["name"].n_match)
     D = int(w["name"].n_nonmatch)
@@ -4716,11 +4718,26 @@ def q_truth_discovery(sf_dir: str):
     n_buckets = default_buckets()
 
     def batch_latest(df: pd.DataFrame) -> pd.DataFrame:
-        # sign-tolerant extract (the q_json_field_sum contract) and
-        # TRUNCATING division to mirror DuckDB's `//` on negatives
-        # (-5 // 10 is 0 there, -1 under Python floor division)
-        k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
-        kv = k.fillna("0").astype(np.int64).to_numpy(np.int64)
+        # exact top-level JSON parse (json.loads per row): the oracle's
+        # json_extract('$.k') resolves only the TOP-LEVEL key, which no
+        # regex can mirror once props nest; missing/non-numeric -> 0
+        # (the oracle's COALESCE). Division below TRUNCATES to mirror
+        # DuckDB's `//` on negatives (-5 // 10 is 0 there, -1 under
+        # Python floor division).
+        import json as _json
+
+        def _k_of(p) -> int:
+            try:
+                val = _json.loads(p).get("k", 0)
+            except Exception:
+                return 0
+            if isinstance(val, bool) or not isinstance(val, (int, float)):
+                return 0
+            return int(round(val))  # banker's rounding = DuckDB CAST
+
+        kv = np.fromiter(
+            (_k_of(p) for p in df["props"]), np.int64, len(df)
+        )
         g = pd.DataFrame(
             {
                 "user_id": df["user_id"].to_numpy(np.int64),
@@ -4968,8 +4985,10 @@ def q_group_linkage(sf_dir: str, t_num: int = 1, t_den: int = 10,
         {"n_inter": "n"},
     )
 
-    # sizes |set(cust)| as a tagged stream (c_b = -1 sentinel)
-    sizes = grouped_sums(members, ["c"], sums={}, count_as="n_mem")
+    # sizes |set(cust)| as a tagged stream (c_b = -1 sentinel);
+    # materialized: it feeds BOTH the c_a and c_b attach unions
+    sizes = grouped_sums(members, ["c"], sums={}, count_as="n_mem"
+                         ).materialize()
 
     def size_rows(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -5108,7 +5127,12 @@ def q_cc_pivot(sf_dir: str, threshold: float = 0.8,
     id_of = {n: i for i, n in enumerate(names)}
     id_ref = broadcast(id_of)
 
-    pairs = q_fuzzy_name_pairs(sf_dir, threshold=threshold)
+    # UNCAPPED edge stream: the sequential oracle brute-forces the full
+    # predicate, and MIS/assignment must see the same graph — for this
+    # vocabulary-bounded op the lossless bound is the salting/fan-out
+    # rationale, not q_fuzzy_name_pairs' lossy block_cap truncation
+    pairs = q_fuzzy_name_pairs(sf_dir, threshold=threshold,
+                               block_cap=1 << 62)
 
     def to_edges(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -5431,7 +5455,10 @@ def q_match_explain(sf_dir: str,
         (f, ag): wt_micro(f, ag) for f in ("name", "size") for ag in (0, 1)
     }
     ref = broadcast(table)
-    pairs = q_match_classify(sf_dir, threshold, size_tol)
+    # hand the already-computed m/u table to the pair stream so the
+    # estimation passes (pattern histogram + JW vocabulary matrix) run
+    # ONCE per invocation, not twice
+    pairs = q_match_classify(sf_dir, threshold, size_tol, weights=wts)
 
     class Explain:
         def __init__(self):

@@ -13,16 +13,29 @@ SF = "/root/testdata/sf0.001"
 # --- truth_discovery ---------------------------------------------------------
 
 def _claims(sf):
+    import json
+
     ev = pd.read_parquet(f"{sf}/events.parquet")
     ev = ev.sort_values(["ts", "event_id"]).drop_duplicates(
         subset=["user_id", "event_type"], keep="last"
     )
-    k = ev["props"].str.extract(r'"k":\s*(\d+)', expand=False)
+
+    def k_of(p):
+        try:
+            val = json.loads(p).get("k", 0)
+        except Exception:
+            return 0
+        if isinstance(val, bool) or not isinstance(val, (int, float)):
+            return 0
+        return int(round(val))
+
+    kv = np.array([k_of(p) for p in ev["props"]], dtype=np.int64)
     return pd.DataFrame(
         {
             "user_id": ev["user_id"].to_numpy(np.int64),
             "src": ev["event_type"].astype(str),
-            "v": (k.fillna("0").astype(np.int64) // 10).to_numpy(np.int64),
+            # TRUNCATING division (the engine/oracle `//` contract)
+            "v": np.sign(kv) * (np.abs(kv) // 10),
         }
     )
 
