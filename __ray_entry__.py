@@ -391,6 +391,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_index": relational.q_shuffle_index,
         # r4v: per-pair Fellegi-Sunter waterfall explanation
         "match_explain": er.q_match_explain,
+        # r4x: RAG chunking, mixture sampling, SCD2 history, Ditto pair
+        # serialization, IVF-PQ ADC search
+        "chunk_overlap": text.q_chunk_overlap,
+        "mix_sources": text.q_mix_sources,
+        "scd2_history": relational.q_scd2_history,
+        "pair_serialize": er.q_pair_serialize,
+        "ivf_pq_topk": vectors.q_ivf_pq_topk,
     })
 
 
@@ -486,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
             "bpe_tokens",
             "hard_negatives",
             "kmv_users",
+            "ivf_pq_topk",
         )
     }
 
@@ -2997,5 +3005,52 @@ def oracle_sql() -> dict[str, str]:
                               * m.n_match),
                           1000000000000000) END AS BIGINT)
             FROM pairs p, m
+        """,
+        # r4x: overlapping sliding-window chunker (width 200 / stride 150)
+        "chunk_overlap": """
+            SELECT doc_id, CAST(start // 150 AS BIGINT) AS chunk_id,
+                   CAST(start AS BIGINT) AS start,
+                   CAST(least(200, length(text) - start) AS BIGINT)
+                       AS chunk_len,
+                   substr(text, CAST(start AS INT) + 1, 200) AS chunk
+            FROM (SELECT doc_id, text,
+                         unnest(range(0, greatest(length(text), 1), 150))
+                             AS start
+                  FROM documents)
+        """,
+        # r4x: per-source mixture quotas under the RNG-free mixer
+        "mix_sources": """
+            SELECT source, doc_id, rk, pos FROM (
+                SELECT source, doc_id,
+                       ((doc_id % 1000003) * 2654435761) % 1000000007 AS rk,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY ((doc_id % 1000003) * 2654435761)
+                                    % 1000000007, doc_id) AS pos
+                FROM documents)
+            WHERE pos <= 40 + 30 * (CAST(substr(source, 4) AS BIGINT) % 3)
+        """,
+        # r4x: SCD Type-2 validity intervals (2^62 open-interval sentinel)
+        "scd2_history": """
+            SELECT user_id, event_id,
+                   CAST(round(value*100, 0) AS BIGINT) AS value_cents,
+                   epoch_us(ts) AS valid_from_us,
+                   COALESCE(lead(epoch_us(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id),
+                            4611686018427387904) AS valid_to_us
+            FROM events
+        """,
+        # r4x: Ditto-style COL/VAL pair serialization over the
+        # match_classify blocked population
+        "pair_serialize": """
+            SELECT a.p_partkey AS p_partkey_a, b.p_partkey AS p_partkey_b,
+                   'COL name VAL ' || a.p_name || ' COL brand VAL '
+                   || a.p_brand || ' COL size VAL '
+                   || CAST(a.p_size AS VARCHAR) || ' [SEP] COL name VAL '
+                   || b.p_name || ' COL brand VAL ' || b.p_brand
+                   || ' COL size VAL ' || CAST(b.p_size AS VARCHAR)
+                       AS pair_text
+            FROM part a JOIN part b
+              ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+             AND a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         """,
     }

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 34  # r4t: + kmv_users
+ORACLE_VERSION = 35  # r4x: + ivf_pq_topk
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -115,6 +115,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "bpe_tokens": lambda: _bpe_tokens(sf_dir),
         "hard_negatives": lambda: _hard_negatives(sf_dir),
         "kmv_users": lambda: _kmv_users(sf_dir),
+        "ivf_pq_topk": lambda: _ivf_pq_topk(sf_dir),
         "knn_join": lambda: _knn_join(sf_dir),
     }
     for name, build in writers.items():
@@ -1941,5 +1942,94 @@ def _stable_matching(sf_dir: str, threshold: float = 0.8) -> pa.Table:
             "name_a": pa.array([r[0] for r in rows], pa.string()),
             "name_b": pa.array([r[1] for r in rows], pa.string()),
             "jw_ubin": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _ivf_pq_topk(sf_dir: str, k: int = 5, nprobe: int = 3,
+                 m: int = 4, kc: int = 16, n_iter: int = 5) -> pa.Table:
+    """Single-process mirror of pipelines.vectors.q_ivf_pq_topk: the
+    _cosine_topk_ivf centroid/probe contract (1e-6-grid normalized means,
+    stable argsort probe) composed with the _pq_codes codebook contract
+    (2^15-grid integer k-means, lowest-id ties, floor_divide update) and
+    exact int64 ADC — flat numpy arrays, no streaming."""
+    t = _read(sf_dir, "embeddings").select(["vec_id", "embedding", "label"])
+    vid = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    lab = np.array(t["label"].to_pylist(), dtype=np.int64)
+
+    # --- IVF probe (mirrors _cosine_topk_ivf) ---
+    En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-30)
+    is_q = vid < N_QUERIES
+    Q, qids = En[is_q], vid[is_q]
+    order = np.argsort(qids)
+    Q, qids = Q[order], qids[order]
+    Cn, cids, clab = En[~is_q], vid[~is_q], lab[~is_q]
+    cells = np.unique(clab)
+    cent = np.zeros((len(cells), E.shape[1]), dtype=np.float64)
+    for ci, c in enumerate(cells):
+        msk = clab == c
+        qsum = np.rint(Cn[msk] * IVF_QUANT).astype(np.int64).sum(axis=0)
+        cent[ci] = qsum / (IVF_QUANT * msk.sum())
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+    probe = np.argsort(-(Q @ cent.T), kind="stable", axis=1)[:, :nprobe]
+
+    # --- PQ codebooks (mirrors _pq_codes: trained on ALL rows) ---
+    o_all = np.argsort(vid)
+    V = np.round(E[o_all] * (1 << 15)).astype(np.int64)
+    ids_all = vid[o_all]
+    d = V.shape[1]
+    sub = d // m
+
+    def assign(X: np.ndarray, C_: np.ndarray) -> np.ndarray:
+        diff = X[:, None, :] - C_[None, :, :]
+        return np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
+
+    init = np.isin(ids_all, np.arange(kc))
+    iord = np.argsort(ids_all[init])
+    books = []
+    for j in range(m):
+        X = V[:, j * sub : (j + 1) * sub]
+        C_ = X[init][iord].copy()
+        for _ in range(n_iter):
+            a = assign(X, C_)
+            C_ = C_.copy()
+            for c in range(kc):
+                msk = a == c
+                if msk.any():
+                    C_[c] = np.floor_divide(X[msk].sum(axis=0), int(msk.sum()))
+        books.append(C_)
+
+    # --- candidate codes + exact int64 ADC ---
+    cand_mask = ids_all >= N_QUERIES
+    Vc, idc = V[cand_mask], ids_all[cand_mask]
+    labc = lab[o_all][cand_mask]
+    codes = np.stack(
+        [assign(Vc[:, j * sub : (j + 1) * sub], books[j]) for j in range(m)],
+        axis=1,
+    )  # [nc, m]
+    Vq = V[~cand_mask]
+    rows_out = []
+    for qi in range(len(qids)):
+        allowed = set(int(cells[c]) for c in probe[qi])
+        msk = np.isin(labc, list(allowed))
+        T = np.empty((m, kc), dtype=np.int64)
+        for j in range(m):
+            diff = Vq[qi, None, j * sub : (j + 1) * sub] - books[j]
+            T[j] = np.einsum("kd,kd->k", diff, diff)
+        dist = np.zeros(int(msk.sum()), dtype=np.int64)
+        cj = codes[msk]
+        for j in range(m):
+            dist += T[j][cj[:, j]]
+        sel = idc[msk]
+        order2 = np.lexsort((sel, dist))[:k]
+        for rank, jj in enumerate(order2, start=1):
+            rows_out.append((int(qids[qi]), int(sel[jj]), rank, int(dist[jj])))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows_out], pa.int64()),
+            "match_id": pa.array([r[1] for r in rows_out], pa.int64()),
+            "rank": pa.array([r[2] for r in rows_out], pa.int64()),
+            "adc_dist": pa.array([r[3] for r in rows_out], pa.int64()),
         }
     )

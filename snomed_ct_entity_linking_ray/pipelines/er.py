@@ -5490,3 +5490,72 @@ def q_match_explain(sf_dir: str,
 
     return pairs.map_batches(Explain, batch_format="pandas",
                              concurrency=(1, 4))
+
+
+# --- Ditto-style pair serialization ------------------------------------------
+
+def q_pair_serialize(sf_dir: str, block_cap: int = CLASSIFY_BLOCK_CAP):
+    """Serialize every blocked candidate pair into the Ditto entity-
+    matching prompt format (Li et al., VLDB'20: ``COL <attr> VAL <value>``
+    per attribute, ``[SEP]`` between the two records) — the stage that
+    turns the pair stream into LLM/cross-encoder INPUT TEXT, the modern
+    replacement for hand-built comparison vectors (and the pair-level
+    analogue of M22's prompt formatter,
+    3rd Place/src/snomedctentitylinking.py:284-293).
+
+    Pairs are the ``q_match_classify`` blocked population: same first
+    name char + same brand, partkey-canonical a < b. Output:
+    (p_partkey_a, p_partkey_b, pair_text).
+
+    Scale shape: one ``groupby(block)`` over slim (pk, name, brand, size)
+    rows; within a block the triangle is emitted by vectorized
+    ``np.triu_indices`` fancy-indexing and ONE pandas str concat per
+    block — no per-pair Python. Blocks are capped by the ``_cap_block``
+    discipline (keep-lowest-id, logged drop; the oracle is uncapped, so
+    a drop fails parity loudly rather than silently)."""
+    from .dedup import _cap_block
+
+    ds = read(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_size"])
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        nm = df["p_name"].astype(str)
+        return pd.DataFrame(
+            {
+                "ch": nm.str[:1],
+                "brand": df["p_brand"].astype(str),
+                "pk": df["p_partkey"].to_numpy(np.int64),
+                "name": nm,
+                "size": df["p_size"].to_numpy(np.int64),
+            }
+        )
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["p_partkey_a", "p_partkey_b", "pair_text"]
+        g = _cap_block(g, "pk", "pair_serialize", block_cap)
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame(
+                {"p_partkey_a": pd.Series([], dtype=np.int64),
+                 "p_partkey_b": pd.Series([], dtype=np.int64),
+                 "pair_text": pd.Series([], dtype=object)})[cols]
+        # canonical a < b by partkey: g is pk-sorted, triangle i < j
+        rec = (
+            "COL name VAL " + g["name"]
+            + " COL brand VAL " + g["brand"]
+            + " COL size VAL " + g["size"].astype(str)
+        ).to_numpy()
+        pk = g["pk"].to_numpy(np.int64)
+        ii, jj = np.triu_indices(n, k=1)
+        return pd.DataFrame(
+            {
+                "p_partkey_a": pk[ii],
+                "p_partkey_b": pk[jj],
+                "pair_text": pd.Series(rec[ii]) + " [SEP] " + pd.Series(rec[jj]),
+            }
+        )[cols]
+
+    return (
+        ds.map_batches(slim, batch_format="pandas")
+        .groupby(["ch", "brand"])
+        .map_groups(block_pairs, batch_format="pandas")
+    )

@@ -4986,3 +4986,75 @@ def q_shuffle_index(sf_dir: str):
         )
 
     return keyed.groupby("_vb").map_groups(rank_bucket, batch_format="pandas")
+
+
+# --- SCD Type-2 history construction -----------------------------------------
+
+SCD2_OPEN_SENTINEL = np.int64(1) << 62  # open interval "valid_to" marker
+
+
+def q_scd2_history(sf_dir: str):
+    """Slowly-Changing-Dimension TYPE-2 history: turn the per-user change
+    log into validity intervals — every event's state is valid from its
+    own timestamp until the SAME user's next change (the warehouse
+    dimension-history complement of ``q_cdc_state``'s current snapshot
+    and ``q_latest_user_state``'s keep-last view). The open (current)
+    interval carries the 2^62 sentinel instead of NULL so the contract is
+    exact int64 in both engines.
+
+    Output: (user_id, event_id, value_cents, valid_from_us, valid_to_us).
+
+    Scale shape: the ``q_event_gaps`` discipline — ONE hash-bucketed-by-
+    user shuffle of slim int64 rows; each bucket sorts once by
+    (user, ts, event_id) and computes every user's lead() in one shifted
+    array masked at user boundaries. No per-user dispatch; nothing
+    row-count-dependent ever reaches the driver."""
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    n_buckets = default_buckets()
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_id", "user_id", "ts_us", "value_cents", "_ub"]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype=np.int64),
+                 "user_id": pd.Series([], dtype=np.int64),
+                 "ts_us": pd.Series([], dtype=np.int64),
+                 "value_cents": pd.Series([], dtype=np.int64),
+                 "_ub": pd.Series([], dtype=np.int64)})[cols]
+        u = df["user_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": u,
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "value_cents": cents(df["value"]),
+                "_ub": _user_bucket(u, n_buckets),
+            }
+        )[cols]
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        nxt = np.empty(len(g), dtype=np.int64)
+        nxt[:-1] = ts[1:]
+        nxt[-1] = SCD2_OPEN_SENTINEL
+        same = np.empty(len(g), dtype=bool)
+        same[:-1] = u[1:] == u[:-1]
+        same[-1] = False
+        valid_to = np.where(same, nxt, SCD2_OPEN_SENTINEL)
+        return pd.DataFrame(
+            {
+                "user_id": u,
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "value_cents": g["value_cents"].to_numpy(np.int64),
+                "valid_from_us": ts,
+                "valid_to_us": valid_to,
+            }
+        )
+
+    return (
+        ds.map_batches(slim, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(bucket_hist, batch_format="pandas")
+    )

