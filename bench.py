@@ -258,6 +258,13 @@ def run_bench() -> dict:
         timed("cdc_state", relational.q_cdc_state)
         timed("shuffle_index", relational.q_shuffle_index)
         timed("match_explain", er.q_match_explain)
+        # r4x: RAG chunker, mixture sampler, SCD2 history, Ditto pair
+        # serialization, IVF-PQ ADC search
+        timed("chunk_overlap", text.q_chunk_overlap)
+        timed("mix_sources", text.q_mix_sources)
+        timed("scd2_history", relational.q_scd2_history)
+        timed("pair_serialize", er.q_pair_serialize)
+        timed("ivf_pq_topk", vectors.q_ivf_pq_topk)
 
     result = {
         "metric": "entity_link_e2e",
