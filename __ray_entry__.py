@@ -398,6 +398,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history": relational.q_scd2_history,
         "pair_serialize": er.q_pair_serialize,
         "ivf_pq_topk": vectors.q_ivf_pq_topk,
+        # r4y: k-anonymity audit, calendar-spine densify, truncated-dim
+        # retrieval eval, BFS depth diagnostics
+        "k_anonymity": relational.q_k_anonymity,
+        "dense_hourly": relational.q_dense_hourly,
+        "dim_truncation_recall": vectors.q_dim_truncation_recall,
+        "bfs_depth": er.q_bfs_depth,
     })
 
 
@@ -494,6 +500,7 @@ def oracle_sql() -> dict[str, str]:
             "hard_negatives",
             "kmv_users",
             "ivf_pq_topk",
+            "bfs_depth",
         )
     }
 
@@ -3052,5 +3059,60 @@ def oracle_sql() -> dict[str, str]:
             FROM part a JOIN part b
               ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
              AND a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        """,
+        # r4y: quasi-identifier groups below the k-anonymity floor
+        "k_anonymity": """
+            SELECT c_mktsegment,
+                   (CAST(round(c_acctbal*100, 0) AS BIGINT) + 100000)
+                       // 100000 AS bal_band,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1, 2 HAVING count(*) < 20
+        """,
+        # r4y: zero-filled calendar spine over the observed hourly span
+        "dense_hourly": """
+            WITH b AS (SELECT CAST(epoch_us(min(ts)) // 3600000000 AS BIGINT)
+                                  AS lo,
+                              CAST(epoch_us(max(ts)) // 3600000000 AS BIGINT)
+                                  AS hi
+                       FROM events),
+            hours AS (SELECT unnest(range((SELECT lo FROM b),
+                                          (SELECT hi FROM b) + 1)) AS hour),
+            types AS (SELECT DISTINCT event_type FROM events),
+            counts AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                                  AS hour,
+                              event_type, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT h.hour, t.event_type, COALESCE(c.n, 0) AS n
+            FROM hours h CROSS JOIN types t
+            LEFT JOIN counts c
+              ON c.hour = h.hour AND c.event_type = t.event_type
+        """,
+        # r4y: exact-top-k overlap between full and truncated-dim search
+        "dim_truncation_recall": """
+            WITH fullk AS (
+              SELECT query_id, match_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                                        q.embedding, c.embedding) DESC,
+                                    c.vec_id) AS rank
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 16 AND c.vec_id >= 16)
+              WHERE rank <= 5),
+            trunck AS (
+              SELECT query_id, match_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                                        q.embedding[1:16],
+                                        c.embedding[1:16]) DESC,
+                                    c.vec_id) AS rank
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 16 AND c.vec_id >= 16)
+              WHERE rank <= 5)
+            SELECT f.query_id, CAST(count(t.match_id) AS BIGINT) AS n_common
+            FROM fullk f LEFT JOIN trunck t
+              ON t.query_id = f.query_id AND t.match_id = f.match_id
+            GROUP BY f.query_id
         """,
     }

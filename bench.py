@@ -265,6 +265,12 @@ def run_bench() -> dict:
         timed("scd2_history", relational.q_scd2_history)
         timed("pair_serialize", er.q_pair_serialize)
         timed("ivf_pq_topk", vectors.q_ivf_pq_topk)
+        # r4y: k-anonymity audit, calendar densify, truncated-dim eval,
+        # BFS depth
+        timed("k_anonymity", relational.q_k_anonymity)
+        timed("dense_hourly", relational.q_dense_hourly)
+        timed("dim_truncation_recall", vectors.q_dim_truncation_recall)
+        timed("bfs_depth", er.q_bfs_depth)
 
     result = {
         "metric": "entity_link_e2e",

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 35  # r4x: + ivf_pq_topk
+ORACLE_VERSION = 36  # r4y: + bfs_depth
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -116,6 +116,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "hard_negatives": lambda: _hard_negatives(sf_dir),
         "kmv_users": lambda: _kmv_users(sf_dir),
         "ivf_pq_topk": lambda: _ivf_pq_topk(sf_dir),
+        "bfs_depth": lambda: _bfs_depth(sf_dir),
         "knn_join": lambda: _knn_join(sf_dir),
     }
     for name, build in writers.items():
@@ -2031,5 +2032,51 @@ def _ivf_pq_topk(sf_dir: str, k: int = 5, nprobe: int = 3,
             "match_id": pa.array([r[1] for r in rows_out], pa.int64()),
             "rank": pa.array([r[2] for r in rows_out], pa.int64()),
             "adc_dist": pa.array([r[3] for r in rows_out], pa.int64()),
+        }
+    )
+
+
+def _bfs_depth(sf_dir: str, threshold: float = 0.8,
+               max_len_diff: int = 3) -> pa.Table:
+    """Single-process mirror of pipelines.er.q_bfs_depth: brute-force the
+    uncapped fuzzy predicate (same first char, |len diff| <= 3, shared
+    property-pinned JW kernel >= threshold), then a plain-queue BFS from
+    each component's lexicographically smallest member."""
+    from collections import deque
+
+    from .functions.similarity import jaro_winkler
+
+    names = sorted(set(
+        str(x) for x in _read(sf_dir, "part").column("p_name").to_pylist()
+    ))
+    n = len(names)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for i in range(n):
+        a = names[i]
+        for j in range(i + 1, n):
+            b = names[j]
+            if a[:1] != b[:1] or abs(len(a) - len(b)) > max_len_diff:
+                continue
+            if jaro_winkler(a, b) >= threshold:
+                adj[i].append(j)
+                adj[j].append(i)
+    depth = [-1] * n
+    root = [-1] * n
+    for i in range(n):  # ascending id = lexicographic root-first order
+        if depth[i] >= 0:
+            continue
+        depth[i], root[i] = 0, i
+        q = deque([i])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if depth[v] < 0:
+                    depth[v], root[v] = depth[u] + 1, i
+                    q.append(v)
+    return pa.table(
+        {
+            "p_name": pa.array(names, pa.string()),
+            "root": pa.array([names[r] for r in root], pa.string()),
+            "depth": pa.array(depth, pa.int64()),
         }
     )

@@ -5058,3 +5058,96 @@ def q_scd2_history(sf_dir: str):
         .groupby("_ub")
         .map_groups(bucket_hist, batch_format="pandas")
     )
+
+
+# --- k-anonymity audit -------------------------------------------------------
+
+K_ANON = 20  # minimum quasi-identifier group size
+
+
+def q_k_anonymity(sf_dir: str, k: int = K_ANON):
+    """k-anonymity audit (Sweeney 2002 — the data-governance gate every
+    published dataset needs): group the table by its QUASI-IDENTIFIER
+    tuple and report the groups smaller than ``k`` — rows in those groups
+    are re-identifiable by joining the quasi-identifiers against an
+    external source, so a release either generalizes or suppresses them.
+    Quasi-identifiers here: (market segment, account-balance band); the
+    band is exact integer cents shifted non-negative before the floor
+    division, so the Python // and SQL // agree (the truncating-division
+    pitfall pinned by truth_discovery).
+
+    Output: (c_mktsegment, bal_band, n) for violating groups only.
+
+    Scale shape: one ``grouped_sums`` count (map-side combine, bounded by
+    the quasi-identifier vocabulary) + a vectorized filter — no
+    corpus-scale state anywhere."""
+    ds = read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        c = cents(df["c_acctbal"])
+        return pd.DataFrame(
+            {
+                "c_mktsegment": df["c_mktsegment"].astype(str),
+                "bal_band": (c + 100000) // 100000,
+            }
+        )
+
+    counts = grouped_sums(
+        ds.map_batches(slim, batch_format="pandas"),
+        ["c_mktsegment", "bal_band"],
+        sums={},
+        count_as="n",
+    )
+    return counts.map_batches(
+        lambda df: df[df["n"] < k], batch_format="pandas"
+    )
+
+
+# --- calendar-spine densified hourly series ----------------------------------
+
+def q_dense_hourly(sf_dir: str):
+    """Gap-filled (densified) hourly series: events per (hour, type) with
+    EXPLICIT zero rows for every hour in the observed span — the calendar
+    spine every monitoring/forecasting consumer needs (a missing hour and
+    a zero hour are different facts; ``q_hourly_delta`` windows over
+    PRESENT hours only, this op manufactures the absent ones).
+
+    Output: (hour, event_type, n) over span(min hour … max hour) × the
+    observed event-type vocabulary.
+
+    Scale shape: ONE ``grouped_sums`` pass collapses the corpus to the
+    (hour, type) aggregate — bounded by calendar span × type vocabulary,
+    not corpus size — and the dense grid is manufactured driver-side from
+    that bounded table (hours grow with wall-clock time, never with data
+    volume), then returned as a Dataset."""
+    import ray.data as rd
+
+    ds = read(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "hour": us // 3_600_000_000,
+                "event_type": df["event_type"].astype(str),
+            }
+        )
+
+    agg = grouped_sums(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["hour", "event_type"],
+        sums={},
+        count_as="n",
+    ).to_pandas()  # <= span-hours x types rows (calendar-bounded)
+
+    hours = np.arange(agg["hour"].min(), agg["hour"].max() + 1, dtype=np.int64)
+    types = sorted(agg["event_type"].unique())
+    grid = pd.DataFrame(
+        {
+            "hour": np.repeat(hours, len(types)),
+            "event_type": np.tile(np.array(types, dtype=object), len(hours)),
+        }
+    )
+    out = grid.merge(agg, on=["hour", "event_type"], how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    return rd.from_pandas(out)

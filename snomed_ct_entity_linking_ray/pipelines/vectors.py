@@ -1223,3 +1223,89 @@ def q_ivf_pq_topk(sf_dir: str, k: int = 5, nprobe: int = 3,
         )
 
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Matryoshka-style dimension-truncation retrieval evaluation
+# --------------------------------------------------------------------------
+
+TRUNC_DIMS = 16
+
+
+def q_dim_truncation_recall(sf_dir: str, k: int = 5, dims: int = TRUNC_DIMS):
+    """Dimension-truncation retrieval eval (the Matryoshka-representation
+    question, Kusupati et al. NeurIPS'22: how much of the exact top-k
+    survives if search uses only the first ``dims`` of the embedding?).
+    Truncated-prefix search is the cheap first pass of a two-stage
+    retrieval cascade — this op measures what that cascade loses, per
+    query, BEFORE it replaces full-dimension search at scale.
+
+    Output: (query_id, n_common) — the overlap between the exact
+    full-dimension cosine top-k and the truncated-prefix cosine top-k
+    (both with the (cos desc, match_id asc) tie discipline).
+
+    Scale shape: ONE corpus pass scores both representations (the
+    truncated matmul rides the same batch), each emitting a batch-local
+    partial top-k tagged by kind; the per-query finalize sees
+    O(2 · k · n_batches) rows. Query matrices broadcast once."""
+    qids, Q = _query_matrix(sf_dir)
+    Qt = Q[:, :dims] / np.maximum(
+        np.linalg.norm(Q[:, :dims], axis=1, keepdims=True), 1e-30
+    )
+    ref = broadcast((qids, Q, Qt))
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    class Score:
+        def __init__(self):
+            self.qids, self.Q, self.Qt = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            cand = df[df["vec_id"] >= N_QUERIES]
+            if len(cand) == 0:
+                return pd.DataFrame(
+                    {"query_id": pd.Series([], dtype=np.int64),
+                     "match_id": pd.Series([], dtype=np.int64),
+                     "kind": pd.Series([], dtype=np.int64),
+                     "cos": pd.Series([], dtype=np.float64)})
+            C = np.stack(cand["embedding"].to_numpy()).astype(np.float64)
+            Cf = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+            Ct = C[:, : self.Qt.shape[1]]
+            Ct = Ct / np.maximum(np.linalg.norm(Ct, axis=1, keepdims=True), 1e-30)
+            ids = cand["vec_id"].to_numpy(np.int64)
+            outs = []
+            for kind, (Qm, Cm) in enumerate(((self.Q, Cf), (self.Qt, Ct))):
+                sims = Qm @ Cm.T
+                nq, nc = sims.shape
+                kk = min(k, nc)
+                idx = np.lexsort(
+                    (np.broadcast_to(ids, sims.shape), -sims), axis=-1
+                )[:, :kk]
+                rows = np.repeat(np.arange(nq), kk)
+                cols = idx.ravel()
+                outs.append(pd.DataFrame(
+                    {
+                        "query_id": self.qids[rows].astype(np.int64),
+                        "match_id": ids[cols],
+                        "kind": np.int64(kind),
+                        "cos": sims[rows, cols],
+                    }
+                ))
+            return pd.concat(outs, ignore_index=True)
+
+    partial = ds.map_batches(Score, batch_format="pandas", concurrency=(1, 4))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        tops = []
+        for kind in (0, 1):
+            gg = g[g["kind"] == kind].sort_values(
+                ["cos", "match_id"], ascending=[False, True]
+            ).head(k)
+            tops.append(set(gg["match_id"].astype(int)))
+        return pd.DataFrame(
+            {
+                "query_id": np.array([int(g["query_id"].iloc[0])], dtype=np.int64),
+                "n_common": np.array([len(tops[0] & tops[1])], dtype=np.int64),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(finalize, batch_format="pandas")

@@ -245,6 +245,12 @@ ORACLE_BACKED = [
     "scd2_history",
     "pair_serialize",
     "ivf_pq_topk",
+    # r4y: k-anonymity audit, calendar densify, truncated-dim retrieval
+    # eval, BFS depth diagnostics
+    "k_anonymity",
+    "dense_hourly",
+    "dim_truncation_recall",
+    "bfs_depth",
 ]
 
 
