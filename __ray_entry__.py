@@ -404,6 +404,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_hourly": relational.q_dense_hourly,
         "dim_truncation_recall": vectors.q_dim_truncation_recall,
         "bfs_depth": er.q_bfs_depth,
+        # r4z: soft-dedup weights, mergeable quantile sketch, RAKE
+        "dedup_weights": dedup.q_dedup_weights,
+        "quantile_sketch": relational.q_quantile_sketch,
+        "rake_phrases": text.q_rake_phrases,
     })
 
 
@@ -501,6 +505,7 @@ def oracle_sql() -> dict[str, str]:
             "kmv_users",
             "ivf_pq_topk",
             "bfs_depth",
+            "rake_phrases",
         )
     }
 
@@ -3114,5 +3119,44 @@ def oracle_sql() -> dict[str, str]:
             FROM fullk f LEFT JOIN trunck t
               ON t.query_id = f.query_id AND t.match_id = f.match_id
             GROUP BY f.query_id
+        """,
+        # r4z: inverse-cluster-size sampling weights over the dup_clusters
+        # labels (the oracle parquet is the independently-generated
+        # component labeling; sizes + floor division are pure SQL)
+        "dedup_weights": f"""
+            WITH c AS (SELECT * FROM
+                           read_parquet('{odir}/dup_clusters.parquet')),
+            s AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+                  FROM c GROUP BY 1)
+            SELECT c.doc_id, s.sz AS cluster_size,
+                   CAST(1000000 // s.sz AS BIGINT) AS weight_micro
+            FROM c JOIN s USING (cluster_id)
+        """,
+        # r4z: mergeable log2-binned quantile lower bounds
+        "quantile_sketch": """
+            WITH b AS (
+              SELECT event_type,
+                     CASE WHEN CAST(round(value*100, 0) AS BIGINT) <= 0
+                          THEN 0
+                          ELSE length(format('{:b}',
+                               CAST(round(value*100, 0) AS BIGINT)))
+                     END AS bin
+              FROM events),
+            h AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2),
+            c AS (SELECT event_type, bin, n,
+                         sum(n) OVER (PARTITION BY event_type
+                                      ORDER BY bin) AS cum,
+                         sum(n) OVER (PARTITION BY event_type) AS total
+                  FROM h)
+            SELECT event_type,
+                   CAST(min(CASE WHEN 2*cum >= total THEN
+                        CASE WHEN bin = 0 THEN 0
+                             ELSE (1::BIGINT << (bin-1)) END END)
+                     AS BIGINT) AS p50_lb,
+                   CAST(min(CASE WHEN 10*cum >= 9*total THEN
+                        CASE WHEN bin = 0 THEN 0
+                             ELSE (1::BIGINT << (bin-1)) END END)
+                     AS BIGINT) AS p90_lb
+            FROM c GROUP BY 1
         """,
     }

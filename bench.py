@@ -271,6 +271,10 @@ def run_bench() -> dict:
         timed("dense_hourly", relational.q_dense_hourly)
         timed("dim_truncation_recall", vectors.q_dim_truncation_recall)
         timed("bfs_depth", er.q_bfs_depth)
+        # r4z: soft-dedup weights, quantile sketch, RAKE keyphrases
+        timed("dedup_weights", dedup.q_dedup_weights)
+        timed("quantile_sketch", relational.q_quantile_sketch)
+        timed("rake_phrases", text.q_rake_phrases)
 
     result = {
         "metric": "entity_link_e2e",

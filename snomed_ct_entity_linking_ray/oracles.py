@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 36  # r4y: + bfs_depth
+ORACLE_VERSION = 37  # r4z: + rake_phrases
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -117,6 +117,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "kmv_users": lambda: _kmv_users(sf_dir),
         "ivf_pq_topk": lambda: _ivf_pq_topk(sf_dir),
         "bfs_depth": lambda: _bfs_depth(sf_dir),
+        "rake_phrases": lambda: _rake_phrases(sf_dir),
         "knn_join": lambda: _knn_join(sf_dir),
     }
     for name, build in writers.items():
@@ -2078,5 +2079,53 @@ def _bfs_depth(sf_dir: str, threshold: float = 0.8,
             "p_name": pa.array(names, pa.string()),
             "root": pa.array([names[r] for r in root], pa.string()),
             "depth": pa.array(depth, pa.int64()),
+        }
+    )
+
+
+def _rake_phrases(sf_dir: str) -> pa.Table:
+    """Single-process mirror of pipelines.text.q_rake_phrases: plain
+    loops over each doc's tokens — stopword-delimited phrase runs, RAKE
+    deg/freq word scores in floor micro-units, top phrase per doc with
+    (score desc, phrase asc) ties."""
+    stop = {"the", "a", "fast", "slow"}
+    t = _read(sf_dir, "documents").select(["doc_id", "text"])
+    out_d: list = []
+    out_p: list = []
+    out_s: list = []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        phrases: list[list[str]] = []
+        cur: list[str] = []
+        for w in str(text).split():
+            if w in stop:
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(cur)
+        if not phrases:
+            continue
+        freq: dict = {}
+        deg: dict = {}
+        for ph in phrases:
+            for w in ph:
+                freq[w] = freq.get(w, 0) + 1
+                deg[w] = deg.get(w, 0) + len(ph)
+        best = None
+        for ph in phrases:
+            s = sum((deg[w] * 1_000_000) // freq[w] for w in ph)
+            key = (-s, " ".join(ph))
+            if best is None or key < best:
+                best = key
+        out_d.append(int(doc_id))
+        out_p.append(best[1])
+        out_s.append(-best[0])
+    return pa.table(
+        {
+            "doc_id": pa.array(out_d, pa.int64()),
+            "phrase": pa.array(out_p, pa.string()),
+            "score_micro": pa.array(out_s, pa.int64()),
         }
     )

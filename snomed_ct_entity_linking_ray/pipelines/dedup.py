@@ -1606,3 +1606,43 @@ def q_segment_dedup(sf_dir: str, seg_words: int = SEGMENT_WORDS,
         ["doc_id"],
         sums={"n_segments": "n_segments", "n_removed": "n_removed"},
     )
+
+
+# --- soft-dedup sampling weights ---------------------------------------------
+
+def q_dedup_weights(sf_dir: str):
+    """SOFT deduplication: instead of dropping near-duplicates, weight
+    every document by the inverse of its duplicate-cluster size
+    (weight_micro = 10^6 // size) so a training sampler sees each
+    CONTENT cluster with equal total mass — the dedup-by-reweighting
+    recipe that preserves data diversity where hard dedup would discard
+    paraphrases. Clusters come from ``q_dup_clusters`` (MinHash+LSH
+    verified edges → connected components).
+
+    Output: (doc_id, cluster_size, weight_micro).
+
+    Scale shape: cluster sizes are computed by one ``grouped_sums`` over
+    the label stream; only clusters of size > 1 need to ship (bounded by
+    docs-that-have-a-dup, the dup_clusters broadcast rationale) —
+    singletons take the default weight in the same map pass."""
+    labels = q_dup_clusters(sf_dir).materialize()
+    sizes = (
+        grouped_sums(labels, ["cluster_id"], sums={}, count_as="sz")
+        .map_batches(lambda df: df[df["sz"] > 1], batch_format="pandas")
+        .to_pandas()  # <= docs-with-a-dup rows
+    )
+    size_of = dict(zip(sizes["cluster_id"].astype(int), sizes["sz"].astype(int)))
+    ref = broadcast(size_of)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(ref)
+        sz = df["cluster_id"].map(lk).fillna(1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "cluster_size": sz,
+                "weight_micro": np.int64(1_000_000) // sz,
+            }
+        )
+
+    return labels.map_batches(attach, batch_format="pandas")

@@ -5151,3 +5151,62 @@ def q_dense_hourly(sf_dir: str):
     out = grid.merge(agg, on=["hour", "event_type"], how="left")
     out["n"] = out["n"].fillna(0).astype(np.int64)
     return rd.from_pandas(out)
+
+
+# --- mergeable log2 quantile sketch ------------------------------------------
+
+def q_quantile_sketch(sf_dir: str):
+    """Approximate grouped quantiles from a MERGEABLE log2-binned
+    histogram — the sketch-family member for order statistics next to
+    HLL (distinct), KMV (distinct), and Misra-Gries (heavy hitters):
+    each value lands in bin = bit_length(cents) (a power-of-two bracket),
+    partials are plain (group, bin, count) rows that merge by addition in
+    ANY order, and a quantile's answer is the LOWER BOUND of the bin
+    where the cumulative count crosses — a one-sided exact bound with
+    ≤ 2× relative error, which is what monitoring dashboards actually
+    need at 10^12 rows (exact per-group quantiles are the
+    ``q_exact_quantiles`` path).
+
+    Output: (event_type, p50_lb, p90_lb) integer-cent lower bounds.
+
+    Scale shape: one ``grouped_sums`` pass over (type, bin) — ≤ 64 bins ×
+    type vocabulary rows total — then a driver fold of that bounded
+    table. All-integer: bit_length via ``np.frexp`` exponents (exact for
+    int64 magnitudes), crossings by integer cross-multiplication."""
+    ds = read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        c = cents(df["value"])
+        # bit_length: frexp exponent is exact for positive ints; 0/neg -> 0
+        e = np.frexp(np.maximum(c, 0).astype(np.float64))[1].astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].astype(str),
+                "bin": np.where(c <= 0, 0, e),
+            }
+        )
+
+    hist = grouped_sums(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["event_type", "bin"],
+        sums={},
+        count_as="n",
+    ).to_pandas()  # <= 64 bins x type vocabulary
+
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("bin")
+        n = g["n"].to_numpy(np.int64)
+        bins = g["bin"].to_numpy(np.int64)
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        lb = np.where(bins == 0, 0, np.int64(1) << np.maximum(bins - 1, 0))
+        p50 = int(lb[np.argmax(2 * cum >= total)])
+        p90 = int(lb[np.argmax(10 * cum >= 9 * total)])
+        rows.append((et, p50, p90))
+    out = pd.DataFrame(rows, columns=["event_type", "p50_lb", "p90_lb"])
+    out["p50_lb"] = out["p50_lb"].astype(np.int64)
+    out["p90_lb"] = out["p90_lb"].astype(np.int64)
+    import ray.data as rd
+
+    return rd.from_pandas(out)

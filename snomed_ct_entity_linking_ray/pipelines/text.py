@@ -1287,3 +1287,83 @@ def q_mix_sources(sf_dir: str):
         .groupby("source")
         .map_groups(finalize, batch_format="pandas")
     )
+
+
+# --- RAKE keyphrase extraction -----------------------------------------------
+
+def q_rake_phrases(sf_dir: str):
+    """RAKE keyphrase extraction (Rose et al. 2010 — Rapid Automatic
+    Keyword Extraction): per document, candidate phrases are the maximal
+    runs of non-stopword tokens; each word scores deg(w)/freq(w) where
+    freq counts the word's phrase occurrences in the doc and deg adds the
+    lengths of the phrases it appears in; a phrase scores the sum of its
+    words' scores, and the doc's keyphrase is the top scorer. Scores stay
+    in exact integers: score_micro(w) = deg(w)·10⁶ // freq(w), summed —
+    no float ever crosses the oracle boundary.
+
+    Output: (doc_id, phrase, score_micro) — the best phrase per doc
+    (ties by phrase asc); all-stopword docs emit nothing.
+
+    Scale shape: embarrassingly parallel per doc — one batch explode
+    (np.repeat + concatenate), stopword mask, phrase ids by boundary
+    cumsum, then pandas C-kernel groupbys for freq/deg/phrase-sum. No
+    shuffle, no state."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    stop = set(STOPWORDS)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "phrase", "score_micro"]
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "phrase": pd.Series([], dtype=object),
+             "score_micro": pd.Series([], dtype=np.int64)})[cols]
+        if len(df) == 0:
+            return empty
+        toks = df["text"].astype(str).str.split()
+        lens = toks.str.len().to_numpy(np.int64)
+        if lens.sum() == 0:
+            return empty
+        words = np.concatenate([t for t in toks if len(t)])
+        did = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        keep = ~pd.Series(words).isin(stop).to_numpy()
+        # phrase id: a new phrase starts at a kept word whose predecessor
+        # is dropped, a doc boundary, or position 0
+        prev_keep = np.concatenate([[False], keep[:-1]])
+        prev_did = np.concatenate([[-1], did[:-1]])
+        start = keep & (~prev_keep | (prev_did != did))
+        pid = np.cumsum(start) - 1
+        w = pd.DataFrame(
+            {"doc_id": did[keep], "word": words[keep], "pid": pid[keep]}
+        )
+        if len(w) == 0:
+            return empty
+        plen = w.groupby("pid")["word"].size().rename("plen")
+        w = w.join(plen, on="pid")
+        # per (doc, word): freq = occurrences, deg = sum of phrase lens
+        ws = w.groupby(["doc_id", "word"], as_index=False).agg(
+            freq=("word", "size"), deg=("plen", "sum")
+        )
+        ws["wscore"] = (
+            ws["deg"].to_numpy(np.int64) * 1_000_000
+        ) // ws["freq"].to_numpy(np.int64)
+        w = w.merge(ws[["doc_id", "word", "wscore"]], on=["doc_id", "word"])
+        ph = w.groupby("pid").agg(
+            doc_id=("doc_id", "first"),
+            phrase=("word", " ".join),
+            score_micro=("wscore", "sum"),
+        )
+        # drop duplicate phrase strings within a doc (same phrase, same
+        # score by construction), then keep the top scorer per doc
+        ph = ph.drop_duplicates(["doc_id", "phrase"])
+        ph = ph.sort_values(["score_micro", "phrase"],
+                            ascending=[False, True], kind="mergesort")
+        top = ph.groupby("doc_id", as_index=False).first()
+        return pd.DataFrame(
+            {
+                "doc_id": top["doc_id"].to_numpy(np.int64),
+                "phrase": top["phrase"].astype(str),
+                "score_micro": top["score_micro"].to_numpy(np.int64),
+            }
+        )[cols]
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -251,6 +251,10 @@ ORACLE_BACKED = [
     "dense_hourly",
     "dim_truncation_recall",
     "bfs_depth",
+    # r4z: soft-dedup weights, mergeable quantile sketch, RAKE keyphrases
+    "dedup_weights",
+    "quantile_sketch",
+    "rake_phrases",
 ]
 
 
