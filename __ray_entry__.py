@@ -506,6 +506,7 @@ def oracle_sql() -> dict[str, str]:
             "ivf_pq_topk",
             "bfs_depth",
             "rake_phrases",
+            "dim_truncation_recall",
         )
     }
 
@@ -3092,34 +3093,10 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN counts c
               ON c.hour = h.hour AND c.event_type = t.event_type
         """,
-        # r4y: exact-top-k overlap between full and truncated-dim search
-        "dim_truncation_recall": """
-            WITH fullk AS (
-              SELECT query_id, match_id FROM (
-                SELECT q.vec_id AS query_id, c.vec_id AS match_id,
-                       row_number() OVER (PARTITION BY q.vec_id
-                           ORDER BY list_cosine_similarity(
-                                        q.embedding, c.embedding) DESC,
-                                    c.vec_id) AS rank
-                FROM embeddings q, embeddings c
-                WHERE q.vec_id < 16 AND c.vec_id >= 16)
-              WHERE rank <= 5),
-            trunck AS (
-              SELECT query_id, match_id FROM (
-                SELECT q.vec_id AS query_id, c.vec_id AS match_id,
-                       row_number() OVER (PARTITION BY q.vec_id
-                           ORDER BY list_cosine_similarity(
-                                        q.embedding[1:16],
-                                        c.embedding[1:16]) DESC,
-                                    c.vec_id) AS rank
-                FROM embeddings q, embeddings c
-                WHERE q.vec_id < 16 AND c.vec_id >= 16)
-              WHERE rank <= 5)
-            SELECT f.query_id, CAST(count(t.match_id) AS BIGINT) AS n_common
-            FROM fullk f LEFT JOIN trunck t
-              ON t.query_id = f.query_id AND t.match_id = f.match_id
-            GROUP BY f.query_id
-        """,
+        # r4y: dim_truncation_recall moved to the oracle-backed set (a
+        # sequential mirror of the engine's float64 contract) — the SQL
+        # formulation put DuckDB float32 list_cosine_similarity at the
+        # rank-k boundary of BOTH differenced top-k sets (review finding)
         # r4z: inverse-cluster-size sampling weights over the dup_clusters
         # labels (the oracle parquet is the independently-generated
         # component labeling; sizes + floor division are pure SQL)

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 37  # r4z: + rake_phrases
+ORACLE_VERSION = 38  # r4z review: + dim_truncation_recall sequential oracle
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -118,6 +118,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "ivf_pq_topk": lambda: _ivf_pq_topk(sf_dir),
         "bfs_depth": lambda: _bfs_depth(sf_dir),
         "rake_phrases": lambda: _rake_phrases(sf_dir),
+        "dim_truncation_recall": lambda: _dim_truncation_recall(sf_dir),
         "knn_join": lambda: _knn_join(sf_dir),
     }
     for name, build in writers.items():
@@ -2127,5 +2128,42 @@ def _rake_phrases(sf_dir: str) -> pa.Table:
             "doc_id": pa.array(out_d, pa.int64()),
             "phrase": pa.array(out_p, pa.string()),
             "score_micro": pa.array(out_s, pa.int64()),
+        }
+    )
+
+
+def _dim_truncation_recall(sf_dir: str, k: int = 5, dims: int = 16) -> pa.Table:
+    """Single-process mirror of pipelines.vectors.q_dim_truncation_recall
+    with the ENGINE's float contract (float64 normalize + matmul,
+    (-cos, id) lexsort ties) — sequential rather than SQL so no
+    cross-engine float32/float64 rounding ever sits at the rank-k
+    boundary of the two top-k sets being differenced."""
+    t = _read(sf_dir, "embeddings").select(["vec_id", "embedding"])
+    vid = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(vid)
+    vid, E = vid[order], E[order]
+    isq = vid < N_QUERIES
+
+    def topk_sets(M: np.ndarray) -> list:
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        Q, C = Mn[isq], Mn[~isq]
+        cids = vid[~isq]
+        sims = Q @ C.T
+        out = []
+        for r in range(len(Q)):
+            sel = np.lexsort((cids, -sims[r]))[:k]
+            out.append(set(int(cids[j]) for j in sel))
+        return out
+
+    full = topk_sets(E)
+    trunc = topk_sets(E[:, :dims])
+    qids = vid[isq]
+    return pa.table(
+        {
+            "query_id": pa.array(qids.tolist(), pa.int64()),
+            "n_common": pa.array(
+                [len(f & s) for f, s in zip(full, trunc)], pa.int64()
+            ),
         }
     )

@@ -5089,6 +5089,40 @@ def q_group_linkage(sf_dir: str, t_num: int = 1, t_den: int = 10,
 CCPIVOT_MAX_ROUNDS = 64
 
 
+def _fuzzy_edge_graph(sf_dir: str, threshold: float):
+    """Shared UNCAPPED fuzzy-name match graph (q_cc_pivot / q_bfs_depth):
+    sorted distinct-name vocabulary → int ids, edges from
+    ``q_fuzzy_name_pairs`` with the cap disabled — these ops' sequential
+    oracles brute-force the full predicate, so the executed graph must be
+    lossless (the salting/fan-out rationale, not the lossy block_cap
+    truncation of the pair-emission family). Returns
+    (names, materialized edges(u, v) Dataset with u < v)."""
+    names = sorted(
+        distinct_column(read(sf_dir, "part", ["p_name"]), "p_name")
+        .to_pandas()["p_name"]
+        .astype(str)
+        .tolist()
+    )
+    id_of = {n: i for i, n in enumerate(names)}
+    id_ref = broadcast(id_of)
+    pairs = q_fuzzy_name_pairs(sf_dir, threshold=threshold,
+                               block_cap=1 << 62)
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"u": pd.Series([], dtype=np.int64),
+                 "v": pd.Series([], dtype=np.int64)}
+            )
+        lk = ray.get(id_ref)
+        a = df["name_a"].map(lk).to_numpy(np.int64)
+        b = df["name_b"].map(lk).to_numpy(np.int64)
+        return pd.DataFrame({"u": np.minimum(a, b), "v": np.maximum(a, b)})
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+    return names, edges
+
+
 def q_cc_pivot(sf_dir: str, threshold: float = 0.8,
                max_rounds: int = CCPIVOT_MAX_ROUNDS):
     """Correlation clustering of the fuzzy-name match graph by
@@ -5118,35 +5152,7 @@ def q_cc_pivot(sf_dir: str, threshold: float = 0.8,
     filtered) edge Dataset + a node-bounded grouped-min collect — the
     name_clusters vocabulary-bounded discipline; no per-node Python, no
     quadratic structure."""
-    names = sorted(
-        distinct_column(read(sf_dir, "part", ["p_name"]), "p_name")
-        .to_pandas()["p_name"]
-        .astype(str)
-        .tolist()
-    )
-    id_of = {n: i for i, n in enumerate(names)}
-    id_ref = broadcast(id_of)
-
-    # UNCAPPED edge stream: the sequential oracle brute-forces the full
-    # predicate, and MIS/assignment must see the same graph — for this
-    # vocabulary-bounded op the lossless bound is the salting/fan-out
-    # rationale, not q_fuzzy_name_pairs' lossy block_cap truncation
-    pairs = q_fuzzy_name_pairs(sf_dir, threshold=threshold,
-                               block_cap=1 << 62)
-
-    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                {"u": pd.Series([], dtype=np.int64),
-                 "v": pd.Series([], dtype=np.int64)}
-            )
-        lk = ray.get(id_ref)
-        a = df["name_a"].map(lk).to_numpy(np.int64)
-        b = df["name_b"].map(lk).to_numpy(np.int64)
-        return pd.DataFrame({"u": np.minimum(a, b), "v": np.maximum(a, b)})
-
-    edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
-
+    names, edges = _fuzzy_edge_graph(sf_dir, threshold)
     n = len(names)
     undecided = np.ones(n, dtype=bool)
     in_mis = np.zeros(n, dtype=bool)
@@ -5589,30 +5595,17 @@ def q_bfs_depth(sf_dir: str, threshold: float = 0.8):
 
     Output: (p_name, root, depth) over the full name vocabulary
     (singletons at depth 0)."""
-    names = sorted(
-        distinct_column(read(sf_dir, "part", ["p_name"]), "p_name")
-        .to_pandas()["p_name"]
-        .astype(str)
-        .tolist()
-    )
+    names, edges = _fuzzy_edge_graph(sf_dir, threshold)
     n = len(names)
-    if n >= 1 << (63 - BFS_DEPTH_BITS):
-        raise ValueError("name vocabulary too large for the packed carrier")
-    id_of = {nm: i for i, nm in enumerate(names)}
-    id_ref = broadcast(id_of)
-
-    pairs = q_fuzzy_name_pairs(sf_dir, threshold=threshold, block_cap=1 << 62)
-
-    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
-                                 "v": pd.Series([], dtype=np.int64)})
-        lk = ray.get(id_ref)
-        a = df["name_a"].map(lk).to_numpy(np.int64)
-        b = df["name_b"].map(lk).to_numpy(np.int64)
-        return pd.DataFrame({"u": np.minimum(a, b), "v": np.maximum(a, b)})
-
-    edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+    # depth <= n-1 and root < n must BOTH fit the packed carrier: bounding
+    # n by the depth field's width covers the root field a fortiori (a
+    # depth at the field limit would otherwise carry into the root bits
+    # and propagate silently-wrong minima)
+    if n >= 1 << BFS_DEPTH_BITS:
+        raise ValueError(
+            f"name vocabulary ({n}) exceeds the packed-carrier depth field "
+            f"(2^{BFS_DEPTH_BITS}); widen BFS_DEPTH_BITS for this corpus"
+        )
 
     carrier = (np.arange(n, dtype=np.int64) << BFS_DEPTH_BITS)  # self@0
 

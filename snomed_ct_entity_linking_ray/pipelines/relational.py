@@ -5140,6 +5140,12 @@ def q_dense_hourly(sf_dir: str):
         count_as="n",
     ).to_pandas()  # <= span-hours x types rows (calendar-bounded)
 
+    if len(agg) == 0:  # empty fact table -> empty spine (oracle-equal)
+        return rd.from_pandas(pd.DataFrame(
+            {"hour": pd.Series([], dtype=np.int64),
+             "event_type": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype=np.int64)}))
+
     hours = np.arange(agg["hour"].min(), agg["hour"].max() + 1, dtype=np.int64)
     types = sorted(agg["event_type"].unique())
     grid = pd.DataFrame(

@@ -709,7 +709,8 @@ def _pq_assign(V: np.ndarray, C_: np.ndarray) -> np.ndarray:
     return np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
 
 
-def _pq_train(sf_dir: str, m: int, k: int, n_iter: int):
+def _pq_train(sf_dir: str, m: int, k: int, n_iter: int,
+              extra_cols: tuple = ()):
     """Distributed product-quantization codebook training, shared by
     ``q_pq_codes`` and ``q_ivf_pq_topk``: the ``q_kmeans_clusters``
     broadcast-iterate plan with the m codebooks trained in the SAME
@@ -719,7 +720,9 @@ def _pq_train(sf_dir: str, m: int, k: int, n_iter: int):
     contract (quantize 2^15, int64 distances, lowest-id ties,
     floor_divide update), so codebooks are exact and
     batch-layout-independent. Returns (sub, books, slim_ds) where
-    ``slim_ds`` is the materialized quantized-vector dataset."""
+    ``slim_ds`` is the materialized quantized-vector dataset (plus any
+    ``extra_cols`` carried through for the caller's downstream pass, so
+    consumers never re-scan + re-quantize the corpus)."""
     import os
 
     import pyarrow.parquet as pq_
@@ -740,18 +743,20 @@ def _pq_train(sf_dir: str, m: int, k: int, n_iter: int):
     # codebooks[j] : [k, sub]
     books = [C0[:, j * sub : (j + 1) * sub].copy() for j in range(m)]
 
-    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding", *extra_cols])
 
     def quantize(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
-            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
-                                 "qv": pd.Series([], dtype=object)})
+            out = {"vec_id": pd.Series([], dtype=np.int64),
+                   "qv": pd.Series([], dtype=object)}
+            out.update({c: pd.Series([], dtype=object) for c in extra_cols})
+            return pd.DataFrame(out)
         V = np.round(
             np.stack(df["embedding"].to_numpy()).astype(np.float64) * KMEANS_SCALE
         ).astype(np.int64)
-        return pd.DataFrame(
-            {"vec_id": df["vec_id"].to_numpy(np.int64), "qv": list(V)}
-        )
+        out = {"vec_id": df["vec_id"].to_numpy(np.int64), "qv": list(V)}
+        out.update({c: df[c].to_numpy() for c in extra_cols})
+        return pd.DataFrame(out)
 
     slim = ds.map_batches(quantize, batch_format="pandas").materialize()
 
@@ -1144,7 +1149,7 @@ def q_ivf_pq_topk(sf_dir: str, k: int = 5, nprobe: int = 3,
     import pyarrow.parquet as pq_
 
     qids, _Q, cells, allowed = _ivf_probe(sf_dir, nprobe)
-    sub, books, _slim = _pq_train(sf_dir, m, kc, n_iter)
+    sub, books, slim = _pq_train(sf_dir, m, kc, n_iter, extra_cols=("label",))
 
     # raw-grid query vectors for ADC (pruned read, bounded by N_QUERIES)
     qt = pq_.read_table(
@@ -1164,8 +1169,9 @@ def q_ivf_pq_topk(sf_dir: str, k: int = 5, nprobe: int = 3,
 
     ref = broadcast((qids, T, cells, allowed, books))
 
-    ds = read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-
+    # the candidate pass rides the ALREADY-materialized quantized rows
+    # from _pq_train (label carried through) — no third corpus scan, no
+    # re-quantization
     class AdcScore:
         def __init__(self):
             (self.qids, self.T, self.cells,
@@ -1178,10 +1184,7 @@ def q_ivf_pq_topk(sf_dir: str, k: int = 5, nprobe: int = 3,
                     {"query_id": pd.Series([], dtype=np.int64),
                      "match_id": pd.Series([], dtype=np.int64),
                      "adc_dist": pd.Series([], dtype=np.int64)})
-            V = np.round(
-                np.stack(cand["embedding"].to_numpy()).astype(np.float64)
-                * KMEANS_SCALE
-            ).astype(np.int64)
+            V = np.stack(cand["qv"].to_numpy())
             nc = len(V)
             dist = np.zeros((len(self.qids), nc), dtype=np.int64)
             for j in range(len(self.books)):
@@ -1209,7 +1212,8 @@ def q_ivf_pq_topk(sf_dir: str, k: int = 5, nprobe: int = 3,
                 }
             )
 
-    partial = ds.map_batches(AdcScore, batch_format="pandas", concurrency=(1, 4))
+    partial = slim.map_batches(AdcScore, batch_format="pandas",
+                               concurrency=(1, 4))
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["adc_dist", "match_id"]).head(k)
