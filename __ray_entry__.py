@@ -408,6 +408,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_weights": dedup.q_dedup_weights,
         "quantile_sketch": relational.q_quantile_sketch,
         "rake_phrases": text.q_rake_phrases,
+        # r4aa: weakest-link cluster audit, cross-source dup matrix
+        "weakest_link": er.q_weakest_link,
+        "source_overlap": dedup.q_source_overlap,
     })
 
 
@@ -3108,6 +3111,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, s.sz AS cluster_size,
                    CAST(1000000 // s.sz AS BIGINT) AS weight_micro
             FROM c JOIN s USING (cluster_id)
+        """,
+        # r4aa: per-cluster minimum-similarity match edge
+        "weakest_link": """
+            WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+            e AS (SELECT a.p_name AS na, b.p_name AS nb,
+                         CAST(floor(jaro_winkler_similarity(
+                                  a.p_name, b.p_name)*1000000)
+                              AS BIGINT) AS jw_micro
+                  FROM names a JOIN names b
+                    ON substr(a.p_name,1,1) = substr(b.p_name,1,1)
+                   AND abs(length(a.p_name) - length(b.p_name)) <= 3
+                   AND a.p_name < b.p_name
+                  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8),
+            und AS (SELECT na, nb FROM e UNION SELECT nb, na FROM e),
+            reach(src, dst) AS (
+                SELECT p_name, p_name FROM names
+                UNION
+                SELECT r.src, u.nb FROM reach r JOIN und u ON r.dst = u.na
+            ),
+            lab AS (SELECT src AS p_name, min(dst) AS rep
+                    FROM reach GROUP BY src)
+            SELECT cluster_rep, name_a, name_b, jw_micro FROM (
+                SELECT l.rep AS cluster_rep, e.na AS name_a,
+                       e.nb AS name_b, e.jw_micro,
+                       row_number() OVER (PARTITION BY l.rep
+                           ORDER BY e.jw_micro, e.na, e.nb) AS rn
+                FROM e JOIN lab l ON l.p_name = e.na)
+            WHERE rn = 1
+        """,
+        # r4aa: cross-source near-dup pair matrix over the independently-
+        # generated minhash verified pairs
+        "source_overlap": f"""
+            WITH p AS (SELECT * FROM
+                           read_parquet('{odir}/minhash_lsh_pairs.parquet')),
+            d AS (SELECT doc_id, source FROM documents)
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM p JOIN d da ON da.doc_id = p.doc_a
+                   JOIN d db ON db.doc_id = p.doc_b
+            GROUP BY 1, 2
         """,
         # r4z: mergeable log2-binned quantile lower bounds
         "quantile_sketch": """

@@ -275,6 +275,9 @@ def run_bench() -> dict:
         timed("dedup_weights", dedup.q_dedup_weights)
         timed("quantile_sketch", relational.q_quantile_sketch)
         timed("rake_phrases", text.q_rake_phrases)
+        # r4aa: weakest-link audit, cross-source dup matrix
+        timed("weakest_link", er.q_weakest_link)
+        timed("source_overlap", dedup.q_source_overlap)
 
     result = {
         "metric": "entity_link_e2e",

@@ -1646,3 +1646,69 @@ def q_dedup_weights(sf_dir: str):
         )
 
     return labels.map_batches(attach, batch_format="pandas")
+
+
+# --- cross-source duplication overlap matrix ---------------------------------
+
+def q_source_overlap(sf_dir: str):
+    """Cross-SOURCE duplication matrix: how many verified near-duplicate
+    pairs connect each (source, source) combination — the contamination /
+    syndication view that per-source rates (``q_dup_rate_by_source``)
+    can't show: a hot (web, wiki) cell means one source is mirroring the
+    other, and a training mixture counting both is double-weighting that
+    content.
+
+    Output: (source_a, source_b, n_pairs), sources ordered within the
+    pair so the matrix is upper-triangular.
+
+    Scale shape: the verified pair stream is bounded by docs-with-a-dup
+    (the ``q_dup_clusters`` rationale), so its distinct endpoints form a
+    SMALL request set — broadcast it, filter the corpus read down to
+    those rows (predicate applied at the batch level, nothing
+    corpus-sized collects), broadcast the resulting (doc → source) map
+    back, and attach sources to pairs in one map; a grouped count over
+    the source-vocabulary cells finishes."""
+    pairs = q_minhash_lsh_pairs(sf_dir).materialize()
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(np.concatenate(
+            [df["doc_a"].to_numpy(np.int64), df["doc_b"].to_numpy(np.int64)]
+        )) if len(df) else np.array([], dtype=np.int64)
+        return pd.DataFrame({"doc_id": ids})
+
+    ends = pairs.map_batches(
+        endpoints, batch_format="pandas"
+    ).to_pandas()  # <= docs-with-a-dup rows
+    need = set(ends["doc_id"].astype(int))
+    need_ref = broadcast(need)
+
+    docs = read(sf_dir, "documents", ["doc_id", "source"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(need_ref)
+        m = df["doc_id"].isin(want)
+        return df[m]
+
+    src = docs.map_batches(pick, batch_format="pandas").to_pandas()
+    src_of = dict(zip(src["doc_id"].astype(int), src["source"].astype(str)))
+    src_ref = broadcast(src_of)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["source_a", "source_b"]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"source_a": pd.Series([], dtype=object),
+                 "source_b": pd.Series([], dtype=object)})[cols]
+        lk = ray.get(src_ref)
+        sa = df["doc_a"].map(lk)
+        sb = df["doc_b"].map(lk)
+        lo = np.minimum(sa.to_numpy(object), sb.to_numpy(object))
+        hi = np.maximum(sa.to_numpy(object), sb.to_numpy(object))
+        return pd.DataFrame({"source_a": lo, "source_b": hi})[cols]
+
+    return grouped_sums(
+        pairs.map_batches(attach, batch_format="pandas"),
+        ["source_a", "source_b"],
+        sums={},
+        count_as="n_pairs",
+    )

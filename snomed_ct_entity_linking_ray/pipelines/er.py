@@ -5650,3 +5650,78 @@ def q_bfs_depth(sf_dir: str, threshold: float = 0.8):
         }
     )
     return rd.from_pandas(out)
+
+
+# --- weakest-link cluster audit ----------------------------------------------
+
+def q_weakest_link(sf_dir: str, threshold: float = 0.8):
+    """Per-cluster WEAKEST LINK: for every multi-member fuzzy-name
+    cluster, the match edge with the LOWEST similarity — the merge a
+    reviewer would undo first, and the natural complement of
+    ``q_threshold_stability`` (which counts clusters across thresholds;
+    this names the specific edge that breaks next). Scores are floor
+    micro-units of the property-pinned JW kernel, so the argmin is exact
+    in both engines.
+
+    Output: (cluster_rep, name_a, name_b, jw_micro) — one row per
+    cluster that has at least one edge; ties broken by
+    (jw_micro, name_a, name_b) asc.
+
+    Scale shape: labels from the distributed components pass
+    (vocabulary-bounded rep map, the ``q_name_clusters`` discipline);
+    the edge stream re-scores with the shared kernel and per-batch
+    argmin partials fold through ``tree_to_pandas`` — the driver only
+    ever sees one row per cluster per batch."""
+    labels = q_name_clusters(sf_dir, threshold=threshold).to_pandas()
+    rep_of = dict(zip(labels["p_name"].astype(str),
+                      labels["cluster_rep"].astype(str)))
+    rep_ref = broadcast(rep_of)
+
+    pairs = q_fuzzy_name_pairs(sf_dir, threshold=threshold,
+                               block_cap=1 << 62)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["cluster_rep", "name_a", "name_b", "jw_micro"]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"cluster_rep": pd.Series([], dtype=object),
+                 "name_a": pd.Series([], dtype=object),
+                 "name_b": pd.Series([], dtype=object),
+                 "jw_micro": pd.Series([], dtype=np.int64)})[cols]
+        rep = ray.get(rep_ref)
+        a = df["name_a"].astype(str)
+        b = df["name_b"].astype(str)
+        jw = np.array(
+            [int(np.floor(jaro_winkler(x, y) * 1_000_000))
+             for x, y in zip(a, b)],
+            dtype=np.int64,
+        )
+        out = pd.DataFrame(
+            {"cluster_rep": a.map(rep).to_numpy(object),
+             "name_a": a.to_numpy(object),
+             "name_b": b.to_numpy(object),
+             "jw_micro": jw}
+        )
+        # batch-local argmin per cluster (deterministic tie order)
+        out = out.sort_values(["jw_micro", "name_a", "name_b"],
+                              kind="mergesort")
+        return out.drop_duplicates("cluster_rep")[cols]
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "cluster_rep" not in df.columns:
+            return pd.DataFrame(
+                {"cluster_rep": pd.Series([], dtype=object),
+                 "name_a": pd.Series([], dtype=object),
+                 "name_b": pd.Series([], dtype=object),
+                 "jw_micro": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["jw_micro", "name_a", "name_b"],
+                            kind="mergesort")
+        return df.drop_duplicates("cluster_rep")
+
+    out = tree_to_pandas(
+        pairs.map_batches(score, batch_format="pandas"), fold
+    )
+    out = fold(out).reset_index(drop=True)
+    return rd.from_pandas(
+        out[["cluster_rep", "name_a", "name_b", "jw_micro"]]
+    )

@@ -255,6 +255,9 @@ ORACLE_BACKED = [
     "dedup_weights",
     "quantile_sketch",
     "rake_phrases",
+    # r4aa: weakest-link cluster audit, cross-source dup matrix
+    "weakest_link",
+    "source_overlap",
 ]
 
 

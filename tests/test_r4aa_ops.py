@@ -1,0 +1,62 @@
+"""Invariant tests for the r4aa operator batch: weakest-link cluster
+audit and cross-source near-dup overlap matrix."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_weakest_link_is_min_edge_of_its_cluster():
+    from snomed_ct_entity_linking_ray.functions.similarity import jaro_winkler
+    from snomed_ct_entity_linking_ray.pipelines.er import (
+        q_fuzzy_name_pairs,
+        q_name_clusters,
+        q_weakest_link,
+    )
+
+    out = q_weakest_link(SF).to_pandas()
+    nc = q_name_clusters(SF).to_pandas()
+    rep_of = dict(zip(nc["p_name"], nc["cluster_rep"]))
+    pairs = q_fuzzy_name_pairs(SF, block_cap=1 << 62).to_pandas()
+    pairs["rep"] = pairs["name_a"].map(rep_of)
+    pairs["jw_micro"] = [
+        int(np.floor(jaro_winkler(a, b) * 1_000_000))
+        for a, b in zip(pairs["name_a"], pairs["name_b"])
+    ]
+    # both endpoints agree on the cluster (edges never cross clusters)
+    assert (pairs["name_b"].map(rep_of) == pairs["rep"]).all()
+    # exactly one row per cluster-with-an-edge, and it is the min edge
+    assert set(out["cluster_rep"]) == set(pairs["rep"])
+    assert out["cluster_rep"].is_unique
+    for _, r in out.iterrows():
+        g = pairs[pairs["rep"] == r["cluster_rep"]]
+        best = g.sort_values(["jw_micro", "name_a", "name_b"]).iloc[0]
+        assert (r["name_a"], r["name_b"], r["jw_micro"]) == (
+            best["name_a"], best["name_b"], best["jw_micro"])
+
+
+def test_source_overlap_counts_every_pair_once():
+    from snomed_ct_entity_linking_ray.pipelines.dedup import (
+        q_minhash_lsh_pairs,
+        q_source_overlap,
+    )
+
+    out = q_source_overlap(SF).to_pandas()
+    pairs = q_minhash_lsh_pairs(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    src = dict(zip(docs["doc_id"].astype(int), docs["source"]))
+    assert int(out["n_pairs"].sum()) == len(pairs)
+    assert (out["source_a"] <= out["source_b"]).all()
+    # brute-force the matrix
+    cells: dict = {}
+    for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
+        key = tuple(sorted((src[a], src[b])))
+        cells[key] = cells.get(key, 0) + 1
+    got = {(r["source_a"], r["source_b"]): int(r["n_pairs"])
+           for _, r in out.iterrows()}
+    assert got == cells
