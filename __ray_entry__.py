@@ -411,6 +411,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4aa: weakest-link cluster audit, cross-source dup matrix
         "weakest_link": er.q_weakest_link,
         "source_overlap": dedup.q_source_overlap,
+        # r4ab: greedy k-center coreset selection
+        "kcenter_coreset": vectors.q_kcenter_coreset,
     })
 
 
@@ -510,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
             "bfs_depth",
             "rake_phrases",
             "dim_truncation_recall",
+            "kcenter_coreset",
         )
     }
 

@@ -278,6 +278,7 @@ def run_bench() -> dict:
         # r4aa: weakest-link audit, cross-source dup matrix
         timed("weakest_link", er.q_weakest_link)
         timed("source_overlap", dedup.q_source_overlap)
+        timed("kcenter_coreset", vectors.q_kcenter_coreset)
 
     result = {
         "metric": "entity_link_e2e",

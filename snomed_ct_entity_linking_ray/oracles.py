@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 38  # r4z review: + dim_truncation_recall sequential oracle
+ORACLE_VERSION = 39  # r4ab: + kcenter_coreset
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -119,6 +119,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "bfs_depth": lambda: _bfs_depth(sf_dir),
         "rake_phrases": lambda: _rake_phrases(sf_dir),
         "dim_truncation_recall": lambda: _dim_truncation_recall(sf_dir),
+        "kcenter_coreset": lambda: _kcenter_coreset(sf_dir),
         "knn_join": lambda: _knn_join(sf_dir),
     }
     for name, build in writers.items():
@@ -2165,5 +2166,40 @@ def _dim_truncation_recall(sf_dir: str, k: int = 5, dims: int = 16) -> pa.Table:
             "n_common": pa.array(
                 [len(f & s) for f, s in zip(full, trunc)], pa.int64()
             ),
+        }
+    )
+
+
+def _kcenter_coreset(sf_dir: str, k: int = 8) -> pa.Table:
+    """Single-process mirror of pipelines.vectors.q_kcenter_coreset:
+    Gonzalez farthest-point traversal on the 2^15 integer grid — flat
+    numpy, seed = lowest vec_id, argmax of min-distance with
+    (dist desc, id asc) ties, chosen ids never re-picked."""
+    t = _read(sf_dir, "embeddings").select(["vec_id", "embedding"])
+    vid = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    order = np.argsort(vid)
+    vid = vid[order]
+    V = np.round(
+        np.array(t["embedding"].to_pylist(), dtype=np.float64)[order] * (1 << 15)
+    ).astype(np.int64)
+    chosen = [0]                       # index of lowest vec_id (sorted order)
+    dists = [0]
+    md = np.full(len(vid), np.iinfo(np.int64).max, dtype=np.int64)
+    for _ in range(k - 1):
+        diff = V - V[chosen[-1]]
+        md = np.minimum(md, np.einsum("nd,nd->n", diff, diff))
+        live = np.ones(len(vid), dtype=bool)
+        live[chosen] = False
+        ids_l = vid[live]
+        md_l = md[live]
+        j = np.lexsort((ids_l, -md_l))[0]
+        pick_id = int(ids_l[j])
+        chosen.append(int(np.searchsorted(vid, pick_id)))
+        dists.append(int(md_l[j]))
+    return pa.table(
+        {
+            "vec_id": pa.array([int(vid[c]) for c in chosen], pa.int64()),
+            "pick_order": pa.array(list(range(len(chosen))), pa.int64()),
+            "min_dist": pa.array(dists, pa.int64()),
         }
     )

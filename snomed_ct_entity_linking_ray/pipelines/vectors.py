@@ -1313,3 +1313,125 @@ def q_dim_truncation_recall(sf_dir: str, k: int = 5, dims: int = TRUNC_DIMS):
         )
 
     return partial.groupby("query_id").map_groups(finalize, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Greedy k-center coreset selection (diverse-subset data selection)
+# --------------------------------------------------------------------------
+
+KCENTER_K = 8
+
+
+def q_kcenter_coreset(sf_dir: str, k: int = KCENTER_K):
+    """Greedy k-CENTER coreset (Gonzalez 1985 farthest-point traversal —
+    the 2-approximation that underpins diverse-subset data selection /
+    coreset curation: pick the point farthest from everything chosen so
+    far, k times). On 2^15-grid quantized vectors every distance is an
+    exact int64, so the traversal — argmax of min-distance with
+    (dist desc, vec_id asc) ties — is bitwise reproducible across batch
+    layouts and against the sequential oracle.
+
+    Output: (vec_id, pick_order, min_dist) — min_dist is the squared
+    distance to the nearest PREVIOUSLY chosen center at pick time (0 for
+    the seed, which is the lowest vec_id).
+
+    Scale shape: the corpus quantizes ONCE into a materialized slim
+    dataset; each of the k rounds broadcasts the (tiny) center matrix,
+    and every batch emits ONE candidate row (its local farthest point) —
+    the driver folds #batches rows per round. k passes, no shuffle."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quantize(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                 "qv": pd.Series([], dtype=object)})
+        V = np.round(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            * KMEANS_SCALE
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy(np.int64), "qv": list(V)}
+        )
+
+    slim = ds.map_batches(quantize, batch_format="pandas").materialize()
+
+    # seed: lowest vec_id (deterministic) — one tiny pruned read
+    import os
+
+    import pyarrow.parquet as pq_
+
+    seed_t = pq_.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 1)],
+    ).to_pandas()
+    seed_v = np.round(
+        np.stack(seed_t["embedding"].to_numpy()).astype(np.float64)
+        * KMEANS_SCALE
+    ).astype(np.int64)
+    centers = [(int(seed_t["vec_id"].iloc[0]), seed_v[0], 0)]
+
+    def far_partial(c_ref):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            cols = ["vec_id", "min_dist"]
+            empty = pd.DataFrame(
+                {"vec_id": pd.Series([], dtype=np.int64),
+                 "min_dist": pd.Series([], dtype=np.int64)})[cols]
+            if len(df) == 0:
+                return empty
+            C, chosen = ray.get(c_ref)              # [n_centers, d], id set
+            ids = df["vec_id"].to_numpy(np.int64)
+            live = ~np.isin(ids, chosen)            # never re-pick a center
+            if not live.any():
+                return empty
+            V = np.stack(df["qv"].to_numpy())[live]  # [n, d] int64
+            ids = ids[live]
+            diff = V[:, None, :] - C[None, :, :]
+            md = np.einsum("ncd,ncd->nc", diff, diff).min(axis=1)
+            # batch-local argmax with (dist desc, id asc) tie
+            j = np.lexsort((ids, -md))[0]
+            return pd.DataFrame(
+                {"vec_id": ids[[j]], "min_dist": md[[j]].astype(np.int64)}
+            )[cols]
+        return fn
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "vec_id" not in df.columns:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                 "min_dist": pd.Series([], dtype=np.int64)})
+        return df.sort_values(
+            ["min_dist", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(1)
+
+    from .common import tree_to_pandas
+
+    for _ in range(k - 1):
+        c_ref = broadcast((np.stack([c[1] for c in centers]),
+                           np.array([c[0] for c in centers], dtype=np.int64)))
+        top = fold(tree_to_pandas(
+            slim.map_batches(far_partial(c_ref), batch_format="pandas"), fold
+        ))
+        pick = int(top["vec_id"].iloc[0])
+        dist = int(top["min_dist"].iloc[0])
+        # bounded fetch of the picked vector: one pruned point read
+        row = pq_.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "==", pick)],
+        ).to_pandas()
+        pv = np.round(
+            np.asarray(row["embedding"].iloc[0], dtype=np.float64)
+            * KMEANS_SCALE
+        ).astype(np.int64)
+        centers.append((pick, pv, dist))
+
+    import ray.data as rd
+
+    out = pd.DataFrame(
+        {
+            "vec_id": np.array([c[0] for c in centers], dtype=np.int64),
+            "pick_order": np.arange(len(centers), dtype=np.int64),
+            "min_dist": np.array([c[2] for c in centers], dtype=np.int64),
+        }
+    )
+    return rd.from_pandas(out)

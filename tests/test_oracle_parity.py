@@ -258,6 +258,8 @@ ORACLE_BACKED = [
     # r4aa: weakest-link cluster audit, cross-source dup matrix
     "weakest_link",
     "source_overlap",
+    # r4ab: greedy k-center coreset
+    "kcenter_coreset",
 ]
 
 

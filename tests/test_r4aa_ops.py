@@ -60,3 +60,35 @@ def test_source_overlap_counts_every_pair_once():
     got = {(r["source_a"], r["source_b"]): int(r["n_pairs"])
            for _, r in out.iterrows()}
     assert got == cells
+
+
+def test_kcenter_coreset_farthest_point_invariants():
+    from snomed_ct_entity_linking_ray.pipelines.vectors import (
+        KMEANS_SCALE,
+        q_kcenter_coreset,
+    )
+
+    out = q_kcenter_coreset(SF).to_pandas().sort_values("pick_order")
+    assert out["vec_id"].is_unique
+    assert out["pick_order"].tolist() == list(range(len(out)))
+    assert int(out["min_dist"].iloc[0]) == 0  # seed
+    # brute-force replay: each pick is the exact argmax of min-distance
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    emb = emb.sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy(np.int64)
+    V = np.round(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * KMEANS_SCALE
+    ).astype(np.int64)
+    md = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+    chosen = [0]
+    for step in range(1, len(out)):
+        diff = V - V[chosen[-1]]
+        md = np.minimum(md, np.einsum("nd,nd->n", diff, diff))
+        live = np.ones(len(ids), dtype=bool)
+        live[chosen] = False
+        j = np.lexsort((ids[live], -md[live]))[0]
+        pick = int(ids[live][j])
+        assert pick == int(out["vec_id"].iloc[step])
+        assert int(md[live][j]) == int(out["min_dist"].iloc[step])
+        chosen.append(int(np.searchsorted(ids, pick)))
