@@ -413,6 +413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": dedup.q_source_overlap,
         # r4ab: greedy k-center coreset selection
         "kcenter_coreset": vectors.q_kcenter_coreset,
+        # r4ac: pay-as-you-go progressive resolution curve
+        "progressive_er": er.q_progressive_er,
     })
 
 
@@ -513,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
             "rake_phrases",
             "dim_truncation_recall",
             "kcenter_coreset",
+            "progressive_er",
         )
     }
 

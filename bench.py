@@ -279,6 +279,7 @@ def run_bench() -> dict:
         timed("weakest_link", er.q_weakest_link)
         timed("source_overlap", dedup.q_source_overlap)
         timed("kcenter_coreset", vectors.q_kcenter_coreset)
+        timed("progressive_er", er.q_progressive_er)
 
     result = {
         "metric": "entity_link_e2e",

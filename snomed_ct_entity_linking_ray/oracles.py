@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 39  # r4ab: + kcenter_coreset
+ORACLE_VERSION = 40  # r4ac: + progressive_er
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -120,6 +120,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "rake_phrases": lambda: _rake_phrases(sf_dir),
         "dim_truncation_recall": lambda: _dim_truncation_recall(sf_dir),
         "kcenter_coreset": lambda: _kcenter_coreset(sf_dir),
+        "progressive_er": lambda: _progressive_er(sf_dir),
         "knn_join": lambda: _knn_join(sf_dir),
     }
     for name, build in writers.items():
@@ -2201,5 +2202,55 @@ def _kcenter_coreset(sf_dir: str, k: int = 8) -> pa.Table:
             "vec_id": pa.array([int(vid[c]) for c in chosen], pa.int64()),
             "pick_order": pa.array(list(range(len(chosen))), pa.int64()),
             "min_dist": pa.array(dists, pa.int64()),
+        }
+    )
+
+
+def _progressive_er(sf_dir: str, threshold: float = 0.8,
+                    step: int = 8, max_len_diff: int = 3) -> pa.Table:
+    """Single-process mirror of pipelines.er.q_progressive_er:
+    brute-force the uncapped fuzzy predicate with the shared JW kernel,
+    replay pairs best-first (floor-micro score desc, name pair asc)
+    through a sequential union-find, emit the curve every ``step`` pairs
+    plus the final partial step."""
+    from .functions.similarity import jaro_winkler
+
+    names = sorted(set(
+        str(x) for x in _read(sf_dir, "part").column("p_name").to_pylist()
+    ))
+    n = len(names)
+    edges = []
+    for i in range(n):
+        a = names[i]
+        for j in range(i + 1, n):
+            b = names[j]
+            if a[:1] != b[:1] or abs(len(a) - len(b)) > max_len_diff:
+                continue
+            jw = jaro_winkler(a, b)
+            if jw >= threshold:
+                edges.append((int(np.floor(jw * 1_000_000)), a, b, i, j))
+    edges.sort(key=lambda e: (-e[0], e[1], e[2]))
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    rows = []
+    merges = 0
+    for k, (_, _, _, i, j) in enumerate(edges, start=1):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+            merges += 1
+        if k % step == 0 or k == len(edges):
+            rows.append((k, merges, n - merges))
+    return pa.table(
+        {
+            "budget": pa.array([r[0] for r in rows], pa.int64()),
+            "n_merges": pa.array([r[1] for r in rows], pa.int64()),
+            "n_clusters": pa.array([r[2] for r in rows], pa.int64()),
         }
     )

@@ -5725,3 +5725,77 @@ def q_weakest_link(sf_dir: str, threshold: float = 0.8):
     return rd.from_pandas(
         out[["cluster_rep", "name_a", "name_b", "jw_micro"]]
     )
+
+
+# --- progressive (pay-as-you-go) resolution curve ----------------------------
+
+PROGRESSIVE_STEP = 8
+
+
+def q_progressive_er(sf_dir: str, threshold: float = 0.8,
+                     step: int = PROGRESSIVE_STEP):
+    """PROGRESSIVE entity resolution curve (Whang et al., VLDB'13
+    pay-as-you-go ER): process candidate pairs best-first (highest
+    similarity first) and report, at every comparison budget, how much
+    resolution has happened — the chart that tells an operator "80% of
+    the merges came from the first 20% of the comparisons, stop there".
+
+    Output: (budget, n_merges, n_clusters) — after the first ``budget``
+    pairs in (jw_micro desc, name_a, name_b) order, the cumulative
+    union-find merge count and the resulting cluster count over the full
+    name vocabulary; one row per ``step`` pairs plus the final partial
+    step.
+
+    Scale shape: pair generation + scoring is the distributed fuzzy
+    blocking pass (uncapped, the _fuzzy_edge_graph contract); the replay
+    itself is inherently SEQUENTIAL (each merge depends on every prior
+    one), so it folds the vocabulary-bounded scored edge list on the
+    driver — the same documented bound as name_clusters' rep attach and
+    greedy_key_selection."""
+    names, edges = _fuzzy_edge_graph(sf_dir, threshold)
+    n = len(names)
+    name_arr = np.array(names, dtype=object)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                                 "v": pd.Series([], dtype=np.int64),
+                                 "jw_micro": pd.Series([], dtype=np.int64)})
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        jw = np.array(
+            [int(np.floor(jaro_winkler(name_arr[a], name_arr[b]) * 1_000_000))
+             for a, b in zip(u, v)],
+            dtype=np.int64,
+        )
+        return pd.DataFrame({"u": u, "v": v, "jw_micro": jw})
+
+    scored = edges.map_batches(score, batch_format="pandas").to_pandas()
+    # best-first order with the deterministic (name_a, name_b) tie
+    scored = scored.assign(
+        na=name_arr[scored["u"].to_numpy(np.int64)],
+        nb=name_arr[scored["v"].to_numpy(np.int64)],
+    ).sort_values(["jw_micro", "na", "nb"],
+                  ascending=[False, True, True], kind="mergesort")
+
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    rows = []
+    merges = 0
+    for i, (u, v) in enumerate(zip(scored["u"], scored["v"]), start=1):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+            merges += 1
+        if i % step == 0 or i == len(scored):
+            rows.append((i, merges, n - merges))
+    out = pd.DataFrame(rows, columns=["budget", "n_merges", "n_clusters"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return rd.from_pandas(out)

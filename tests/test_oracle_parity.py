@@ -260,6 +260,8 @@ ORACLE_BACKED = [
     "source_overlap",
     # r4ab: greedy k-center coreset
     "kcenter_coreset",
+    # r4ac: progressive resolution curve
+    "progressive_er",
 ]
 
 

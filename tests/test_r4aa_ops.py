@@ -92,3 +92,20 @@ def test_kcenter_coreset_farthest_point_invariants():
         assert pick == int(out["vec_id"].iloc[step])
         assert int(md[live][j]) == int(out["min_dist"].iloc[step])
         chosen.append(int(np.searchsorted(ids, pick)))
+
+
+def test_progressive_er_curve_monotone_and_ends_at_components():
+    from snomed_ct_entity_linking_ray.pipelines.er import (
+        q_name_clusters,
+        q_progressive_er,
+    )
+
+    out = q_progressive_er(SF).to_pandas().sort_values("budget")
+    assert (out["budget"].diff().dropna() > 0).all()
+    assert (out["n_merges"].diff().dropna() >= 0).all()
+    assert (out["n_clusters"].diff().dropna() <= 0).all()
+    nc = q_name_clusters(SF).to_pandas()
+    # the curve's final point equals the full transitive clustering
+    final_clusters = nc["cluster_rep"].nunique()
+    assert int(out["n_clusters"].iloc[-1]) == final_clusters
+    assert (out["n_clusters"] + out["n_merges"] == len(nc)).all()
