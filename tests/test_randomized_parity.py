@@ -1,0 +1,120 @@
+"""Randomized ORACLE PARITY: hypothesis-generated input tables are
+written as a temporary sf-dir and driven through BOTH the Ray operator
+and its DuckDB oracle SQL — the driver-gate compare, but on adversarial
+inputs instead of the fixed fixture (empty strings, stopword-only docs,
+single-user logs, duplicate timestamps).
+
+Only operators whose inputs are fully described by one table are
+exercised here; example counts are small because each example runs a
+real Ray pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+import __ray_entry__ as entry
+
+_WORDS = ["spark", "join", "window", "merge", "the", "a", "fast", "slow",
+          "data", "row"]
+
+
+def _run_pair(name: str, table: str, df: pd.DataFrame):
+    qs, oq = entry.queries(), entry.oracle_sql()
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       os.path.join(d, f"{table}.parquet"))
+        res = qs[name](d)
+        rdf = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW {table} AS SELECT * FROM "
+            f"read_parquet('{d}/{table}.parquet')"
+        )
+        odf = con.execute(oq[name]).df()
+        con.close()
+    a = rdf[sorted(rdf.columns)].copy()
+    b = odf[sorted(odf.columns)].copy()
+    for c in a.columns:
+        if a[c].dtype == object:
+            a[c] = a[c].astype(str)
+            b[c] = b[c].astype(str)
+    a = a.sort_values(list(a.columns)).reset_index(drop=True)
+    b = b.sort_values(list(b.columns)).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+_doc_text = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=40).map(
+    " ".join
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_doc_text, min_size=1, max_size=12))
+def test_chunk_overlap_random_docs(texts):
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": "src0",
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    _run_pair("chunk_overlap", "documents", df)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10 ** 6),
+                  st.sampled_from(["click", "view", "error"]),
+                  st.floats(0, 100, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_scd2_history_random_logs(rows):
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows), dtype=np.int64),
+            "ts": pd.to_datetime(
+                np.array([r[1] for r in rows], dtype=np.int64) * 1000,
+                unit="us",
+            ),
+            "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "event_type": [r[2] for r in rows],
+            "value": np.array([round(r[3], 2) for r in rows]),
+            "props": "{}",
+        }
+    )
+    _run_pair("scd2_history", "events", df)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=25))
+def test_mix_sources_random_ids(raw_ids):
+    ids = sorted(set(raw_ids))
+    srcs = [f"src{i % 4}" for i in ids]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array(ids, dtype=np.int64),
+            "text": "x",
+            "lang": "en",
+            "source": srcs,
+            "n_chars": np.int64(1),
+        }
+    )
+    _run_pair("mix_sources", "documents", df)
