@@ -118,3 +118,58 @@ def test_mix_sources_random_ids(raw_ids):
         }
     )
     _run_pair("mix_sources", "documents", df)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["A", "B"]),
+                  st.floats(-999, 9999, allow_nan=False)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_k_anonymity_random_balances(rows):
+    """Negative balances exercise the shift-before-floor-divide band
+    contract (Python floor vs SQL truncation)."""
+    df = pd.DataFrame(
+        {
+            "c_custkey": np.arange(len(rows), dtype=np.int64),
+            "c_name": "c",
+            "c_nationkey": np.int64(0),
+            "c_mktsegment": [r[0] for r in rows],
+            "c_acctbal": np.array([round(r[1], 2) for r in rows]),
+        }
+    )
+    _run_pair("k_anonymity", "customer", df)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.sampled_from(["click", "view"]),
+                  st.floats(0.01, 500, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_dense_hourly_and_quantile_sketch_random_events(rows):
+    """Sparse hours force manufactured zero rows; skewed values exercise
+    the log2 bin walk."""
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows), dtype=np.int64),
+            "ts": pd.to_datetime(
+                np.array([r[0] for r in rows], dtype=np.int64) * 3_600_000_000,
+                unit="us",
+            ),
+            "user_id": np.int64(1),
+            "event_type": [r[1] for r in rows],
+            "value": np.array([round(r[2], 2) for r in rows]),
+            "props": "{}",
+        }
+    )
+    _run_pair("dense_hourly", "events", df)
+    _run_pair("quantile_sketch", "events", df)
