@@ -415,6 +415,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_coreset": vectors.q_kcenter_coreset,
         # r4ac: pay-as-you-go progressive resolution curve
         "progressive_er": er.q_progressive_er,
+        # r4ad: LTV decile lift, seasonal-naive forecast baseline
+        "decile_lift": relational.q_decile_lift,
+        "seasonal_naive": relational.q_seasonal_naive,
     })
 
 
@@ -3158,6 +3161,46 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN d da ON da.doc_id = p.doc_a
                    JOIN d db ON db.doc_id = p.doc_b
             GROUP BY 1, 2
+        """,
+        # r4ad: ntile lift table over per-user lifetime cents
+        "decile_lift": """
+            WITH t AS (SELECT user_id,
+                              CAST(SUM(CAST(round(value*100, 0) AS BIGINT))
+                                   AS BIGINT) AS cents
+                       FROM events GROUP BY 1),
+            d AS (SELECT user_id, cents,
+                         CAST(ntile(10) OVER (ORDER BY cents DESC, user_id)
+                              AS BIGINT) AS decile
+                  FROM t)
+            SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents
+            FROM d GROUP BY 1
+        """,
+        # r4ad: lag-24 forecast error over the zero-filled hourly spine
+        "seasonal_naive": """
+            WITH b AS (SELECT CAST(epoch_us(min(ts)) // 3600000000 AS BIGINT)
+                                  AS lo,
+                              CAST(epoch_us(max(ts)) // 3600000000 AS BIGINT)
+                                  AS hi
+                       FROM events),
+            hours AS (SELECT unnest(range((SELECT lo FROM b),
+                                          (SELECT hi FROM b) + 1)) AS hour),
+            types AS (SELECT DISTINCT event_type FROM events),
+            counts AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                                  AS hour,
+                              event_type, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            spine AS (SELECT h.hour, t.event_type, COALESCE(c.n, 0) AS n
+                      FROM hours h CROSS JOIN types t
+                      LEFT JOIN counts c
+                        ON c.hour = h.hour AND c.event_type = t.event_type),
+            lagged AS (SELECT event_type, n,
+                              lag(n, 24) OVER (PARTITION BY event_type
+                                               ORDER BY hour) AS prev
+                       FROM spine)
+            SELECT event_type, CAST(count(prev) AS BIGINT) AS n_forecasts,
+                   CAST(SUM(abs(n - prev)) AS BIGINT) AS abs_err_sum
+            FROM lagged WHERE prev IS NOT NULL GROUP BY 1
         """,
         # r4z: mergeable log2-binned quantile lower bounds
         "quantile_sketch": """

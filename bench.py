@@ -280,6 +280,8 @@ def run_bench() -> dict:
         timed("source_overlap", dedup.q_source_overlap)
         timed("kcenter_coreset", vectors.q_kcenter_coreset)
         timed("progressive_er", er.q_progressive_er)
+        timed("decile_lift", relational.q_decile_lift)
+        timed("seasonal_naive", relational.q_seasonal_naive)
 
     result = {
         "metric": "entity_link_e2e",

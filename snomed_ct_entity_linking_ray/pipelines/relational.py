@@ -5216,3 +5216,137 @@ def q_quantile_sketch(sf_dir: str):
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+# --- decile lift table -------------------------------------------------------
+
+def q_decile_lift(sf_dir: str, n_tiles: int = 10):
+    """Decile LIFT table: rank every user by lifetime value, split into
+    ``n_tiles`` equal buckets (SQL ntile semantics: the first n%tiles
+    buckets take the extra member), and report users + value per decile
+    — the marketing/LTV concentration chart ("the top decile carries
+    2× its share").
+
+    Output: (decile 1-based, n_users, total_cents).
+
+    Scale shape: per-user cent totals are one ``grouped_sums`` pass;
+    the GLOBAL rank over those totals reuses the ``q_shuffle_index``
+    rank-without-a-global-sort machinery — value-range buckets on the
+    cent total (descending), per-bucket exclusive prefix offsets from a
+    bounded counts table, one vectorized sort per bucket; the ntile
+    boundaries are exact integer arithmetic on the known user count.
+    The shuffle carries 16 B/user; nothing user-cardinality ever sits
+    on the driver."""
+    ds = read(sf_dir, "events", ["user_id", "value"])
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "cents": cents(df["value"]),
+            }
+        )
+
+    totals = grouped_sums(
+        ds.map_batches(slim, batch_format="pandas"),
+        ["user_id"],
+        sums={"cents": "cents"},
+    ).materialize()
+    n_buckets = default_buckets()
+
+    def minmax(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"lo": pd.Series([], dtype=np.int64),
+                                 "hi": pd.Series([], dtype=np.int64)})
+        v = df["cents"].to_numpy(np.int64)
+        return pd.DataFrame({"lo": [v.min()], "hi": [v.max()]})
+
+    mm = totals.map_batches(minmax, batch_format="pandas").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def add_vb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # DESCENDING value order: bucket 0 holds the largest totals
+        df["_vb"] = np.minimum(
+            (hi - df["cents"].to_numpy(np.int64)) // width, n_buckets - 1
+        ).astype(np.int64)
+        return df
+
+    keyed = totals.map_batches(add_vb, batch_format="pandas").materialize()
+    counts = (
+        grouped_sums(keyed, ["_vb"], sums={}, count_as="n")
+        .to_pandas()
+        .sort_values("_vb")
+    )
+    nrow = counts["n"].to_numpy(np.int64)
+    n_total = int(nrow.sum())
+    offsets = dict(
+        zip(counts["_vb"].to_numpy(np.int64).tolist(),
+            (np.cumsum(nrow) - nrow).tolist())
+    )
+    # exact ntile boundaries: first n%tiles buckets take ceil(n/tiles)
+    q, r = divmod(n_total, n_tiles)
+    sizes = np.array([q + 1] * r + [q] * (n_tiles - r), dtype=np.int64)
+    bounds = np.cumsum(sizes)
+    ref = broadcast((offsets, bounds))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        offs, bnds = ray.get(ref)
+        off = offs[int(g["_vb"].iloc[0])]
+        g = g.sort_values(["cents", "user_id"], ascending=[False, True],
+                          kind="mergesort")
+        rank = off + np.arange(len(g), dtype=np.int64)
+        decile = np.searchsorted(bnds, rank, side="right") + 1
+        return pd.DataFrame(
+            {"decile": decile.astype(np.int64),
+             "cents": g["cents"].to_numpy(np.int64)}
+        )
+
+    ranked = keyed.groupby("_vb").map_groups(rank_bucket, batch_format="pandas")
+    return grouped_sums(
+        ranked, ["decile"], sums={"total_cents": "cents"}, count_as="n_users"
+    )
+
+
+# --- seasonal-naive forecast error -------------------------------------------
+
+def q_seasonal_naive(sf_dir: str, season: int = 24):
+    """Seasonal-naive FORECAST-BASELINE error: predict each hour's event
+    count with the count ``season`` hours earlier on the zero-filled
+    spine, and report the per-type absolute-error mass — the baseline
+    every forecasting model must beat, evaluated over the densified
+    series (the zero rows matter: a missing hour forecast as 0 vs
+    observed 0 is a CORRECT forecast, which present-hours-only series
+    get wrong).
+
+    Output: (event_type, n_forecasts, abs_err_sum).
+
+    Scale shape: rides ``q_dense_hourly``'s calendar-bounded aggregated
+    spine; the lag-and-diff is one vectorized pass over that bounded
+    table."""
+    spine = q_dense_hourly(sf_dir).to_pandas()  # calendar-bounded
+    if len(spine) == 0:
+        return rd_from(pd.DataFrame(
+            {"event_type": pd.Series([], dtype=object),
+             "n_forecasts": pd.Series([], dtype=np.int64),
+             "abs_err_sum": pd.Series([], dtype=np.int64)}))
+    rows = []
+    for et, g in spine.groupby("event_type"):
+        g = g.sort_values("hour")
+        n = g["n"].to_numpy(np.int64)
+        if len(n) <= season:
+            continue
+        err = np.abs(n[season:] - n[:-season])
+        rows.append((et, len(err), int(err.sum())))
+    out = pd.DataFrame(rows, columns=["event_type", "n_forecasts",
+                                      "abs_err_sum"])
+    out["n_forecasts"] = out["n_forecasts"].astype(np.int64)
+    out["abs_err_sum"] = out["abs_err_sum"].astype(np.int64)
+    return rd_from(out)
+
+
+def rd_from(df: pd.DataFrame):
+    import ray.data as rd
+
+    return rd.from_pandas(df)

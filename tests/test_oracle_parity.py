@@ -262,6 +262,9 @@ ORACLE_BACKED = [
     "kcenter_coreset",
     # r4ac: progressive resolution curve
     "progressive_er",
+    # r4ad: LTV decile lift, seasonal-naive baseline
+    "decile_lift",
+    "seasonal_naive",
 ]
 
 

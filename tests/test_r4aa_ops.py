@@ -109,3 +109,39 @@ def test_progressive_er_curve_monotone_and_ends_at_components():
     final_clusters = nc["cluster_rep"].nunique()
     assert int(out["n_clusters"].iloc[-1]) == final_clusters
     assert (out["n_clusters"] + out["n_merges"] == len(nc)).all()
+
+
+def test_decile_lift_ntile_partition():
+    from snomed_ct_entity_linking_ray.pipelines.relational import q_decile_lift
+
+    out = q_decile_lift(SF).to_pandas().sort_values("decile")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "value"]).to_pandas()
+    ev["cents"] = np.rint(ev["value"].to_numpy(np.float64) * 100).astype(np.int64)
+    totals = ev.groupby("user_id")["cents"].sum()
+    n = len(totals)
+    assert int(out["n_users"].sum()) == n
+    assert int(out["total_cents"].sum()) == int(totals.sum())
+    # ntile sizes: first n%10 deciles take the extra member
+    q, r = divmod(n, 10)
+    expect_sizes = [q + 1] * r + [q] * (10 - r)
+    assert out["n_users"].tolist() == [s for s in expect_sizes if s > 0]
+    # deciles are value-ordered: per-user mean is non-increasing
+    mean = out["total_cents"] / out["n_users"]
+    assert (np.diff(mean.to_numpy()) <= 0).all()
+
+
+def test_seasonal_naive_error_brute_force():
+    from snomed_ct_entity_linking_ray.pipelines.relational import (
+        q_dense_hourly,
+        q_seasonal_naive,
+    )
+
+    out = q_seasonal_naive(SF).to_pandas()
+    spine = q_dense_hourly(SF).to_pandas()
+    for _, r in out.iterrows():
+        g = spine[spine["event_type"] == r["event_type"]].sort_values("hour")
+        n = g["n"].to_numpy(np.int64)
+        err = np.abs(n[24:] - n[:-24])
+        assert int(r["n_forecasts"]) == len(err)
+        assert int(r["abs_err_sum"]) == int(err.sum())
