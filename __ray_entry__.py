@@ -418,6 +418,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4ad: LTV decile lift, seasonal-naive forecast baseline
         "decile_lift": relational.q_decile_lift,
         "seasonal_naive": relational.q_seasonal_naive,
+        # r4ae: type co-occurrence matrix, top principal component
+        "type_cooccurrence": relational.q_type_cooccurrence,
+        "top_component": vectors.q_top_component,
     })
 
 
@@ -519,6 +522,7 @@ def oracle_sql() -> dict[str, str]:
             "dim_truncation_recall",
             "kcenter_coreset",
             "progressive_er",
+            "top_component",
         )
     }
 
@@ -3160,6 +3164,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_pairs
             FROM p JOIN d da ON da.doc_id = p.doc_a
                    JOIN d db ON db.doc_id = p.doc_b
+            GROUP BY 1, 2
+        """,
+        # r4ae: distinct-user intersections per event-type pair
+        "type_cooccurrence": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
             GROUP BY 1, 2
         """,
         # r4ad: ntile lift table over per-user lifetime cents

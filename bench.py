@@ -282,6 +282,8 @@ def run_bench() -> dict:
         timed("progressive_er", er.q_progressive_er)
         timed("decile_lift", relational.q_decile_lift)
         timed("seasonal_naive", relational.q_seasonal_naive)
+        timed("type_cooccurrence", relational.q_type_cooccurrence)
+        timed("top_component", vectors.q_top_component)
 
     result = {
         "metric": "entity_link_e2e",

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 40  # r4ac: + progressive_er
+ORACLE_VERSION = 42  # r4ae: top_component at 200 fixed iterations
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -121,6 +121,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "dim_truncation_recall": lambda: _dim_truncation_recall(sf_dir),
         "kcenter_coreset": lambda: _kcenter_coreset(sf_dir),
         "progressive_er": lambda: _progressive_er(sf_dir),
+        "top_component": lambda: _top_component(sf_dir),
         "knn_join": lambda: _knn_join(sf_dir),
     }
     for name, build in writers.items():
@@ -2252,5 +2253,38 @@ def _progressive_er(sf_dir: str, threshold: float = 0.8,
             "budget": pa.array([r[0] for r in rows], pa.int64()),
             "n_merges": pa.array([r[1] for r in rows], pa.int64()),
             "n_clusters": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _top_component(sf_dir: str, n_iter: int = 200) -> pa.Table:
+    """Single-process mirror of pipelines.vectors.q_top_component: same
+    exact-int64 moment matrix (order-independent sums), same fixed-step
+    float64 power iteration from e0, same sign convention."""
+    t = _read(sf_dir, "embeddings").select(["embedding"])
+    V = np.round(
+        np.array(t["embedding"].to_pylist(), dtype=np.float64) * (1 << 15)
+    ).astype(np.int64)
+    n = len(V)
+    sv = V.sum(axis=0)
+    svv = (V.T @ V)
+    d = len(sv)
+    C = (n * svv - np.outer(sv, sv)).astype(np.float64)
+    v = np.zeros(d, dtype=np.float64)
+    v[0] = 1.0
+    for _ in range(n_iter):
+        w = C @ v
+        nw = np.linalg.norm(w)
+        if nw == 0.0:
+            break
+        v = w / nw
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    return pa.table(
+        {
+            "dim": pa.array(list(range(d)), pa.int64()),
+            "loading_micro": pa.array(
+                np.rint(v * 1_000_000).astype(np.int64).tolist(), pa.int64()
+            ),
         }
     )

@@ -5350,3 +5350,74 @@ def rd_from(df: pd.DataFrame):
     import ray.data as rd
 
     return rd.from_pandas(df)
+
+
+# --- event-type co-occurrence (bitmask histogram) ----------------------------
+
+def q_type_cooccurrence(sf_dir: str):
+    """Event-type CO-OCCURRENCE: distinct users who performed BOTH types,
+    per type pair — the behavioral-segment intersection matrix (the
+    events-side sibling of the media ``audience_overlap``).
+
+    Output: (type_a, type_b, n_users) with type_a < type_b.
+
+    Scale shape: the type vocabulary is dictionary-bounded, so each
+    user's type set packs into ONE int bitmask — per-batch distinct
+    (user, bit) partials, one user-bucketed combine ORs the bits, and
+    each bucket emits its bounded MASK HISTOGRAM (≤ 2^|types| rows);
+    the driver folds histograms and reads every pair count off the
+    mask counts. No pair ever shuffles; state is 2^|types| integers."""
+    ds = read(sf_dir, "events", ["user_id", "event_type"])
+    types = sorted(
+        distinct_column(ds, "event_type").to_pandas()["event_type"]
+        .astype(str).tolist()
+    )
+    bit_of = {t: 1 << i for i, t in enumerate(types)}
+    bit_ref = broadcast(bit_of)
+    n_buckets = default_buckets()
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "bit": pd.Series([], dtype=np.int64),
+                                 "_ub": pd.Series([], dtype=np.int64)})
+        lk = ray.get(bit_ref)
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "bit": df["event_type"].map(lk).to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+        out["_ub"] = _user_bucket(out["user_id"].to_numpy(np.int64), n_buckets)
+        return out
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        masks = (
+            g.drop_duplicates(["user_id", "bit"])
+            .groupby("user_id")["bit"].sum()          # distinct bits -> OR
+        )
+        h = masks.value_counts()
+        return pd.DataFrame(
+            {"mask": h.index.to_numpy(np.int64),
+             "n": h.to_numpy(np.int64)}
+        )
+
+    hist = (
+        ds.map_batches(slim, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(bucket_hist, batch_format="pandas")
+        .to_pandas()  # <= n_buckets x 2^|types| rows
+    )
+    hist = hist.groupby("mask", as_index=False)["n"].sum()
+    masks = hist["mask"].to_numpy(np.int64)
+    counts = hist["n"].to_numpy(np.int64)
+    rows = []
+    for i, ta in enumerate(types):
+        for j in range(i + 1, len(types)):
+            both = (masks & (1 << i) > 0) & (masks & (1 << j) > 0)
+            n = int(counts[both].sum())
+            if n:
+                rows.append((ta, types[j], n))
+    out = pd.DataFrame(rows, columns=["type_a", "type_b", "n_users"])
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return rd_from(out)

@@ -1435,3 +1435,75 @@ def q_kcenter_coreset(sf_dir: str, k: int = KCENTER_K):
         }
     )
     return rd.from_pandas(out)
+
+
+# --------------------------------------------------------------------------
+# Top principal component (exact integer moments + deterministic power iter)
+# --------------------------------------------------------------------------
+
+PCA_ITERS = 200  # random spectra have small eigengaps; 200 fixed steps converge to ~1e-13 of the top eigenvalue
+PCA_QUANT = 1_000_000
+
+
+def q_top_component(sf_dir: str, n_iter: int = PCA_ITERS):
+    """Top PRINCIPAL COMPONENT of the embedding corpus — the
+    dimensionality-reduction / drift-detection primitive (which single
+    direction explains the most variance). The covariance never needs
+    floats: on the 2^15 grid, n²·Cov = n·Σvvᵀ − (Σv)(Σv)ᵀ is EXACT
+    int64 from two mergeable moment sums, so any batch layout and the
+    sequential oracle build the bitwise-identical matrix; the power
+    iteration then runs a FIXED ``n_iter`` steps of identical float64
+    ops from the deterministic e₀ start (same matrix + same op sequence
+    → same bits), with the sign fixed by the largest-magnitude loading.
+
+    Output: (dim, loading_micro) — the unit component quantized to 1e-6.
+
+    Scale shape: one corpus pass emits (count, Σv, flattened Σvvᵀ)
+    partials — d + d² int64 per batch (64 + 4096 here) — folded on the
+    driver; the iteration is O(d²·n_iter) driver work, independent of
+    corpus size."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"n": pd.Series([], dtype=np.int64),
+                                 "sv": pd.Series([], dtype=object),
+                                 "svv": pd.Series([], dtype=object)})
+        V = np.round(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            * KMEANS_SCALE
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(V))],
+                "sv": [V.sum(axis=0)],
+                "svv": [(V.T @ V).ravel()],
+            }
+        )
+
+    p = ds.map_batches(moments, batch_format="pandas").to_pandas()
+    n = int(p["n"].sum())
+    sv = np.sum(np.stack(p["sv"].to_numpy()), axis=0).astype(np.int64)
+    svv = np.sum(np.stack(p["svv"].to_numpy()), axis=0).astype(np.int64)
+    d = len(sv)
+    # n^2 * covariance, exact int64
+    C = (n * svv.reshape(d, d) - np.outer(sv, sv)).astype(np.float64)
+
+    v = np.zeros(d, dtype=np.float64)
+    v[0] = 1.0
+    for _ in range(n_iter):
+        w = C @ v
+        nw = np.linalg.norm(w)
+        if nw == 0.0:
+            break
+        v = w / nw
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(
+        {
+            "dim": np.arange(d, dtype=np.int64),
+            "loading_micro": np.rint(v * PCA_QUANT).astype(np.int64),
+        }
+    ))

@@ -265,6 +265,9 @@ ORACLE_BACKED = [
     # r4ad: LTV decile lift, seasonal-naive baseline
     "decile_lift",
     "seasonal_naive",
+    # r4ae: type co-occurrence, top principal component
+    "type_cooccurrence",
+    "top_component",
 ]
 
 

@@ -145,3 +145,45 @@ def test_seasonal_naive_error_brute_force():
         err = np.abs(n[24:] - n[:-24])
         assert int(r["n_forecasts"]) == len(err)
         assert int(r["abs_err_sum"]) == int(err.sum())
+
+
+def test_type_cooccurrence_brute_force():
+    from snomed_ct_entity_linking_ray.pipelines.relational import (
+        q_type_cooccurrence,
+    )
+
+    out = q_type_cooccurrence(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    sets = ev.groupby("user_id")["event_type"].agg(set)
+    got = {(r["type_a"], r["type_b"]): int(r["n_users"])
+           for _, r in out.iterrows()}
+    types = sorted(ev["event_type"].unique())
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            n = int(sum(1 for s in sets if a in s and b in s))
+            assert got.get((a, b), 0) == n
+    assert (out["type_a"] < out["type_b"]).all()
+
+
+def test_top_component_is_dominant_direction():
+    from snomed_ct_entity_linking_ray.pipelines.vectors import (
+        KMEANS_SCALE,
+        q_top_component,
+    )
+
+    out = q_top_component(SF).to_pandas().sort_values("dim")
+    v = out["loading_micro"].to_numpy(np.float64) / 1e6
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3  # unit vector
+    # Rayleigh quotient of the reported component is within 1e-6 of the
+    # true top eigenvalue of the same integer covariance matrix
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["embedding"]).to_pandas()
+    V = np.round(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * KMEANS_SCALE
+    ).astype(np.int64)
+    n = len(V)
+    C = (n * (V.T @ V) - np.outer(V.sum(0), V.sum(0))).astype(np.float64)
+    lam_v = v @ C @ v
+    lam_max = np.linalg.eigvalsh(C)[-1]
+    assert lam_v >= 0.999999 * lam_max
