@@ -421,6 +421,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4ae: type co-occurrence matrix, top principal component
         "type_cooccurrence": relational.q_type_cooccurrence,
         "top_component": vectors.q_top_component,
+        # r4af: int8 serving-quant audit, marker-reset running totals
+        "int8_quant_audit": vectors.q_int8_quant_audit,
+        "reset_running_total": relational.q_reset_running_total,
     })
 
 
@@ -523,6 +526,7 @@ def oracle_sql() -> dict[str, str]:
             "kcenter_coreset",
             "progressive_er",
             "top_component",
+            "int8_quant_audit",
         )
     }
 
@@ -3165,6 +3169,18 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN d da ON da.doc_id = p.doc_a
                    JOIN d db ON db.doc_id = p.doc_b
             GROUP BY 1, 2
+        """,
+        # r4af: running total resetting at the error marker row
+        "reset_running_total": """
+            SELECT event_id, user_id,
+                   CAST(SUM(cents) OVER (PARTITION BY user_id, seg
+                            ORDER BY ts, event_id) AS BIGINT) AS run_cents
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(round(value*100, 0) AS BIGINT) AS cents,
+                         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS seg
+                  FROM events)
         """,
         # r4ae: distinct-user intersections per event-type pair
         "type_cooccurrence": """

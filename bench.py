@@ -284,6 +284,8 @@ def run_bench() -> dict:
         timed("seasonal_naive", relational.q_seasonal_naive)
         timed("type_cooccurrence", relational.q_type_cooccurrence)
         timed("top_component", vectors.q_top_component)
+        timed("int8_quant_audit", vectors.q_int8_quant_audit)
+        timed("reset_running_total", relational.q_reset_running_total)
 
     result = {
         "metric": "entity_link_e2e",

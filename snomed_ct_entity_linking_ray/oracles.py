@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 42  # r4ae: top_component at 200 fixed iterations
+ORACLE_VERSION = 43  # r4af: + int8_quant_audit
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -122,6 +122,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "kcenter_coreset": lambda: _kcenter_coreset(sf_dir),
         "progressive_er": lambda: _progressive_er(sf_dir),
         "top_component": lambda: _top_component(sf_dir),
+        "int8_quant_audit": lambda: _int8_quant_audit(sf_dir),
         "knn_join": lambda: _knn_join(sf_dir),
     }
     for name, build in writers.items():
@@ -2286,5 +2287,30 @@ def _top_component(sf_dir: str, n_iter: int = 200) -> pa.Table:
             "loading_micro": pa.array(
                 np.rint(v * 1_000_000).astype(np.int64).tolist(), pa.int64()
             ),
+        }
+    )
+
+
+def _int8_quant_audit(sf_dir: str) -> pa.Table:
+    """Single-process mirror of pipelines.vectors.q_int8_quant_audit:
+    same grid, same floor-division quantize/reconstruct, flat numpy."""
+    t = _read(sf_dir, "embeddings").select(["embedding"])
+    V = np.round(
+        np.array(t["embedding"].to_pylist(), dtype=np.float64) * (1 << 15)
+    ).astype(np.int64)
+    lo = V.min(axis=0)
+    hi = V.max(axis=0)
+    rng = np.maximum(hi - lo, 1)
+    q = ((V - lo) * 255) // rng
+    recon = lo + (q * rng) // 255
+    err = V - recon
+    sse = np.einsum("nd,nd->d", err, err)
+    d = V.shape[1]
+    return pa.table(
+        {
+            "dim": pa.array(list(range(d)), pa.int64()),
+            "lo_q": pa.array(lo.tolist(), pa.int64()),
+            "hi_q": pa.array(hi.tolist(), pa.int64()),
+            "sse": pa.array(sse.tolist(), pa.int64()),
         }
     )

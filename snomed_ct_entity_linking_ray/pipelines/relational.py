@@ -5421,3 +5421,71 @@ def q_type_cooccurrence(sf_dir: str):
     out = pd.DataFrame(rows, columns=["type_a", "type_b", "n_users"])
     out["n_users"] = out["n_users"].astype(np.int64)
     return rd_from(out)
+
+
+# --- marker-reset running total ----------------------------------------------
+
+def q_reset_running_total(sf_dir: str):
+    """Running total that RESETS at a marker event — the balance-replay /
+    meter-reset window (``sessionize`` resets on a time GAP; this resets
+    on a domain event: every ``error`` row opens a new accumulation
+    segment, itself included). Output: (event_id, user_id, run_cents),
+    the cumulative cents within the user's current segment in
+    (ts, event_id) order.
+
+    Scale shape: the ``q_event_gaps`` discipline — ONE hash-bucketed-by-
+    user shuffle of slim int64 rows; each bucket sorts once and computes
+    segment ids (inclusive cumsum of marker flags) and the within-
+    segment running sum (cumsum minus the segment-start offset, gathered
+    vectorized) for every user at once."""
+    ds = read(sf_dir, "events",
+              ["event_id", "user_id", "ts", "event_type", "value"])
+    n_buckets = default_buckets()
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_id", "user_id", "ts_us", "cents", "is_mark", "_ub"]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64) for c in cols})[cols]
+        u = df["user_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": u,
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "cents": cents(df["value"]),
+                "is_mark": (df["event_type"] == "error").to_numpy()
+                .astype(np.int64),
+                "_ub": _user_bucket(u, n_buckets),
+            }
+        )[cols]
+
+    def bucket_run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        c = g["cents"].to_numpy(np.int64)
+        mark = g["is_mark"].to_numpy(np.int64)
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        # global segment id: new segment at every user start or marker row
+        seg_start = new_user | (mark == 1)
+        seg_id = np.cumsum(seg_start) - 1
+        cs = np.cumsum(c)
+        # offset = cumulative sum just BEFORE each segment's first row
+        starts = np.flatnonzero(seg_start)
+        seg_offset = np.where(starts > 0, cs[starts - 1], 0)
+        run = cs - seg_offset[seg_id]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "user_id": u,
+                "run_cents": run.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(slim, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(bucket_run, batch_format="pandas")
+    )

@@ -1507,3 +1507,67 @@ def q_top_component(sf_dir: str, n_iter: int = PCA_ITERS):
             "loading_micro": np.rint(v * PCA_QUANT).astype(np.int64),
         }
     ))
+
+
+# --------------------------------------------------------------------------
+# int8 quantization audit (serving-compression quality gate)
+# --------------------------------------------------------------------------
+
+def q_int8_quant_audit(sf_dir: str):
+    """Per-dimension INT8 quantization audit — the accept gate before an
+    embedding corpus ships in 1/4 the memory for serving: affine-quantize
+    each dimension to 0..255 against its own [min, max] on the 2^15
+    integer grid and report the exact squared reconstruction error. All
+    arithmetic is integer (floor-division quantize q = (v−lo)·255 //
+    range, floor reconstruction lo + q·range // 255), so the audit is
+    bitwise layout-independent and oracle-exact.
+
+    Output: (dim, lo_q, hi_q, sse) — grid min/max and the int64 sum of
+    squared reconstruction errors per dimension.
+
+    Scale shape: two mergeable passes — per-batch (min, max) partials
+    (2·d ints), then per-batch SSE partials against the broadcast
+    ranges (d ints); driver state is O(d)."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def qmat(df: pd.DataFrame) -> np.ndarray:
+        return np.round(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            * KMEANS_SCALE
+        ).astype(np.int64)
+
+    def minmax(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"lo": pd.Series([], dtype=object),
+                                 "hi": pd.Series([], dtype=object)})
+        V = qmat(df)
+        return pd.DataFrame({"lo": [V.min(axis=0)], "hi": [V.max(axis=0)]})
+
+    mm = ds.map_batches(minmax, batch_format="pandas").to_pandas()
+    lo = np.min(np.stack(mm["lo"].to_numpy()), axis=0).astype(np.int64)
+    hi = np.max(np.stack(mm["hi"].to_numpy()), axis=0).astype(np.int64)
+    rng = np.maximum(hi - lo, 1)
+    ref = broadcast((lo, rng))
+
+    def sse_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"sse": pd.Series([], dtype=object)})
+        lo_, rng_ = ray.get(ref)
+        V = qmat(df)
+        q = ((V - lo_) * 255) // rng_
+        recon = lo_ + (q * rng_) // 255
+        err = V - recon
+        return pd.DataFrame({"sse": [np.einsum("nd,nd->d", err, err)]})
+
+    sp = ds.map_batches(sse_partial, batch_format="pandas").to_pandas()
+    sse = np.sum(np.stack(sp["sse"].to_numpy()), axis=0).astype(np.int64)
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(
+        {
+            "dim": np.arange(len(lo), dtype=np.int64),
+            "lo_q": lo,
+            "hi_q": hi,
+            "sse": sse,
+        }
+    ))

@@ -268,6 +268,9 @@ ORACLE_BACKED = [
     # r4ae: type co-occurrence, top principal component
     "type_cooccurrence",
     "top_component",
+    # r4af: int8 quant audit, marker-reset running totals
+    "int8_quant_audit",
+    "reset_running_total",
 ]
 
 

@@ -187,3 +187,40 @@ def test_top_component_is_dominant_direction():
     lam_v = v @ C @ v
     lam_max = np.linalg.eigvalsh(C)[-1]
     assert lam_v >= 0.999999 * lam_max
+
+
+def test_reset_running_total_replay():
+    from snomed_ct_entity_linking_ray.pipelines.relational import (
+        q_reset_running_total,
+    )
+
+    out = q_reset_running_total(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    assert len(out) == len(ev)
+    got = dict(zip(out["event_id"].astype(int), out["run_cents"].astype(int)))
+    ev["cents"] = np.rint(ev["value"].to_numpy(np.float64) * 100).astype(np.int64)
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        run = 0
+        for _, r in g.iterrows():
+            if r["event_type"] == "error":
+                run = 0  # marker opens a new segment, itself included
+            run += int(r["cents"])
+            assert got[int(r["event_id"])] == run
+
+
+def test_int8_quant_audit_error_bound():
+    from snomed_ct_entity_linking_ray.pipelines.vectors import (
+        q_int8_quant_audit,
+    )
+
+    out = q_int8_quant_audit(SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["embedding"]).to_pandas()
+    n = len(emb)
+    assert (out["hi_q"] >= out["lo_q"]).all()
+    # per-value reconstruction error < 2 quantization steps -> bound SSE
+    rng = (out["hi_q"] - out["lo_q"]).to_numpy(np.int64)
+    step = rng // 255 + 1
+    assert (out["sse"].to_numpy(np.int64) <= n * (2 * step) ** 2).all()
+    assert (out["sse"] >= 0).all()
