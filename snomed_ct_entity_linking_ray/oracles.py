@@ -2270,7 +2270,10 @@ def _top_component(sf_dir: str, n_iter: int = 200) -> pa.Table:
     sv = V.sum(axis=0)
     svv = (V.T @ V)
     d = len(sv)
-    C = (n * svv - np.outer(sv, sv)).astype(np.float64)
+    # Python-int combine, matching the pipeline's overflow-proof contract
+    C = (
+        n * svv.astype(object) - np.outer(sv.astype(object), sv.astype(object))
+    ).astype(np.float64)
     v = np.zeros(d, dtype=np.float64)
     v[0] = 1.0
     for _ in range(n_iter):

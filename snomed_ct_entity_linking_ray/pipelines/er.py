@@ -5672,13 +5672,19 @@ def q_weakest_link(sf_dir: str, threshold: float = 0.8):
     the edge stream re-scores with the shared kernel and per-batch
     argmin partials fold through ``tree_to_pandas`` — the driver only
     ever sees one row per cluster per batch."""
-    labels = q_name_clusters(sf_dir, threshold=threshold).to_pandas()
-    rep_of = dict(zip(labels["p_name"].astype(str),
-                      labels["cluster_rep"].astype(str)))
-    rep_ref = broadcast(rep_of)
+    # labels AND scored edges come from the SAME uncapped graph (the
+    # _fuzzy_edge_graph contract — review fix: mixing capped name_clusters
+    # labels with uncapped edges would attribute an over-cap block's
+    # surviving edges across two different clusters and diverge from the
+    # oracle's full-predicate components; this also avoids paying the
+    # fuzzy self-join twice)
+    from ..stages.components import connected_components
 
-    pairs = q_fuzzy_name_pairs(sf_dir, threshold=threshold,
-                               block_cap=1 << 62)
+    names, edges = _fuzzy_edge_graph(sf_dir, threshold)
+    name_arr = np.array(names, dtype=object)
+    lab = connected_components(edges).to_pandas()  # <= names-with-an-edge
+    rep_id = dict(zip(lab["node"].astype(int), lab["label"].astype(int)))
+    rep_ref = broadcast(rep_id)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         cols = ["cluster_rep", "name_a", "name_b", "jw_micro"]
@@ -5689,17 +5695,19 @@ def q_weakest_link(sf_dir: str, threshold: float = 0.8):
                  "name_b": pd.Series([], dtype=object),
                  "jw_micro": pd.Series([], dtype=np.int64)})[cols]
         rep = ray.get(rep_ref)
-        a = df["name_a"].astype(str)
-        b = df["name_b"].astype(str)
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        a = name_arr[u]
+        b = name_arr[v]
         jw = np.array(
             [int(np.floor(jaro_winkler(x, y) * 1_000_000))
              for x, y in zip(a, b)],
             dtype=np.int64,
         )
         out = pd.DataFrame(
-            {"cluster_rep": a.map(rep).to_numpy(object),
-             "name_a": a.to_numpy(object),
-             "name_b": b.to_numpy(object),
+            {"cluster_rep": name_arr[[rep[int(x)] for x in u]],
+             "name_a": a,
+             "name_b": b,
              "jw_micro": jw}
         )
         # batch-local argmin per cluster (deterministic tie order)
@@ -5719,7 +5727,7 @@ def q_weakest_link(sf_dir: str, threshold: float = 0.8):
         return df.drop_duplicates("cluster_rep")
 
     out = tree_to_pandas(
-        pairs.map_batches(score, batch_format="pandas"), fold
+        edges.map_batches(score, batch_format="pandas"), fold
     )
     out = fold(out).reset_index(drop=True)
     return rd.from_pandas(

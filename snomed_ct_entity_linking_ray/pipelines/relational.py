@@ -5262,6 +5262,11 @@ def q_decile_lift(sf_dir: str, n_tiles: int = 10):
         return pd.DataFrame({"lo": [v.min()], "hi": [v.max()]})
 
     mm = totals.map_batches(minmax, batch_format="pandas").to_pandas()
+    if len(mm) == 0 or "lo" not in mm.columns:  # empty fact table
+        return rd_from(pd.DataFrame(
+            {"decile": pd.Series([], dtype=np.int64),
+             "n_users": pd.Series([], dtype=np.int64),
+             "total_cents": pd.Series([], dtype=np.int64)}))
     lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
     width = max(1, (hi - lo + n_buckets) // n_buckets)
 
@@ -5368,10 +5373,14 @@ def q_type_cooccurrence(sf_dir: str):
     the driver folds histograms and reads every pair count off the
     mask counts. No pair ever shuffles; state is 2^|types| integers."""
     ds = read(sf_dir, "events", ["user_id", "event_type"])
-    types = sorted(
-        distinct_column(ds, "event_type").to_pandas()["event_type"]
-        .astype(str).tolist()
-    )
+    tdf = distinct_column(ds, "event_type").to_pandas()
+    types = (sorted(tdf["event_type"].astype(str).tolist())
+             if "event_type" in tdf.columns else [])
+    if not types:  # empty fact table -> empty matrix (oracle-equal)
+        return rd_from(pd.DataFrame(
+            {"type_a": pd.Series([], dtype=object),
+             "type_b": pd.Series([], dtype=object),
+             "n_users": pd.Series([], dtype=np.int64)}))
     bit_of = {t: 1 << i for i, t in enumerate(types)}
     bit_ref = broadcast(bit_of)
     n_buckets = default_buckets()

@@ -1355,21 +1355,33 @@ def q_kcenter_coreset(sf_dir: str, k: int = KCENTER_K):
 
     slim = ds.map_batches(quantize, batch_format="pandas").materialize()
 
-    # seed: lowest vec_id (deterministic) — one tiny pruned read
+    # seed: lowest vec_id (deterministic) — found by a slim min pass, not
+    # an assumed-0-based pruned read (review fix: ids need not start at 0),
+    # then one pruned point read for its vector
     import os
 
     import pyarrow.parquet as pq_
 
+    def idmin(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"m": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame(
+            {"m": [df["vec_id"].to_numpy(np.int64).min()]}
+        )
+
+    seed_id = int(
+        slim.map_batches(idmin, batch_format="pandas").to_pandas()["m"].min()
+    )
     seed_t = pq_.read_table(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", 1)],
+        filters=[("vec_id", "==", seed_id)],
     ).to_pandas()
     seed_v = np.round(
         np.stack(seed_t["embedding"].to_numpy()).astype(np.float64)
         * KMEANS_SCALE
     ).astype(np.int64)
-    centers = [(int(seed_t["vec_id"].iloc[0]), seed_v[0], 0)]
+    centers = [(seed_id, seed_v[0], 0)]
 
     def far_partial(c_ref):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -1486,8 +1498,14 @@ def q_top_component(sf_dir: str, n_iter: int = PCA_ITERS):
     sv = np.sum(np.stack(p["sv"].to_numpy()), axis=0).astype(np.int64)
     svv = np.sum(np.stack(p["svv"].to_numpy()), axis=0).astype(np.int64)
     d = len(sv)
-    # n^2 * covariance, exact int64
-    C = (n * svv.reshape(d, d) - np.outer(sv, sv)).astype(np.float64)
+    # n^2 * covariance — combined in PYTHON ints (n·svv reaches n²·2^30,
+    # past int64 at ~10^5 concentrated rows; arbitrary-precision keeps the
+    # matrix exact at any corpus size, and int→float64 conversion is the
+    # same deterministic rounding both sides), d² cells so cost is trivial
+    C = (
+        n * svv.reshape(d, d).astype(object)
+        - np.outer(sv.astype(object), sv.astype(object))
+    ).astype(np.float64)
 
     v = np.zeros(d, dtype=np.float64)
     v[0] = 1.0

@@ -195,8 +195,6 @@ def test_scd2_open_intervals_agree_with_cdc_snapshot():
     the same (user, value) the CDC apply reports as the current
     snapshot — except users whose last op is the delete marker, which
     cdc_state drops while scd2 keeps the (terminated) history row."""
-    import pyarrow.parquet as _pq
-
     from snomed_ct_entity_linking_ray.pipelines.relational import (
         SCD2_OPEN_SENTINEL,
         q_cdc_state,
@@ -206,17 +204,8 @@ def test_scd2_open_intervals_agree_with_cdc_snapshot():
     hist = q_scd2_history(SF).to_pandas()
     snap = q_cdc_state(SF).to_pandas()
     cur = hist[hist["valid_to_us"] == SCD2_OPEN_SENTINEL]
-    ev = _pq.read_table(f"{SF}/events.parquet",
-                        columns=["event_id", "user_id", "event_type"]
-                        ).to_pandas()
-    last_type = dict(
-        ev.sort_values("event_id").groupby("user_id")["event_type"].last()
-    )
     # same value for every surviving user; deleted users absent from snap
     m = cur.merge(snap, on="user_id", how="left")
-    # NOTE: event order for "last" here is event_id, which matches
-    # (ts, event_id) only if ids are ts-ordered; tie-robust check below
-    # uses the op outputs against each other, not this helper
     alive = m["op"].notna()
     assert (m.loc[alive, "value_cents_x"] == m.loc[alive, "value_cents_y"]).all()
     assert set(snap["user_id"]) <= set(cur["user_id"])
