@@ -424,6 +424,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4af: int8 serving-quant audit, marker-reset running totals
         "int8_quant_audit": vectors.q_int8_quant_audit,
         "reset_running_total": relational.q_reset_running_total,
+        # r4ag: declarative DQ expectations, per-user activity-day gaps
+        "dq_checks": relational.q_dq_checks,
+        "user_day_gaps": relational.q_user_day_gaps,
     })
 
 
@@ -3169,6 +3172,41 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN d da ON da.doc_id = p.doc_a
                    JOIN d db ON db.doc_id = p.doc_b
             GROUP BY 1, 2
+        """,
+        # r4ag: fixed expectation suite over four tables
+        "dq_checks": """
+            SELECT 'orders_totalprice_nonneg' AS rule,
+                   CAST(count(*) AS BIGINT) AS n_checked,
+                   CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem_qty_range', CAST(count(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'customer_key_unique', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+            FROM customer
+            UNION ALL
+            SELECT 'events_value_nonnull', CAST(count(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM events
+        """,
+        # r4ag: missing-day runs per user (the islands' holes)
+        "user_day_gaps": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                               CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                                   AS day
+                        FROM events)
+            SELECT user_id, gap_start, gap_end FROM (
+                SELECT user_id, day + 1 AS gap_start,
+                       lead(day) OVER (PARTITION BY user_id ORDER BY day) - 1
+                           AS gap_end
+                FROM ud)
+            WHERE gap_end >= gap_start
         """,
         # r4af: running total resetting at the error marker row
         "reset_running_total": """

@@ -286,6 +286,8 @@ def run_bench() -> dict:
         timed("top_component", vectors.q_top_component)
         timed("int8_quant_audit", vectors.q_int8_quant_audit)
         timed("reset_running_total", relational.q_reset_running_total)
+        timed("dq_checks", relational.q_dq_checks)
+        timed("user_day_gaps", relational.q_user_day_gaps)
 
     result = {
         "metric": "entity_link_e2e",

@@ -5498,3 +5498,119 @@ def q_reset_running_total(sf_dir: str):
         .groupby("_ub")
         .map_groups(bucket_run, batch_format="pandas")
     )
+
+
+# --- declarative data-quality checks -----------------------------------------
+
+def q_dq_checks(sf_dir: str):
+    """Declarative DATA-QUALITY expectation suite (the Great-Expectations
+    shape): a fixed rule list — range, domain, uniqueness, non-null —
+    each evaluated over its table in one pass, reporting checked and
+    violating row counts. The per-release gate a lake pipeline runs
+    before publishing a snapshot.
+
+    Output: (rule, n_checked, n_violations).
+
+    Scale shape: every rule is a pruned-column read + vectorized
+    predicate with per-batch (n, viol) partials; the uniqueness rule is
+    the one non-map rule and reuses ``distinct_column`` (distinct count
+    vs row count — no value list ever collects). Output is bounded by
+    the rule list."""
+    import ray.data as rd
+
+    rows = []
+
+    def scan(table: str, cols: list, viol_fn) -> tuple:
+        ds = read(sf_dir, table, cols)
+
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"n": pd.Series([], dtype=np.int64),
+                                     "v": pd.Series([], dtype=np.int64)})
+            return pd.DataFrame(
+                {"n": [np.int64(len(df))],
+                 "v": [np.int64(int(viol_fn(df).sum()))]}
+            )
+
+        p = ds.map_batches(part, batch_format="pandas").to_pandas()
+        return int(p["n"].sum()), int(p["v"].sum())
+
+    n, v = scan("orders", ["o_totalprice"],
+                lambda df: df["o_totalprice"] < 0)
+    rows.append(("orders_totalprice_nonneg", n, v))
+    n, v = scan("lineitem", ["l_quantity"],
+                lambda df: (df["l_quantity"] < 1) | (df["l_quantity"] > 50))
+    rows.append(("lineitem_qty_range", n, v))
+    # uniqueness: row count minus distinct count, both distributed
+    cds = read(sf_dir, "customer", ["c_custkey"])
+    n_rows = cds.count()
+    n_distinct = distinct_column(cds, "c_custkey").count()
+    rows.append(("customer_key_unique", n_rows, n_rows - n_distinct))
+    n, v = scan("events", ["value"], lambda df: df["value"].isna())
+    rows.append(("events_value_nonnull", n, v))
+
+    out = pd.DataFrame(rows, columns=["rule", "n_checked", "n_violations"])
+    out["n_checked"] = out["n_checked"].astype(np.int64)
+    out["n_violations"] = out["n_violations"].astype(np.int64)
+    return rd.from_pandas(out)
+
+
+# --- per-user activity-day gap detection -------------------------------------
+
+def q_user_day_gaps(sf_dir: str):
+    """Per-user ACTIVITY GAPS: the missing-day runs between each user's
+    consecutive active days — the churn-risk / sensor-outage islands
+    complement of ``q_segment_runs`` (which reports the present runs;
+    this reports the holes, as explicit [gap_start, gap_end] day
+    intervals).
+
+    Output: (user_id, gap_start, gap_end) in epoch days.
+
+    Scale shape: per-batch distinct (user, day) partials bound the
+    exchange at one row per (user, day, batch); one user-bucketed
+    combine sorts, dedups, and finds every user's gaps with a shifted
+    comparison masked at user boundaries — no per-user dispatch."""
+    ds = read(sf_dir, "events", ["user_id", "ts"])
+    n_buckets = default_buckets()
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "day", "_ub"]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64) for c in cols})[cols]
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "day": us // 86_400_000_000,
+            }
+        ).drop_duplicates()
+        out["_ub"] = _user_bucket(out["user_id"].to_numpy(np.int64), n_buckets)
+        return out[cols]
+
+    def bucket_gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        same = np.empty(len(g), dtype=bool)
+        same[:-1] = u[1:] == u[:-1]
+        same[-1] = False
+        nxt = np.empty(len(g), dtype=np.int64)
+        nxt[:-1] = d[1:]
+        nxt[-1] = 0
+        m = same & (nxt > d + 1)
+        return pd.DataFrame(
+            {
+                "user_id": u[m],
+                "gap_start": d[m] + 1,
+                "gap_end": nxt[m] - 1,
+            }
+        )
+
+    return (
+        ds.map_batches(slim, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(bucket_gaps, batch_format="pandas")
+    )

@@ -271,6 +271,9 @@ ORACLE_BACKED = [
     # r4af: int8 quant audit, marker-reset running totals
     "int8_quant_audit",
     "reset_running_total",
+    # r4ag: DQ expectations, activity-day gaps
+    "dq_checks",
+    "user_day_gaps",
 ]
 
 

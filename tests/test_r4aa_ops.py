@@ -224,3 +224,37 @@ def test_int8_quant_audit_error_bound():
     step = rng // 255 + 1
     assert (out["sse"].to_numpy(np.int64) <= n * (2 * step) ** 2).all()
     assert (out["sse"] >= 0).all()
+
+
+def test_user_day_gaps_brute_force():
+    from snomed_ct_entity_linking_ray.pipelines.relational import (
+        q_user_day_gaps,
+    )
+
+    out = q_user_day_gaps(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["day"] = (ev["ts"].astype("datetime64[us]").astype("int64")
+                 // 86_400_000_000)
+    expect = set()
+    for uid, g in ev.groupby("user_id"):
+        days = sorted(set(g["day"].astype(int)))
+        for a, b in zip(days, days[1:]):
+            if b > a + 1:
+                expect.add((int(uid), a + 1, b - 1))
+    got = set(zip(out["user_id"].astype(int), out["gap_start"].astype(int),
+                  out["gap_end"].astype(int)))
+    assert got == expect
+    assert (out["gap_end"] >= out["gap_start"]).all()
+
+
+def test_dq_checks_rules_and_counts():
+    from snomed_ct_entity_linking_ray.pipelines.relational import q_dq_checks
+
+    out = q_dq_checks(SF).to_pandas()
+    assert len(out) == 4
+    assert (out["n_violations"] >= 0).all()
+    assert (out["n_violations"] <= out["n_checked"]).all()
+    byrule = dict(zip(out["rule"], out["n_checked"]))
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])
+    assert byrule["events_value_nonnull"] == len(ev)
