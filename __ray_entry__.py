@@ -40,6 +40,9 @@ _REGATE_FROM_ROUND = {
         "latest_order_before_event", "json_field_sum",
     )
 }
+# r4x helper extraction (_ivf_probe / _pq_train) touched these two r03-green
+# paths; output-identical and rehearsal-pinned, but re-gate them in r5
+_REGATE_FROM_ROUND.update({"cosine_topk_ivf": 5, "pq_codes": 5})
 
 
 def _green_rounds() -> dict[str, int]:
