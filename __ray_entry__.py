@@ -430,6 +430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4ag: declarative DQ expectations, per-user activity-day gaps
         "dq_checks": relational.q_dq_checks,
         "user_day_gaps": relational.q_user_day_gaps,
+        # r4ah: strict two-hop fringe audit
+        "two_hop_reach": er.q_two_hop_reach,
     })
 
 
@@ -3175,6 +3177,24 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN d da ON da.doc_id = p.doc_a
                    JOIN d db ON db.doc_id = p.doc_b
             GROUP BY 1, 2
+        """,
+        # r4ah: strict two-hop neighbors (reachable in 2 hops, not 1)
+        "two_hop_reach": """
+            WITH names AS (SELECT DISTINCT p_name FROM part),
+            e AS (SELECT a.p_name na, b.p_name nb FROM names a JOIN names b
+                  ON substr(a.p_name,1,1) = substr(b.p_name,1,1)
+                 AND abs(length(a.p_name) - length(b.p_name)) <= 3
+                 AND a.p_name < b.p_name
+                  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8),
+            und AS (SELECT na, nb FROM e UNION SELECT nb, na FROM e),
+            h2 AS (SELECT DISTINCT u1.na AS src, u2.nb AS dst
+                   FROM und u1 JOIN und u2 ON u1.nb = u2.na
+                   WHERE u2.nb <> u1.na),
+            pure AS (SELECT h2.src, h2.dst FROM h2
+                     LEFT JOIN und ON und.na = h2.src AND und.nb = h2.dst
+                     WHERE und.na IS NULL)
+            SELECT src AS p_name, CAST(count(*) AS BIGINT) AS n_two_hop
+            FROM pure GROUP BY 1
         """,
         # r4ag: fixed expectation suite over four tables
         "dq_checks": """

@@ -288,6 +288,7 @@ def run_bench() -> dict:
         timed("reset_running_total", relational.q_reset_running_total)
         timed("dq_checks", relational.q_dq_checks)
         timed("user_day_gaps", relational.q_user_day_gaps)
+        timed("two_hop_reach", er.q_two_hop_reach)
 
     result = {
         "metric": "entity_link_e2e",

@@ -5807,3 +5807,43 @@ def q_progressive_er(sf_dir: str, threshold: float = 0.8,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return rd.from_pandas(out)
+
+
+# --- strict two-hop reach ----------------------------------------------------
+
+def q_two_hop_reach(sf_dir: str, threshold: float = 0.8):
+    """Strict TWO-HOP reach per node of the fuzzy-name match graph: how
+    many names are reachable in exactly two hops but NOT one (and are
+    not the node itself) — the "how much would one more transitive step
+    merge" audit that sits between direct pairs (one hop) and full
+    connected components (closure): a large two-hop fringe around a
+    node is precisely where over-merge risk concentrates
+    (``q_predicted_links`` scores these candidates; this counts them).
+
+    Output: (p_name, n_two_hop) for names with a non-empty strict
+    two-hop fringe.
+
+    Scale shape: the graph is the shared uncapped ``_fuzzy_edge_graph``
+    (edges distributed); the closure step runs on the NAME-VOCABULARY
+    adjacency — the same dictionary-bounded n×n boolean matrix the
+    ``_jw_agree_matrix`` machinery already materializes for scoring —
+    as one boolean matmul (A², mask A and I). Vocabulary-bounded by the
+    same rationale as cc_pivot / name_clusters."""
+    names, edges = _fuzzy_edge_graph(sf_dir, threshold)
+    n = len(names)
+    e = edges.to_pandas()  # <= vocabulary-bounded edge list
+    A = np.zeros((n, n), dtype=bool)
+    if len(e):
+        u = e["u"].to_numpy(np.int64)
+        v = e["v"].to_numpy(np.int64)
+        A[u, v] = True
+        A[v, u] = True
+    A2 = A @ A
+    strict = A2 & ~A
+    np.fill_diagonal(strict, False)
+    counts = strict.sum(axis=1).astype(np.int64)
+    m = counts > 0
+    name_arr = np.array(names, dtype=object)
+    return rd.from_pandas(pd.DataFrame(
+        {"p_name": name_arr[m], "n_two_hop": counts[m]}
+    ))

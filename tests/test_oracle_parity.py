@@ -274,6 +274,8 @@ ORACLE_BACKED = [
     # r4ag: DQ expectations, activity-day gaps
     "dq_checks",
     "user_day_gaps",
+    # r4ah: strict two-hop fringe
+    "two_hop_reach",
 ]
 
 

@@ -258,3 +258,29 @@ def test_dq_checks_rules_and_counts():
     byrule = dict(zip(out["rule"], out["n_checked"]))
     ev = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])
     assert byrule["events_value_nonnull"] == len(ev)
+
+
+def test_two_hop_reach_brute_force():
+    from snomed_ct_entity_linking_ray.pipelines.er import (
+        q_fuzzy_name_pairs,
+        q_two_hop_reach,
+    )
+
+    out = q_two_hop_reach(SF).to_pandas()
+    pairs = q_fuzzy_name_pairs(SF, block_cap=1 << 62).to_pandas()
+    adj: dict = {}
+    for a, b in zip(pairs["name_a"], pairs["name_b"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = dict(zip(out["p_name"], out["n_two_hop"].astype(int)))
+    for node, nbrs in adj.items():
+        two = set()
+        for nb in nbrs:
+            two |= adj[nb]
+        strict = two - nbrs - {node}
+        if strict:
+            assert got.get(node) == len(strict), node
+        else:
+            assert node not in got
+    # no nodes outside the adjacency ever appear
+    assert set(got) <= set(adj)
