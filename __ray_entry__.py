@@ -432,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_day_gaps": relational.q_user_day_gaps,
         # r4ah: strict two-hop fringe audit
         "two_hop_reach": er.q_two_hop_reach,
+        "join_size_estimate": relational.q_join_size_estimate,
     })
 
 
@@ -3177,6 +3178,17 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN d da ON da.doc_id = p.doc_a
                    JOIN d db ON db.doc_id = p.doc_b
             GROUP BY 1, 2
+        """,
+        # r4ah: exact join cardinality from per-key degree products
+        "join_size_estimate": """
+            WITH do_ AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS d
+                         FROM orders GROUP BY 1),
+            dl AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS d
+                   FROM lineitem GROUP BY 1)
+            SELECT CAST(SUM(do_.d * dl.d) AS BIGINT) AS join_size,
+                   CAST((SELECT count(*) FROM do_) AS BIGINT) AS n_left_keys,
+                   CAST((SELECT count(*) FROM dl) AS BIGINT) AS n_right_keys
+            FROM do_ JOIN dl ON do_.k = dl.k
         """,
         # r4ah: strict two-hop neighbors (reachable in 2 hops, not 1)
         "two_hop_reach": """

@@ -289,6 +289,7 @@ def run_bench() -> dict:
         timed("dq_checks", relational.q_dq_checks)
         timed("user_day_gaps", relational.q_user_day_gaps)
         timed("two_hop_reach", er.q_two_hop_reach)
+        timed("join_size_estimate", relational.q_join_size_estimate)
 
     result = {
         "metric": "entity_link_e2e",

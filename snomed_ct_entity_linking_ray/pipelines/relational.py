@@ -5614,3 +5614,87 @@ def q_user_day_gaps(sf_dir: str):
         .groupby("_ub")
         .map_groups(bucket_gaps, batch_format="pandas")
     )
+
+
+# --- join-size estimation from degree sketches -------------------------------
+
+def q_join_size_estimate(sf_dir: str):
+    """JOIN-SIZE computation WITHOUT running the join — the cost-based-
+    optimizer primitive: |A ⋈_k B| = Σ_k d_A(k)·d_B(k) exactly, from the
+    two per-key degree tables (orders ⋈ lineitem on orderkey here). An
+    optimizer consults this before choosing broadcast vs shuffle; the
+    same machinery with SKETCHED degrees (the kmv/hll family) gives the
+    approximate variant at planning time.
+
+    Output: one row (join_size, n_left_keys, n_right_keys).
+
+    Scale shape: two ``grouped_sums`` count passes (map-side combined),
+    then ONE key-bucketed co-group over slim (key, degree, side) rows —
+    the product-sum and both key counts come out of the same vectorized
+    merge per bucket; the driver folds n_buckets partial rows. The fact
+    rows themselves never meet."""
+    import ray.data as rd
+
+    do_ = grouped_sums(
+        read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+            lambda df: pd.DataFrame(
+                {"k": df["o_orderkey"].to_numpy(np.int64)}),
+            batch_format="pandas"),
+        ["k"], sums={}, count_as="d",
+    )
+    dl = grouped_sums(
+        read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+            lambda df: pd.DataFrame(
+                {"k": df["l_orderkey"].to_numpy(np.int64)}),
+            batch_format="pandas"),
+        ["k"], sums={}, count_as="d",
+    )
+    n_buckets = default_buckets()
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {"k": pd.Series([], dtype=np.int64),
+                     "d": pd.Series([], dtype=np.int64),
+                     "side": pd.Series([], dtype=np.int64),
+                     "_kb": pd.Series([], dtype=np.int64)})
+            out = pd.DataFrame(
+                {"k": df["k"].to_numpy(np.int64),
+                 "d": df["d"].to_numpy(np.int64),
+                 "side": np.int64(side)}
+            )
+            out["_kb"] = _user_bucket(out["k"].to_numpy(np.int64), n_buckets)
+            return out
+        return fn
+
+    both = do_.map_batches(tag(0), batch_format="pandas").union(
+        dl.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def bucket_product(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0][["k", "d"]]
+        b = g[g["side"] == 1][["k", "d"]]
+        m = a.merge(b, on="k", suffixes=("_a", "_b"))
+        return pd.DataFrame(
+            {
+                "js": [np.int64(
+                    (m["d_a"].to_numpy(np.int64)
+                     * m["d_b"].to_numpy(np.int64)).sum())],
+                "nl": [np.int64(len(a))],
+                "nr": [np.int64(len(b))],
+            }
+        )
+
+    p = (
+        both.groupby("_kb")
+        .map_groups(bucket_product, batch_format="pandas")
+        .to_pandas()  # <= n_buckets rows
+    )
+    return rd.from_pandas(pd.DataFrame(
+        {
+            "join_size": [np.int64(p["js"].sum())],
+            "n_left_keys": [np.int64(p["nl"].sum())],
+            "n_right_keys": [np.int64(p["nr"].sum())],
+        }
+    ))

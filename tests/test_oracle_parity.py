@@ -274,8 +274,9 @@ ORACLE_BACKED = [
     # r4ag: DQ expectations, activity-day gaps
     "dq_checks",
     "user_day_gaps",
-    # r4ah: strict two-hop fringe
+    # r4ah: strict two-hop fringe + join-size estimation
     "two_hop_reach",
+    "join_size_estimate",
 ]
 
 

@@ -284,3 +284,19 @@ def test_two_hop_reach_brute_force():
             assert node not in got
     # no nodes outside the adjacency ever appear
     assert set(got) <= set(adj)
+
+
+def test_join_size_estimate_equals_actual_join():
+    from snomed_ct_entity_linking_ray.pipelines.relational import (
+        q_join_size_estimate,
+    )
+
+    out = q_join_size_estimate(SF).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderkey"]).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey"]).to_pandas()
+    actual = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    assert int(out["join_size"].iloc[0]) == len(actual)
+    assert int(out["n_left_keys"].iloc[0]) == orders["o_orderkey"].nunique()
+    assert int(out["n_right_keys"].iloc[0]) == li["l_orderkey"].nunique()
