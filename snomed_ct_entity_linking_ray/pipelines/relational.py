@@ -5588,7 +5588,16 @@ def q_user_day_gaps(sf_dir: str):
         out["_ub"] = _user_bucket(out["user_id"].to_numpy(np.int64), n_buckets)
         return out[cols]
 
-    def bucket_gaps(g: pd.DataFrame) -> pd.DataFrame:
+    gap_schema = pa.schema(
+        [("user_id", pa.int64()), ("gap_start", pa.int64()),
+         ("gap_end", pa.int64())]
+    )
+
+    def bucket_gaps(g: pd.DataFrame) -> pa.Table:
+        # pa.Table with an EXPLICIT schema: an all-gap-free bucket emits
+        # an empty block, and pandas empty frames can drop column schema
+        # on the block boundary (observed: the driver compare then sees a
+        # column-less empty result where the oracle has named columns)
         g = g.drop_duplicates(["user_id", "day"]).sort_values(
             ["user_id", "day"], kind="mergesort"
         )
@@ -5601,12 +5610,13 @@ def q_user_day_gaps(sf_dir: str):
         nxt[:-1] = d[1:]
         nxt[-1] = 0
         m = same & (nxt > d + 1)
-        return pd.DataFrame(
+        return pa.Table.from_pydict(
             {
                 "user_id": u[m],
                 "gap_start": d[m] + 1,
                 "gap_end": nxt[m] - 1,
-            }
+            },
+            schema=gap_schema,
         )
 
     return (

@@ -34,6 +34,12 @@ def _run_pair(name: str, table: str, df: pd.DataFrame):
                        os.path.join(d, f"{table}.parquet"))
         res = qs[name](d)
         rdf = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+        if len(rdf) == 0 and len(rdf.columns) == 0 and hasattr(res, "schema"):
+            # Ray quirk: Dataset.to_pandas() on an all-empty dataset
+            # returns a COLUMN-LESS frame even when the Dataset schema is
+            # intact — rebuild the empty frame from the schema
+            rdf = pd.DataFrame({n: pd.Series([], dtype=object)
+                                for n in res.schema().names})
         con = duckdb.connect()
         con.execute(
             f"CREATE VIEW {table} AS SELECT * FROM "
@@ -173,3 +179,60 @@ def test_dense_hourly_and_quantile_sketch_random_events(rows):
     )
     _run_pair("dense_hourly", "events", df)
     _run_pair("quantile_sketch", "events", df)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10 ** 7),
+                  st.sampled_from(["click", "error"]),
+                  st.floats(0, 50, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_reset_running_total_random_logs(rows):
+    """Random marker placement (including marker-first and all-marker
+    users) through both engines."""
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows), dtype=np.int64),
+            "ts": pd.to_datetime(
+                np.array([r[1] for r in rows], dtype=np.int64) * 1000,
+                unit="us",
+            ),
+            "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "event_type": [r[2] for r in rows],
+            "value": np.array([round(r[3], 2) for r in rows]),
+            "props": "{}",
+        }
+    )
+    _run_pair("reset_running_total", "events", df)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_user_day_gaps_random_days(rows):
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows), dtype=np.int64),
+            "ts": pd.to_datetime(
+                np.array([r[1] for r in rows], dtype=np.int64)
+                * 86_400_000_000,
+                unit="us",
+            ),
+            "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    _run_pair("user_day_gaps", "events", df)
