@@ -433,6 +433,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4ah: strict two-hop fringe audit
         "two_hop_reach": er.q_two_hop_reach,
         "join_size_estimate": relational.q_join_size_estimate,
+        # r4ai: vocabulary histogram-intersection source matrix
+        "source_similarity": text.q_source_similarity,
     })
 
 
@@ -3177,6 +3179,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_pairs
             FROM p JOIN d da ON da.doc_id = p.doc_a
                    JOIN d db ON db.doc_id = p.doc_b
+            GROUP BY 1, 2
+        """,
+        # r4ai: histogram-intersection kernel over (source, word) counts
+        "source_similarity": """
+            WITH wc AS (SELECT source, unnest(string_split(text, ' '))
+                            AS word
+                        FROM documents),
+            h AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+                  FROM wc WHERE word <> '' GROUP BY 1, 2)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(SUM(least(a.c, b.c)) AS BIGINT) AS intersection
+            FROM h a JOIN h b ON a.word = b.word AND a.source < b.source
             GROUP BY 1, 2
         """,
         # r4ah: exact join cardinality from per-key degree products

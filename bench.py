@@ -290,6 +290,7 @@ def run_bench() -> dict:
         timed("user_day_gaps", relational.q_user_day_gaps)
         timed("two_hop_reach", er.q_two_hop_reach)
         timed("join_size_estimate", relational.q_join_size_estimate)
+        timed("source_similarity", text.q_source_similarity)
 
     result = {
         "metric": "entity_link_e2e",

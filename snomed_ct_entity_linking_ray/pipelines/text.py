@@ -1367,3 +1367,61 @@ def q_rake_phrases(sf_dir: str):
         )[cols]
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# --- cross-source vocabulary-distribution similarity -------------------------
+
+def q_source_similarity(sf_dir: str):
+    """Histogram-INTERSECTION similarity between every pair of sources'
+    word-count distributions — the distribution-drift / source-overlap
+    matrix on the VOCABULARY axis (``source_overlap`` counts verified
+    near-dup pairs; this measures how similar two sources *read* even
+    with zero duplicated documents): Σ_w min(c_a(w), c_b(w)), exact
+    integer, the unnormalized histogram-intersection kernel.
+
+    Output: (source_a, source_b, intersection) with source_a < source_b.
+
+    Scale shape: one ``grouped_sums`` pass collapses the corpus to the
+    (source, word) count table — bounded by vocabulary × source
+    vocabulary, not corpus size — and the pairwise min-sum folds that
+    bounded table driver-side. No pair of documents ever meets."""
+    import ray.data as rd
+
+    ds = read(sf_dir, "documents", ["source", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "word": pd.Series([], dtype=object)})
+        toks = df["text"].astype(str).str.split()
+        lens = toks.str.len().to_numpy(np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "word": pd.Series([], dtype=object)})
+        return pd.DataFrame(
+            {
+                "source": np.repeat(df["source"].to_numpy(object), lens),
+                "word": np.concatenate([t for t in toks if len(t)]),
+            }
+        )
+
+    h = grouped_sums(
+        ds.map_batches(explode, batch_format="pandas"),
+        ["source", "word"],
+        sums={},
+        count_as="c",
+    ).to_pandas()  # <= |vocab| x |sources| rows
+
+    piv = h.pivot_table(index="word", columns="source", values="c",
+                        fill_value=0)
+    srcs = sorted(piv.columns)
+    M = piv[srcs].to_numpy(np.int64)
+    rows = []
+    for i, sa in enumerate(srcs):
+        for j in range(i + 1, len(srcs)):
+            rows.append(
+                (sa, srcs[j], int(np.minimum(M[:, i], M[:, j]).sum()))
+            )
+    out = pd.DataFrame(rows, columns=["source_a", "source_b", "intersection"])
+    out["intersection"] = out["intersection"].astype(np.int64)
+    return rd.from_pandas(out)

@@ -277,6 +277,8 @@ ORACLE_BACKED = [
     # r4ah: strict two-hop fringe + join-size estimation
     "two_hop_reach",
     "join_size_estimate",
+    # r4ai: source vocabulary similarity
+    "source_similarity",
 ]
 
 

@@ -300,3 +300,31 @@ def test_join_size_estimate_equals_actual_join():
     assert int(out["join_size"].iloc[0]) == len(actual)
     assert int(out["n_left_keys"].iloc[0]) == orders["o_orderkey"].nunique()
     assert int(out["n_right_keys"].iloc[0]) == li["l_orderkey"].nunique()
+
+
+def test_source_similarity_brute_force():
+    from snomed_ct_entity_linking_ray.pipelines.text import (
+        q_source_similarity,
+    )
+
+    out = q_source_similarity(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    from collections import Counter
+    hist: dict = {}
+    for src, g in docs.groupby("source"):
+        c: Counter = Counter()
+        for t in g["text"]:
+            c.update(w for w in str(t).split() if w)
+        hist[src] = c
+    srcs = sorted(hist)
+    got = {(r["source_a"], r["source_b"]): int(r["intersection"])
+           for _, r in out.iterrows()}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = sum(min(hist[a][w], hist[b][w]) for w in hist[a])
+            assert got.get((a, b), 0) == inter
+    # symmetry bound: intersection <= min(total mass)
+    totals = {s: sum(hist[s].values()) for s in srcs}
+    for (a, b), v in got.items():
+        assert v <= min(totals[a], totals[b])
