@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_estimate": relational.q_join_size_estimate,
         # r4ai: vocabulary histogram-intersection source matrix
         "source_similarity": text.q_source_similarity,
+        "blocking_compare": er.q_blocking_compare,
     })
 
 
@@ -3180,6 +3181,75 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN d da ON da.doc_id = p.doc_a
                    JOIN d db ON db.doc_id = p.doc_b
             GROUP BY 1, 2
+        """,
+        # r4ai: candidate blocking schemes' RR/PC trade-off table
+        "blocking_compare": """
+            WITH t AS (SELECT substr(p_name,1,1) AS ch, p_brand, p_size,
+                              p_type
+                       FROM part),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+            tr AS (SELECT CAST(SUM(n*(n-1)//2) AS BIGINT) AS tp
+                   FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM t
+                         GROUP BY p_type)),
+            s_ch_brand AS (SELECT 'ch_brand' AS scheme,
+                (SELECT CAST(SUM(n*(n-1)//2) AS BIGINT)
+                 FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM t
+                       GROUP BY ch, p_brand)) AS blocked_pairs,
+                (SELECT CAST(SUM(n*(n-1)//2) AS BIGINT)
+                 FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM t
+                       GROUP BY ch, p_brand, p_type)) AS true_blocked_pairs),
+            s_ch AS (SELECT 'ch' AS scheme,
+                (SELECT CAST(SUM(n*(n-1)//2) AS BIGINT)
+                 FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM t
+                       GROUP BY ch)) AS blocked_pairs,
+                (SELECT CAST(SUM(n*(n-1)//2) AS BIGINT)
+                 FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM t
+                       GROUP BY ch, p_type)) AS true_blocked_pairs),
+            s_brand_size AS (SELECT 'brand_size' AS scheme,
+                (SELECT CAST(SUM(n*(n-1)//2) AS BIGINT)
+                 FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM t
+                       GROUP BY p_brand, p_size)) AS blocked_pairs,
+                (SELECT CAST(SUM(n*(n-1)//2) AS BIGINT)
+                 FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM t
+                       GROUP BY p_brand, p_size, p_type))
+                    AS true_blocked_pairs),
+            s_size AS (SELECT 'size' AS scheme,
+                (SELECT CAST(SUM(n*(n-1)//2) AS BIGINT)
+                 FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM t
+                       GROUP BY p_size)) AS blocked_pairs,
+                (SELECT CAST(SUM(n*(n-1)//2) AS BIGINT)
+                 FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM t
+                       GROUP BY p_size, p_type)) AS true_blocked_pairs)
+            SELECT s_ch_brand.scheme, s_ch_brand.blocked_pairs,
+                   s_ch_brand.true_blocked_pairs,
+                   CAST((tot.n*(tot.n-1)//2 - s_ch_brand.blocked_pairs)
+                        * 1000000 // (tot.n*(tot.n-1)//2) AS BIGINT)
+                       AS rr_micro,
+                   CAST(s_ch_brand.true_blocked_pairs * 1000000 // tr.tp
+                        AS BIGINT) AS pc_micro
+            FROM s_ch_brand, tot, tr
+            UNION ALL
+            SELECT s_ch.scheme, s_ch.blocked_pairs, s_ch.true_blocked_pairs,
+                   CAST((tot.n*(tot.n-1)//2 - s_ch.blocked_pairs)
+                        * 1000000 // (tot.n*(tot.n-1)//2) AS BIGINT),
+                   CAST(s_ch.true_blocked_pairs * 1000000 // tr.tp AS BIGINT)
+            FROM s_ch, tot, tr
+            UNION ALL
+            SELECT s_brand_size.scheme, s_brand_size.blocked_pairs,
+                   s_brand_size.true_blocked_pairs,
+                   CAST((tot.n*(tot.n-1)//2 - s_brand_size.blocked_pairs)
+                        * 1000000 // (tot.n*(tot.n-1)//2) AS BIGINT),
+                   CAST(s_brand_size.true_blocked_pairs * 1000000 // tr.tp
+                        AS BIGINT)
+            FROM s_brand_size, tot, tr
+            UNION ALL
+            SELECT s_size.scheme, s_size.blocked_pairs,
+                   s_size.true_blocked_pairs,
+                   CAST((tot.n*(tot.n-1)//2 - s_size.blocked_pairs)
+                        * 1000000 // (tot.n*(tot.n-1)//2) AS BIGINT),
+                   CAST(s_size.true_blocked_pairs * 1000000 // tr.tp
+                        AS BIGINT)
+            FROM s_size, tot, tr
         """,
         # r4ai: histogram-intersection kernel over (source, word) counts
         "source_similarity": """

@@ -291,6 +291,7 @@ def run_bench() -> dict:
         timed("two_hop_reach", er.q_two_hop_reach)
         timed("join_size_estimate", relational.q_join_size_estimate)
         timed("source_similarity", text.q_source_similarity)
+        timed("blocking_compare", er.q_blocking_compare)
 
     result = {
         "metric": "entity_link_e2e",

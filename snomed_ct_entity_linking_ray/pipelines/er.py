@@ -5847,3 +5847,78 @@ def q_two_hop_reach(sf_dir: str, threshold: float = 0.8):
     return rd.from_pandas(pd.DataFrame(
         {"p_name": name_arr[m], "n_two_hop": counts[m]}
     ))
+
+
+# --- blocking-scheme comparison ----------------------------------------------
+
+BLOCKING_SCHEMES = [
+    ("ch_brand", ["ch", "p_brand"]),
+    ("ch", ["ch"]),
+    ("brand_size", ["p_brand", "p_size"]),
+    ("size", ["p_size"]),
+]
+
+
+def q_blocking_compare(sf_dir: str):
+    """Blocking-scheme SELECTION table: the reduction-ratio /
+    pairs-completeness trade-off of several CANDIDATE schemes side by
+    side (``q_blocking_metrics`` scores the production scheme; this is
+    the step before it — which scheme to adopt). Ratios are floor
+    micro-units so the comparison is exact in both engines.
+
+    Output: (scheme, blocked_pairs, true_blocked_pairs, rr_micro,
+    pc_micro) — one row per scheme.
+
+    Scale shape: ONE ``grouped_sums`` count pass at the FINEST key
+    (every scheme attribute × the truth attribute, all dictionary-
+    bounded, so the count table is tiny at any corpus size); every
+    scheme's blocked and true-blocked pair sums are marginal n(n−1)/2
+    aggregations of that one table driver-side — candidate schemes cost
+    no extra corpus passes."""
+    ds = read(sf_dir, "part", ["p_name", "p_brand", "p_size", "p_type"])
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "ch": df["p_name"].astype(str).str[:1],
+                "p_brand": df["p_brand"].astype(str),
+                "p_size": df["p_size"].to_numpy(np.int64),
+                "p_type": df["p_type"].astype(str),
+            }
+        )
+
+    fine = grouped_sums(
+        ds.map_batches(slim, batch_format="pandas"),
+        ["ch", "p_brand", "p_size", "p_type"],
+        sums={},
+        count_as="n",
+    ).to_pandas()  # <= product of dictionary-bounded attribute vocabularies
+
+    def pair_sum(df: pd.DataFrame, keys: list) -> int:
+        g = df.groupby(keys)["n"].sum()
+        return int((g * (g - 1) // 2).sum())
+
+    n_total = int(fine["n"].sum())
+    total_pairs = n_total * (n_total - 1) // 2
+    tp = pair_sum(fine, ["p_type"])
+    rows = []
+    for name, keys in BLOCKING_SCHEMES:
+        bp = pair_sum(fine, keys)
+        tbp = pair_sum(fine, keys + ["p_type"])
+        rows.append(
+            (
+                name,
+                bp,
+                tbp,
+                (total_pairs - bp) * 1_000_000 // total_pairs,
+                tbp * 1_000_000 // tp,
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=["scheme", "blocked_pairs", "true_blocked_pairs",
+                 "rr_micro", "pc_micro"],
+    )
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return rd.from_pandas(out)

@@ -277,8 +277,9 @@ ORACLE_BACKED = [
     # r4ah: strict two-hop fringe + join-size estimation
     "two_hop_reach",
     "join_size_estimate",
-    # r4ai: source vocabulary similarity
+    # r4ai: source vocabulary similarity + blocking-scheme table
     "source_similarity",
+    "blocking_compare",
 ]
 
 

@@ -328,3 +328,26 @@ def test_source_similarity_brute_force():
     totals = {s: sum(hist[s].values()) for s in srcs}
     for (a, b), v in got.items():
         assert v <= min(totals[a], totals[b])
+
+
+def test_blocking_compare_invariants():
+    from snomed_ct_entity_linking_ray.pipelines.er import (
+        BLOCKING_SCHEMES,
+        q_blocking_compare,
+        q_blocking_metrics,
+    )
+
+    out = q_blocking_compare(SF).to_pandas()
+    assert list(out["scheme"]) == [n for n, _ in BLOCKING_SCHEMES]
+    assert (out["true_blocked_pairs"] <= out["blocked_pairs"]).all()
+    assert out["rr_micro"].between(0, 1_000_000).all()
+    assert out["pc_micro"].between(0, 1_000_000).all()
+    # finer schemes block no more pairs than their coarser prefix scheme
+    by = dict(zip(out["scheme"], out["blocked_pairs"].astype(int)))
+    assert by["ch_brand"] <= by["ch"]
+    assert by["brand_size"] <= by["size"]
+    # the production (ch, brand) row agrees with q_blocking_metrics
+    bm = q_blocking_metrics(SF).to_pandas().iloc[0]
+    row = out[out["scheme"] == "ch_brand"].iloc[0]
+    assert int(row["blocked_pairs"]) == int(bm["blocked_pairs"])
+    assert int(row["true_blocked_pairs"]) == int(bm["true_blocked_pairs"])
