@@ -280,6 +280,25 @@ ORACLE_BACKED = [
     # r4ai: source vocabulary similarity + blocking-scheme table
     "source_similarity",
     "blocking_compare",
+    # r1-era queries with standing driver rows — added for rehearsal
+    # completeness so EVERY registered query re-verifies at sf0.01
+    "cosine_topk",
+    "customers_per_region",
+    "customers_without_events",
+    "dedup_exact",
+    "doc_stats",
+    "embedding_neardup_pairs",
+    "filter_revenue",
+    "fingerprint",
+    "hourly_user_activity",
+    "orders_by_segment",
+    "parts_with_orders",
+    "pricing_summary",
+    "term_match_first",
+    "token_count",
+    "top_orders",
+    "top_orders_per_segment",
+    "unigrams",
 ]
 
 
