@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4ai: vocabulary histogram-intersection source matrix
         "source_similarity": text.q_source_similarity,
         "blocking_compare": er.q_blocking_compare,
+        "ks_lengths": text.q_ks_lengths,
     })
 
 
@@ -539,6 +540,7 @@ def oracle_sql() -> dict[str, str]:
             "progressive_er",
             "top_component",
             "int8_quant_audit",
+            "ks_lengths",
         )
     }
 

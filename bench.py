@@ -292,6 +292,7 @@ def run_bench() -> dict:
         timed("join_size_estimate", relational.q_join_size_estimate)
         timed("source_similarity", text.q_source_similarity)
         timed("blocking_compare", er.q_blocking_compare)
+        timed("ks_lengths", text.q_ks_lengths)
 
     result = {
         "metric": "entity_link_e2e",

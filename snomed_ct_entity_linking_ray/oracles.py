@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from . import fixtures
 
-ORACLE_VERSION = 43  # r4af: + int8_quant_audit
+ORACLE_VERSION = 44  # r4ai: + ks_lengths
 
 # mirror of pipelines.entity_link constants (the contract under test)
 THETA = 0.995
@@ -123,6 +123,7 @@ def _generate_all(sf_dir: str, fdir: str, tmp: str) -> None:
         "progressive_er": lambda: _progressive_er(sf_dir),
         "top_component": lambda: _top_component(sf_dir),
         "int8_quant_audit": lambda: _int8_quant_audit(sf_dir),
+        "ks_lengths": lambda: _ks_lengths(sf_dir),
         "knn_join": lambda: _knn_join(sf_dir),
     }
     for name, build in writers.items():
@@ -2315,5 +2316,41 @@ def _int8_quant_audit(sf_dir: str) -> pa.Table:
             "lo_q": pa.array(lo.tolist(), pa.int64()),
             "hi_q": pa.array(hi.tolist(), pa.int64()),
             "sse": pa.array(sse.tolist(), pa.int64()),
+        }
+    )
+
+
+def _ks_lengths(sf_dir: str) -> pa.Table:
+    """Single-process mirror of pipelines.text.q_ks_lengths: plain dict
+    histograms per source, CDF walk over the union of observed lengths,
+    integer cross-multiplied max gap."""
+    t = _read(sf_dir, "documents").select(["source", "n_chars"])
+    hist: dict = {}
+    for s, L in zip(t["source"].to_pylist(), t["n_chars"].to_pylist()):
+        hist.setdefault(s, {})
+        hist[s][int(L)] = hist[s].get(int(L), 0) + 1
+    srcs = sorted(hist)
+    lengths = sorted(set(k for h in hist.values() for k in h))
+    a_o, b_o, k_o, d_o = [], [], [], []
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            na = sum(hist[sa].values())
+            nb = sum(hist[sb].values())
+            ca = cb = 0
+            best = 0
+            for L in lengths:
+                ca += hist[sa].get(L, 0)
+                cb += hist[sb].get(L, 0)
+                best = max(best, abs(ca * nb - cb * na))
+            a_o.append(sa)
+            b_o.append(sb)
+            k_o.append(best)
+            d_o.append(na * nb)
+    return pa.table(
+        {
+            "source_a": pa.array(a_o, pa.string()),
+            "source_b": pa.array(b_o, pa.string()),
+            "ks_num": pa.array(k_o, pa.int64()),
+            "denom": pa.array(d_o, pa.int64()),
         }
     )

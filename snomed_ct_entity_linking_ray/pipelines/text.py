@@ -1425,3 +1425,55 @@ def q_source_similarity(sf_dir: str):
     out = pd.DataFrame(rows, columns=["source_a", "source_b", "intersection"])
     out["intersection"] = out["intersection"].astype(np.int64)
     return rd.from_pandas(out)
+
+
+# --- exact two-sample KS distance between source length distributions --------
+
+def q_ks_lengths(sf_dir: str):
+    """Exact two-sample KOLMOGOROV-SMIRNOV distance between every pair
+    of sources' document-length distributions — the distribution-drift
+    test on the LENGTH axis (``source_similarity`` compares vocabulary;
+    this detects a source whose documents got longer/shorter, the
+    classic crawl-change symptom). The statistic is kept EXACT in
+    integers: KS = max_x |F_a(x) − F_b(x)| cross-multiplies to
+    ks_num = max |cum_a(x)·n_b − cum_b(x)·n_a| over the union of
+    observed lengths, with denominator n_a·n_b.
+
+    Output: (source_a, source_b, ks_num, denom) with
+    KS = ks_num / denom.
+
+    Scale shape: one ``grouped_sums`` pass collapses the corpus to the
+    (source, n_chars) count table — bounded by the length DOMAIN ×
+    source vocabulary, not corpus size — and the pairwise CDF walk runs
+    on that bounded table driver-side via vectorized cumsums."""
+    import ray.data as rd
+
+    ds = read(sf_dir, "documents", ["source", "n_chars"])
+
+    h = grouped_sums(
+        ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"source": df["source"].astype(str),
+                 "n_chars": df["n_chars"].to_numpy(np.int64)}),
+            batch_format="pandas"),
+        ["source", "n_chars"],
+        sums={},
+        count_as="c",
+    ).to_pandas()  # <= |length domain| x |sources| rows
+
+    piv = h.pivot_table(index="n_chars", columns="source", values="c",
+                        fill_value=0).sort_index()
+    srcs = sorted(piv.columns)
+    M = piv[srcs].to_numpy(np.int64)
+    cum = np.cumsum(M, axis=0)          # CDF numerators per source
+    n = cum[-1]                          # totals per source
+    rows = []
+    for i, sa in enumerate(srcs):
+        for j in range(i + 1, len(srcs)):
+            ks = int(np.abs(cum[:, i] * n[j] - cum[:, j] * n[i]).max())
+            rows.append((sa, srcs[j], ks, int(n[i] * n[j])))
+    out = pd.DataFrame(rows, columns=["source_a", "source_b", "ks_num",
+                                      "denom"])
+    out["ks_num"] = out["ks_num"].astype(np.int64)
+    out["denom"] = out["denom"].astype(np.int64)
+    return rd.from_pandas(out)

@@ -277,9 +277,10 @@ ORACLE_BACKED = [
     # r4ah: strict two-hop fringe + join-size estimation
     "two_hop_reach",
     "join_size_estimate",
-    # r4ai: source vocabulary similarity + blocking-scheme table
+    # r4ai: source vocabulary similarity + blocking-scheme table + KS
     "source_similarity",
     "blocking_compare",
+    "ks_lengths",
     # r1-era queries with standing driver rows — added for rehearsal
     # completeness so EVERY registered query re-verifies at sf0.01
     "cosine_topk",

@@ -351,3 +351,27 @@ def test_blocking_compare_invariants():
     row = out[out["scheme"] == "ch_brand"].iloc[0]
     assert int(row["blocked_pairs"]) == int(bm["blocked_pairs"])
     assert int(row["true_blocked_pairs"]) == int(bm["true_blocked_pairs"])
+
+
+def test_ks_lengths_scipy_free_brute_force():
+    from snomed_ct_entity_linking_ray.pipelines.text import q_ks_lengths
+
+    out = q_ks_lengths(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "n_chars"]).to_pandas()
+    srcs = sorted(docs["source"].unique())
+    assert len(out) == len(srcs) * (len(srcs) - 1) // 2
+    got = {(r["source_a"], r["source_b"]): (int(r["ks_num"]), int(r["denom"]))
+           for _, r in out.iterrows()}
+    import numpy as _np
+    for i, a in enumerate(srcs):
+        la = _np.sort(docs.loc[docs["source"] == a, "n_chars"].to_numpy())
+        for b in srcs[i + 1:]:
+            lb = _np.sort(docs.loc[docs["source"] == b, "n_chars"].to_numpy())
+            xs = _np.unique(_np.concatenate([la, lb]))
+            ca = _np.searchsorted(la, xs, side="right")
+            cb = _np.searchsorted(lb, xs, side="right")
+            ks = int(_np.abs(ca * len(lb) - cb * len(la)).max())
+            assert got[(a, b)] == (ks, len(la) * len(lb))
+            # KS in [0, 1]
+            assert 0 <= ks <= len(la) * len(lb)
