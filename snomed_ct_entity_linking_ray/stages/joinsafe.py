@@ -50,6 +50,23 @@ from __future__ import annotations
 
 from typing import List
 
+import ray
+
+# ---- Ray version pin (VERDICT r4 #7) -----------------------------------
+# Everything below reaches into ray.data._internal — private modules whose
+# layout is only verified against the Ray version this patch was written
+# (and its empty-side deadlock reproduced) on. An untested Ray upgrade must
+# fail HERE, loudly, not deep inside a planner call at job time.
+_TESTED_RAY_VERSIONS = ("2.49.2",)
+if ray.__version__ not in _TESTED_RAY_VERSIONS:  # pragma: no cover
+    raise ImportError(
+        f"joinsafe: Ray {ray.__version__} is not one of the versions this "
+        f"planner patch was validated against {_TESTED_RAY_VERSIONS}. "
+        "Re-verify the upstream empty-side join defect (see module "
+        "docstring) and the ray.data._internal import paths below, then "
+        "add the version to _TESTED_RAY_VERSIONS."
+    )
+
 from ray.data import DataContext
 from ray.data._internal.execution.interfaces import PhysicalOperator
 from ray.data._internal.execution.operators.join import (
