@@ -1902,8 +1902,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_field_sum": """
             SELECT event_type,
-                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                        AS BIGINT) AS sum_k,
+                   CAST(COALESCE(
+                        SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)),
+                        0) AS BIGINT) AS sum_k,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY 1
         """,

@@ -6066,6 +6066,15 @@ def q_blocking_compare(sf_dir: str):
     n_total = int(fine["n"].sum())
     total_pairs = n_total * (n_total - 1) // 2
     tp = pair_sum(fine, ["p_type"])
+    if total_pairs == 0 or tp == 0:
+        # 0- or 1-row table, or no same-type pair: every ratio's
+        # denominator vanishes — empty typed frame (ADVICE r4, the
+        # dense_hourly/decile_lift empty-table discipline; explicit
+        # Arrow schema so the empty block keeps its columns)
+        return rd.from_arrow(pa.Table.from_arrays(
+            [pa.array([], pa.string())] + [pa.array([], pa.int64())] * 4,
+            names=["scheme", "blocked_pairs", "true_blocked_pairs",
+                   "rr_micro", "pc_micro"]))
     rows = []
     for name, keys in BLOCKING_SCHEMES:
         bp = pair_sum(fine, keys)

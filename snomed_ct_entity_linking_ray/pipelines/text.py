@@ -1412,8 +1412,12 @@ def q_source_similarity(sf_dir: str):
         count_as="c",
     ).to_pandas()  # <= |vocab| x |sources| rows
 
+    # aggfunc='sum' keeps the path integer-exact (ADVICE r4: the default
+    # 'mean' routes int64 through float64 — exact only below 2^53 and only
+    # because post-grouped_sums (source, word) rows are unique; 'sum' makes
+    # both the exactness and the uniqueness assumption explicit)
     piv = h.pivot_table(index="word", columns="source", values="c",
-                        fill_value=0)
+                        aggfunc="sum", fill_value=0)
     srcs = sorted(piv.columns)
     M = piv[srcs].to_numpy(np.int64)
     rows = []
@@ -1461,8 +1465,10 @@ def q_ks_lengths(sf_dir: str):
         count_as="c",
     ).to_pandas()  # <= |length domain| x |sources| rows
 
+    # aggfunc='sum': integer-exact (same ADVICE r4 rationale as
+    # q_source_similarity's pivot)
     piv = h.pivot_table(index="n_chars", columns="source", values="c",
-                        fill_value=0).sort_index()
+                        aggfunc="sum", fill_value=0).sort_index()
     srcs = sorted(piv.columns)
     M = piv[srcs].to_numpy(np.int64)
     cum = np.cumsum(M, axis=0)          # CDF numerators per source

@@ -1433,6 +1433,11 @@ def q_kcenter_coreset(sf_dir: str, k: int = KCENTER_K):
         top = fold(tree_to_pandas(
             slim.map_batches(far_partial(c_ref), batch_format="pandas"), fold
         ))
+        if len(top) == 0:
+            # corpus has fewer than k vectors: every remaining point is
+            # already a center — emit the available ones (ADVICE r4;
+            # previously an IndexError on top['vec_id'].iloc[0])
+            break
         pick = int(top["vec_id"].iloc[0])
         dist = int(top["min_dist"].iloc[0])
         # bounded fetch of the picked vector: one pruned point read
