@@ -43,6 +43,46 @@ _REGATE_FROM_ROUND = {
 # r4x helper extraction (_ivf_probe / _pq_train) touched these two r03-green
 # paths; output-identical and rehearsal-pinned, but re-gate them in r5
 _REGATE_FROM_ROUND.update({"cosine_topk_ivf": 5, "pq_codes": 5})
+# r5 rewrites (VERDICT r4 #2/#3/#4 + ADVICE r4): the fuzzy-graph family's
+# distributed id assignment + DuckDB-kernel scoring, ann_recall's
+# broadcast join, and the edge-case guards — all rehearsal-pinned
+# output-identical on the fixtures, but their r4 rows predate the change
+_REGATE_FROM_ROUND.update({
+    name: 5
+    for name in (
+        "name_clusters", "cc_pivot", "bfs_depth", "weakest_link",
+        "two_hop_reach", "progressive_er", "match_pagerank", "ann_recall",
+        "json_field_sum", "quantile_sketch", "type_cooccurrence",
+        "blocking_compare", "kcenter_coreset", "source_similarity",
+        "ks_lengths",
+    )
+})
+
+# Round-5 gate priority (VERDICT r4 #1 "gate, don't grow"): within the
+# pending tier, SURVEY-mapped stale queries and this round's rewrites
+# outrank the never-gated backlog, which in turn is led by the
+# dedup/ANN/training family the verdict names. Names not listed keep
+# their curated registry order after these.
+_GATE_PRIORITY = (
+    # SURVEY-mapped stale (rewritten after their last green driver row)
+    "entity_link_mentions", "llm_ner", "entity_link_eval_iou",
+    "cohort_retention", "latest_order_before_event", "json_field_sum",
+    "cosine_topk_ivf", "pq_codes",
+    # r5 rewrites (re-gate)
+    "cc_pivot", "bfs_depth", "weakest_link", "two_hop_reach",
+    "progressive_er", "name_clusters", "match_pagerank", "ann_recall",
+    "quantile_sketch", "blocking_compare", "kcenter_coreset",
+    "source_similarity", "ks_lengths", "type_cooccurrence",
+    # highest-value never-gated (dedup / ANN / training-data family)
+    "dedup_keep_best", "dedup_weights", "segment_dedup",
+    "decontaminate_bloom", "substring_contamination", "bpe_merges",
+    "bpe_tokens", "knn_join", "ivf_pq_topk", "hard_negatives",
+    "knn_classify", "mmr_topk", "chunk_overlap", "mix_sources",
+    "salted_pairs", "kmv_users", "em_weights", "lm_perplexity",
+    "char_entropy", "rake_phrases", "scd2_history", "cdc_state",
+    "k_anonymity", "dq_checks", "media_context", "media_dup_docs",
+    "media_dup_text_check", "dense_hourly",
+)
 
 
 def _green_rounds() -> dict[str, int]:
@@ -92,7 +132,13 @@ def _gate_order(reg: dict, green: dict | None = None) -> dict:
     def satisfied(name: str) -> bool:
         return green.get(name, -1) >= _REGATE_FROM_ROUND.get(name, 0)
 
-    pending = {k: v for k, v in reg.items() if not satisfied(k)}
+    prio = {n: i for i, n in enumerate(_GATE_PRIORITY)}
+    reg_pos = {n: i for i, n in enumerate(reg)}
+    pending_names = sorted(
+        (k for k in reg if not satisfied(k)),
+        key=lambda k: (prio.get(k, len(prio)), reg_pos[k]),
+    )
+    pending = {k: reg[k] for k in pending_names}
     done = {k: v for k, v in reg.items() if satisfied(k)}
     return {**pending, **done}
 
