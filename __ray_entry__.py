@@ -55,6 +55,11 @@ _REGATE_FROM_ROUND.update({
         "json_field_sum", "quantile_sketch", "type_cooccurrence",
         "blocking_compare", "kcenter_coreset", "source_similarity",
         "ks_lengths",
+        # direct rewrites of the blocked-verification kernel (batch_jw
+        # swap — VERDICT r4 #4; downstream consumers of the pair stream
+        # are value-identical by the property-test pin and all
+        # rehearsal-green)
+        "fuzzy_name_pairs", "salted_pairs",
     )
 })
 
@@ -81,7 +86,7 @@ _GATE_PRIORITY = (
     "salted_pairs", "kmv_users", "em_weights", "lm_perplexity",
     "char_entropy", "rake_phrases", "scd2_history", "cdc_state",
     "k_anonymity", "dq_checks", "media_context", "media_dup_docs",
-    "media_dup_text_check", "dense_hourly",
+    "media_dup_text_check", "fuzzy_name_pairs",
 )
 
 

@@ -112,6 +112,34 @@ class DuckSimilarity:
         }
 
 
+_BATCH_SCORER: "DuckSimilarity | None" = None
+
+
+def batch_jw(a, b) -> np.ndarray:
+    """Vectorized Jaro-Winkler over two same-length string sequences via a
+    per-worker-process cached :class:`DuckSimilarity` (VERDICT r4 #4 —
+    replaces per-pair Python ``jaro_winkler`` loops in blocked verification
+    stages; values are property-test-pinned identical to the Python kernel,
+    tests/test_properties.py, except the single pair ("", "") where Python
+    returns 1.0 and DuckDB 0.0 — unreachable in the verification stages,
+    whose pairs are of DISTINCT names, and the DuckDB value is the oracle's
+    own semantics anyway). The cache is safe as module state: the
+    connection holds no result-affecting state and Ray map workers reuse
+    the process across tasks, so the connect cost is paid once per worker,
+    not per group."""
+    global _BATCH_SCORER
+    if _BATCH_SCORER is None:
+        _BATCH_SCORER = DuckSimilarity(threads=1)
+    # jw-only query: DuckDB's jaccard() (computed by .scores) rejects
+    # empty strings, and the verification stages only need jw anyway
+    tbl = pa.table({"l": pa.array(a, pa.string()),
+                    "r": pa.array(b, pa.string())})
+    out = _BATCH_SCORER.con.execute(
+        "SELECT jaro_winkler_similarity(l, r) AS jw FROM tbl"
+    ).fetch_arrow_table()
+    return out["jw"].to_numpy()
+
+
 def hash_embed(texts: list[str], dim: int = 64) -> np.ndarray:
     """Deterministic char-3gram hash embedding (unit-normalized float64).
 

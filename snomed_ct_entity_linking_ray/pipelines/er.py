@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..functions.similarity import jaro_winkler, levenshtein, soundex
+from ..functions.similarity import batch_jw, jaro_winkler, levenshtein, soundex
 from .common import (
     broadcast,
     cents,
@@ -99,15 +99,19 @@ def q_fuzzy_name_pairs(
         nm = g["p_name"].to_numpy(object)
         ln = g["ln"].to_numpy(np.int64)
         n = len(g)
-        a_out: list = []
-        b_out: list = []
+        a_out = np.array([], dtype=object)
+        b_out = np.array([], dtype=object)
         if n >= 2:
             ia, ib = np.triu_indices(n, k=1)
             keep = np.abs(ln[ia] - ln[ib]) <= max_len_diff
-            for i, j in zip(ia[keep], ib[keep]):
-                if jaro_winkler(nm[i], nm[j]) >= threshold:
-                    a_out.append(nm[i])
-                    b_out.append(nm[j])
+            ia, ib = ia[keep], ib[keep]
+            if len(ia):
+                # one vectorized DuckDB JW pass over the survivors of the
+                # length prefilter (VERDICT r4 #4; values pinned identical
+                # to the Python kernel by the property tests)
+                jw = batch_jw(nm[ia], nm[ib])
+                hit = jw >= threshold
+                a_out, b_out = nm[ia[hit]], nm[ib[hit]]
         # Arrow output: empty pandas string blocks trip Ray's sampling
         # size estimator (the distinct_column note in common.py)
         return pa.Table.from_arrays(
@@ -5543,29 +5547,26 @@ def q_salted_pairs(sf_dir: str, threshold: float = 0.8,
         nm_ = g["p_name"].to_numpy(object)
         ln = g["ln"].to_numpy(np.int64)
         sh = g["shard"].to_numpy(np.int64)
-        a_out: list = []
-        b_out: list = []
+        a_out = np.array([], dtype=object)
+        b_out = np.array([], dtype=object)
         if si == sj:
             idx = np.flatnonzero(sh == si)
+            ia = ib = np.array([], dtype=np.int64)
             if len(idx) >= 2:
                 ia, ib = np.triu_indices(len(idx), k=1)
                 ia, ib = idx[ia], idx[ib]
-                keep = np.abs(ln[ia] - ln[ib]) <= max_len_diff
-                for x, y in zip(ia[keep], ib[keep]):
-                    if jaro_winkler(nm_[x], nm_[y]) >= threshold:
-                        a_out.append(nm_[x])
-                        b_out.append(nm_[y])
         else:
             ii = np.flatnonzero(sh == si)
             jj = np.flatnonzero(sh == sj)
-            if len(ii) and len(jj):
-                ia = np.repeat(ii, len(jj))
-                ib = np.tile(jj, len(ii))
-                keep = np.abs(ln[ia] - ln[ib]) <= max_len_diff
-                for x, y in zip(ia[keep], ib[keep]):
-                    if jaro_winkler(nm_[x], nm_[y]) >= threshold:
-                        a_out.append(nm_[x])
-                        b_out.append(nm_[y])
+            ia = np.repeat(ii, len(jj))
+            ib = np.tile(jj, len(ii))
+        if len(ia):
+            keep = np.abs(ln[ia] - ln[ib]) <= max_len_diff
+            ia, ib = ia[keep], ib[keep]
+        if len(ia):
+            # vectorized DuckDB JW pass (VERDICT r4 #4)
+            hit = batch_jw(nm_[ia], nm_[ib]) >= threshold
+            a_out, b_out = nm_[ia[hit]], nm_[ib[hit]]
         return pa.Table.from_arrays(
             [pa.array(a_out, pa.string()), pa.array(b_out, pa.string())],
             schema=pair_schema,
