@@ -306,21 +306,48 @@ MATCH_SIZE_TOL = 2
 _PAIR_CHUNK = 1024  # rows of the outer-comparison chunk (bounds pair memory)
 
 
+# V×V uint8 matrix bound for the vocabulary-matrix family (agree/bin
+# matrices ship as ONE broadcast object): 20k names = 400 MB. Past it the
+# design premise ("dictionary-bounded vocabulary") no longer holds — raise
+# loudly instead of building a matrix that won't fit the object store.
+JW_MATRIX_VOCAB_MAX = 20_000
+
+
+def _jw_upper(names: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All i<j index pairs + their batch_jw scores (one vectorized DuckDB
+    call over the strict upper triangle; distinct names, so the kernel's
+    ("","") caveat cannot arise)."""
+    v = len(names)
+    ia, ib = np.triu_indices(v, k=1)
+    if len(ia) == 0:
+        return ia, ib, np.zeros(0, dtype=np.float64)
+    arr = np.array(names, dtype=object)
+    return ia, ib, batch_jw(arr[ia], arr[ib])
+
+
 @ray.remote
 def _jw_agree_matrix(names: list, threshold: float):
     """Vocabulary-bounded JW agreement matrix, built ONCE in a task (never
     per block): mat[i, j] = 1 iff jaro_winkler(names[i], names[j]) >=
     threshold. The name vocabulary is dictionary-bounded (the
     fuzzy_name_pairs rationale), so this is O(V^2) on V ~ 10^1-10^3, not
-    O(rows^2); blocks then verify by integer fancy-indexing only."""
-    idx = {n: i for i, n in enumerate(names)}
+    O(rows^2); blocks then verify by integer fancy-indexing only.
+    Vectorized batch_jw fill + loud JW_MATRIX_VOCAB_MAX guard (r5)."""
     v = len(names)
+    if v > JW_MATRIX_VOCAB_MAX:
+        raise ValueError(
+            f"_jw_agree_matrix: {v} distinct names exceeds "
+            f"JW_MATRIX_VOCAB_MAX ({JW_MATRIX_VOCAB_MAX}); the V×V "
+            "agreement matrix design assumes a dictionary-bounded "
+            "vocabulary — block-sample the corpus for FS estimation instead"
+        )
+    idx = {n: i for i, n in enumerate(names)}
     mat = np.zeros((v, v), dtype=np.uint8)
-    for i in range(v):
-        mat[i, i] = 1
-        for j in range(i + 1, v):
-            if jaro_winkler(names[i], names[j]) >= threshold:
-                mat[i, j] = mat[j, i] = 1
+    np.fill_diagonal(mat, 1)
+    ia, ib, jw = _jw_upper(names)
+    hit = jw >= threshold
+    mat[ia[hit], ib[hit]] = 1
+    mat[ib[hit], ia[hit]] = 1
     return idx, mat
 
 
@@ -819,15 +846,23 @@ ROC_BINS = 20  # score resolution: bin = floor(jw * ROC_BINS), 0..ROC_BINS
 def _jw_bin_matrix(names: list, bins: int):
     """Vocabulary-bounded QUANTIZED score matrix (the _jw_agree_matrix
     pattern at score resolution): binmat[i, j] = floor(jw * bins) as uint8.
-    One O(V^2) task, shipped once as a broadcast."""
-    idx = {n: i for i, n in enumerate(names)}
+    One O(V^2) task, shipped once as a broadcast. Vectorized batch_jw
+    fill + loud JW_MATRIX_VOCAB_MAX guard (r5)."""
     v = len(names)
+    if v > JW_MATRIX_VOCAB_MAX:
+        raise ValueError(
+            f"_jw_bin_matrix: {v} distinct names exceeds "
+            f"JW_MATRIX_VOCAB_MAX ({JW_MATRIX_VOCAB_MAX}); the V×V score "
+            "matrix design assumes a dictionary-bounded vocabulary"
+        )
+    idx = {n: i for i, n in enumerate(names)}
     mat = np.zeros((v, v), dtype=np.uint8)
-    for i in range(v):
-        mat[i, i] = bins
-        for j in range(i + 1, v):
-            b = int(np.floor(jaro_winkler(names[i], names[j]) * bins))
-            mat[i, j] = mat[j, i] = b
+    np.fill_diagonal(mat, bins)
+    ia, ib, jw = _jw_upper(names)
+    if len(ia):
+        b = np.floor(jw * bins).astype(np.uint8)
+        mat[ia, ib] = b
+        mat[ib, ia] = b
     return idx, mat
 
 
