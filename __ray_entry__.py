@@ -60,6 +60,10 @@ _REGATE_FROM_ROUND.update({
         # are value-identical by the property-test pin and all
         # rehearsal-green)
         "fuzzy_name_pairs", "salted_pairs",
+        # r5 shuffle-free Gale-Shapley rounds (the per-round groupby
+        # exchanges reproduced the scheduler-stall class on a fresh
+        # session; oracle-exact + stability-property re-verified)
+        "stable_matching",
     )
 })
 
@@ -86,7 +90,7 @@ _GATE_PRIORITY = (
     "salted_pairs", "kmv_users", "em_weights", "lm_perplexity",
     "char_entropy", "rake_phrases", "scd2_history", "cdc_state",
     "k_anonymity", "dq_checks", "media_context", "media_dup_docs",
-    "media_dup_text_check", "fuzzy_name_pairs",
+    "stable_matching", "fuzzy_name_pairs",
 )
 
 

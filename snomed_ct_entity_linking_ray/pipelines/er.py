@@ -3723,25 +3723,27 @@ def q_stable_matching(
     regardless of proposal order, so the batched distributed rounds here
     and the oracle's textbook sequential walk must agree exactly.
 
-    Distributed batched rounds: every free A proposes to the entry of its
-    ranked candidate list at its pointer (rank join, A-keyed bucket);
-    every proposed B keeps the best of {incumbent, proposers} (B-keyed
-    bucket argmax); every loser — rejected proposer or displaced
-    incumbent — returns to the free pool with pointer+1 (the pointer
-    stores the index it last PROPOSED at, so +1 is the next untried
-    candidate in both cases). Each round every free A either engages,
-    advances, or exhausts, so total work is bounded by the sum of
-    candidate-list lengths; ``max_rounds`` guards a logic regression
-    loudly.
+    SHUFFLE-FREE rounds (r5: the original per-round groupby exchanges
+    reproduced the pull-based-shuffle scheduler stall class VERDICT r4
+    #1 documents — tens of sort exchanges in one session hung
+    ``fetch_until_complete`` on a fresh 4-CPU session; the cc_pivot
+    round discipline replaces them): the ranked preference table is the
+    only corpus-scale structure and stays distributed; each round is ONE
+    broadcast of the free-pointer map, ONE map_batches pass over prefs
+    emitting the proposal rows (rank == pointer), and per-batch per-B
+    argmax partials folded via ``tree_to_pandas`` — no shuffle anywhere
+    in the loop. The engagement/free state is bounded by the
+    threshold-filtered candidate set (the old plan already collected
+    exactly this set to the driver every round as the winner filter;
+    the same documented bound as greedy_assignment, with a loud guard).
 
-    Scale shape: every state table (ranked prefs, free pointers, tentative
-    engagements) is bounded by the threshold-filtered candidate set — the
-    same boundedness greedy_assignment relies on; rounds move (name, ptr)
-    and (name, name, score) rows only, never records."""
+    Each round every free A either engages, advances, or exhausts, so
+    total work is bounded by the sum of candidate-list lengths;
+    ``max_rounds`` guards a logic regression loudly."""
     cand = _crosslink_candidates(sf_dir, threshold, max_len_diff, len_band)
     n_buckets = default_buckets()
 
-    # ---- ranked preference lists per A (computed once) -------------------
+    # ---- ranked preference lists per A (computed once, distributed) ------
     pref_schema = pa.schema(
         [("name_a", pa.string()), ("rank", pa.int64()),
          ("name_b", pa.string()), ("jw_ubin", pa.int64())]
@@ -3778,144 +3780,121 @@ def q_stable_matching(
         .materialize()
     )
 
-    # free pool: every A with a candidate list starts at rank 0
-    free = prefs.map_batches(
-        lambda df: df[df["rank"] == 0][["name_a"]].assign(ptr=np.int64(0)),
-        batch_format="pandas",
-    ).materialize()
+    # per-A candidate-list lengths + the starting free pool — ONE bounded
+    # driver fold (≤ one row per A with candidates; the documented
+    # candidate-set bound)
+    lens = tree_to_pandas(
+        grouped_sums(
+            prefs.map_batches(
+                lambda df: pd.DataFrame({"name_a": df["name_a"].astype(str)}),
+                batch_format="pandas",
+            ),
+            ["name_a"], sums={}, count_as="n",
+        ),
+        lambda df: df.groupby("name_a", as_index=False).agg(n=("n", "sum")),
+    )
+    len_of = dict(zip(lens.get("name_a", []), lens.get("n", [])))
+    free: dict = {a: 0 for a in len_of}  # name_a -> next rank to propose at
+    engaged: dict = {}  # name_b -> (jw_ubin, name_a, ptr)
 
-    eng_schema = pa.schema(
+    prop_schema = pa.schema(
         [("name_b", pa.string()), ("name_a", pa.string()),
          ("jw_ubin", pa.int64()), ("ptr", pa.int64())]
     )
 
-    def empty_engaged() -> rd.Dataset:
-        return rd.from_arrow(
-            pa.Table.from_arrays(
-                [pa.array([], pa.string()), pa.array([], pa.string()),
-                 pa.array([], pa.int64()), pa.array([], pa.int64())],
-                schema=eng_schema,
+    def propose_partial(free_ref):
+        def fn(df: pd.DataFrame) -> pa.Table:
+            fr = ray.get(free_ref)
+            a = df["name_a"].astype(str)
+            ptr = a.map(fr)
+            hit = ptr.notna() & (df["rank"].to_numpy(np.int64) == ptr.fillna(-1).to_numpy(np.int64))
+            m = df[hit.to_numpy()]
+            # batch-local per-B argmax partial (jw DESC, name_a ASC)
+            m = m.sort_values(["name_b", "jw_ubin", "name_a"],
+                              ascending=[True, False, True], kind="mergesort")
+            m = m.drop_duplicates(subset=["name_b"], keep="first")
+            return pa.Table.from_arrays(
+                [
+                    pa.array(m["name_b"].to_numpy(object), pa.string()),
+                    pa.array(m["name_a"].to_numpy(object), pa.string()),
+                    pa.array(m["jw_ubin"].to_numpy(np.int64)),
+                    pa.array(m["rank"].to_numpy(np.int64)),
+                ],
+                schema=prop_schema,
             )
-        )
+        return fn
 
-    engaged = empty_engaged().materialize()
-
-    def key_bucket(col: str):
-        def add(df: pd.DataFrame) -> pd.DataFrame:
-            if len(df) == 0:
-                return df
-            h = pd.util.hash_pandas_object(
-                df[col].astype(str), index=False
-            ).to_numpy()
-            d = df.copy()
-            d["_kb"] = (h % np.uint64(n_buckets)).astype(np.int64)
-            return d
-
-        return add
+    def prop_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "name_b" not in df.columns:
+            return pd.DataFrame(
+                {"name_b": pd.Series([], dtype=object),
+                 "name_a": pd.Series([], dtype=object),
+                 "jw_ubin": pd.Series([], dtype=np.int64),
+                 "ptr": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["name_b", "jw_ubin", "name_a"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.drop_duplicates(subset=["name_b"], keep="first")
 
     for _round in range(max_rounds + 1):
-        if free.count() == 0:
+        if not free:
             break
         if _round == max_rounds:
             raise RuntimeError(
                 f"deferred acceptance did not drain in {max_rounds} rounds"
             )
-        # 1. proposals: join free (name_a, ptr) with prefs on rank == ptr.
-        #    As whose ptr ran past their list end are exhausted (dropped).
-        def propose(g: pd.DataFrame) -> pd.DataFrame:
-            st = g.loc[g["_side"] == 0, ["name_a", "ptr"]]
-            pr = g.loc[g["_side"] == 1, ["name_a", "rank", "name_b", "jw_ubin"]]
-            m = st.merge(
-                pr, left_on=["name_a", "ptr"], right_on=["name_a", "rank"],
-                how="inner",
-            )
-            return pd.DataFrame(
-                {
-                    "name_b": m["name_b"].astype(str),
-                    "name_a": m["name_a"].astype(str),
-                    "jw_ubin": m["jw_ubin"].to_numpy(np.int64),
-                    "ptr": m["ptr"].to_numpy(np.int64),
-                }
-            )
-
-        cols = ["name_a", "ptr", "rank", "name_b", "jw_ubin", "_side"]
-        tagged_free = free.map_batches(
-            lambda df: df.assign(
-                _side=np.int64(0), rank=np.int64(-1),
-                name_b="", jw_ubin=np.int64(-1),
-            )[cols],
-            batch_format="pandas",
+        free_ref = broadcast(dict(free))
+        # this round's best proposer per B: per-batch partial + tree fold.
+        # NOTE the fold keeps only the best PROPOSAL per B, which suffices:
+        # every free A at pointer p proposes exactly once this round, and
+        # only the per-B best can displace an incumbent.
+        props = tree_to_pandas(
+            prefs.map_batches(propose_partial(free_ref),
+                              batch_format="pandas"),
+            prop_fold,
         )
-        tagged_prefs = prefs.map_batches(
-            lambda df: df.assign(_side=np.int64(1), ptr=np.int64(-1))[cols],
-            batch_format="pandas",
-        )
-        proposals = (
-            tagged_free.union(tagged_prefs)
-            .map_batches(key_bucket("name_a"), batch_format="pandas")
-            .groupby("_kb")
-            .map_groups(propose, batch_format="pandas")
-            .materialize()  # consumed twice: acceptance + the freed pool
-        )
+        props = prop_fold(props)
 
-        # 2. per-B acceptance: best of incumbent + proposers under
-        #    (jw DESC, name_a ASC); strictly-better proposals displace.
-        def accept(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(
-                ["name_b", "jw_ubin", "name_a"], ascending=[True, False, True],
-                kind="mergesort",
-            )
-            win = g.drop_duplicates(subset=["name_b"], keep="first")
-            return win[["name_b", "name_a", "jw_ubin", "ptr"]]
+        # driver transition (bounded by the candidate set): losers —
+        # rejected proposers and displaced incumbents — re-enter free with
+        # pointer+1; As whose pointer ran past their list end exhaust.
+        # round_free = the As that actually proposed THIS round (ranks are
+        # dense 0..len-1, so a free A proposed iff its pointer is in
+        # range); incumbents displaced mid-round re-enter free but must
+        # NOT advance again until they propose next round.
+        round_free = {a for a in free if free[a] < len_of.get(a, 0)}
+        for a in list(free):
+            if a not in round_free:
+                free.pop(a)  # pointer past list end: exhausted
+        for b, a, jw, ptr in zip(props.get("name_b", []),
+                                 props.get("name_a", []),
+                                 props.get("jw_ubin", []),
+                                 props.get("ptr", [])):
+            jw, ptr = int(jw), int(ptr)
+            cur = engaged.get(b)
+            if cur is None or (-jw, a) < (-cur[0], cur[1]):
+                if cur is not None:
+                    # displaced incumbent returns to the pool at its next
+                    # untried entry (it last proposed at cur[2])
+                    free[cur[1]] = cur[2] + 1
+                engaged[b] = (jw, a, ptr)
+                free.pop(a, None)
+                round_free.discard(a)
+        # every round_free A still free proposed and lost (either to the
+        # per-B fold or to a better incumbent/proposer): advance past the
+        # tried entry
+        for a in round_free:
+            if a in free:
+                free[a] += 1
 
-        contenders = proposals.union(engaged).map_batches(
-            key_bucket("name_b"), batch_format="pandas"
-        )
-        new_engaged = (
-            contenders.groupby("_kb")
-            .map_groups(accept, batch_format="pandas")
-            .materialize()
-        )
-
-        # 3. losers return to the free pool with ptr+1: winners are exactly
-        #    new_engaged — subtract them from the union of this round's
-        #    proposers and previous incumbents (a row can appear in both
-        #    only as a winner, since engaged As are never in the free pool).
-        wdf = new_engaged.select_columns(["name_b", "name_a"]).to_pandas()
-        winners = (
-            set((wdf["name_b"].astype(str) + "\x00" + wdf["name_a"].astype(str)))
-            if len(wdf) else set()
-        )  # bounded by the engaged set (<= candidate pairs)
-        win_ref = broadcast(winners)
-
-        def losers(df: pd.DataFrame) -> pd.DataFrame:
-            if len(df) == 0:
-                return pd.DataFrame(
-                    {"name_a": pd.Series([], dtype=object),
-                     "ptr": pd.Series([], dtype=np.int64)}
-                )
-            w = ray.get(win_ref)
-            key = df["name_b"].astype(str) + "\x00" + df["name_a"].astype(str)
-            lost = df[~key.isin(w)]
-            return pd.DataFrame(
-                {
-                    "name_a": lost["name_a"].astype(str),
-                    "ptr": lost["ptr"].to_numpy(np.int64) + 1,
-                }
-            )
-
-        freed_proposers = proposals.map_batches(losers, batch_format="pandas")
-        freed_incumbents = engaged.map_batches(losers, batch_format="pandas")
-        free = freed_proposers.union(freed_incumbents).materialize()
-        engaged = new_engaged
-
-    out = (
-        engaged.select_columns(["name_a", "name_b", "jw_ubin"])
-        .to_pandas()
-        .sort_values("name_a")
-        .reset_index(drop=True)
-    )
-    return rd.from_pandas(out)
+    out = pd.DataFrame(
+        {
+            "name_a": [v[1] for v in engaged.values()],
+            "name_b": list(engaged.keys()),
+            "jw_ubin": np.array([v[0] for v in engaged.values()],
+                                dtype=np.int64),
+        }
+    ).sort_values("name_a").reset_index(drop=True)
+    return rd.from_pandas(out[["name_a", "name_b", "jw_ubin"]])
 
 
 # --- term-frequency adjustment (Splink-style) ---------------------------------
