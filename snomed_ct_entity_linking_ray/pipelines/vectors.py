@@ -874,24 +874,21 @@ def q_ann_recall(sf_dir: str, k: int = 5):
         )
     pair_ref = broadcast(np.sort((aq << PACK_BITS) | am))
 
-    class Hits:
-        def __init__(self):
-            self.pairs = ray.get(pair_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if len(df) == 0:
-                return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
-                                     "one": pd.Series([], dtype=np.int64)})
-            q = df["query_id"].to_numpy(np.int64)
-            m = df["match_id"].to_numpy(np.int64)
-            keys = (q << PACK_BITS) | m
-            hit = np.isin(keys, self.pairs, assume_unique=False)
-            return pd.DataFrame(
-                {"query_id": q[hit], "one": np.ones(int(hit.sum()), dtype=np.int64)}
-            )
+    def hits_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "one": pd.Series([], dtype=np.int64)})
+        pairs = ray.get(pair_ref)  # local object-store hit after fetch #1
+        q = df["query_id"].to_numpy(np.int64)
+        m = df["match_id"].to_numpy(np.int64)
+        keys = (q << PACK_BITS) | m
+        hit = np.isin(keys, pairs, assume_unique=False)
+        return pd.DataFrame(
+            {"query_id": q[hit], "one": np.ones(int(hit.sum()), dtype=np.int64)}
+        )
 
     hits = grouped_sums(
-        exact.map_batches(Hits, batch_format="pandas", concurrency=(1, 4)),
+        exact.map_batches(hits_fn, batch_format="pandas"),
         ["query_id"], {"n_hits": "one"},
     )
 
