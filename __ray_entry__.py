@@ -60,10 +60,10 @@ _REGATE_FROM_ROUND.update({
         # are value-identical by the property-test pin and all
         # rehearsal-green)
         "fuzzy_name_pairs", "salted_pairs",
-        # r5 shuffle-free Gale-Shapley rounds (the per-round groupby
-        # exchanges reproduced the scheduler-stall class on a fresh
-        # session; oracle-exact + stability-property re-verified)
-        "stable_matching",
+        # r5 shuffle-free iterative rounds (the per-round groupby
+        # exchanges belong to the scheduler-stall class stable_matching
+        # reproduced on a fresh session; all oracle-exact re-verified)
+        "stable_matching", "greedy_assignment", "kcore",
     )
 })
 

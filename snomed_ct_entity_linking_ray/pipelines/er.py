@@ -3356,79 +3356,44 @@ def q_greedy_assignment(
         .materialize()
     )
 
-    side_schema = pa.schema(
-        [
-            ("name_a", pa.string()),
-            ("name_b", pa.string()),
-            ("jw_ubin", pa.int64()),
-            ("side", pa.int64()),
-        ]
-    )
-
-    def keyed(col: str):
-        def add(df: pd.DataFrame) -> pa.Table:
-            if len(df) == 0:
-                return pa.Table.from_arrays(
-                    [pa.array([], pa.string()), pa.array([], pa.string()),
-                     pa.array([], pa.int64()), pa.array([], pa.int64())],
-                    names=["name_a", "name_b", "jw_ubin", "_kb"],
-                )
-            h = pd.util.hash_pandas_object(df[col], index=False).to_numpy()
-            d = df.copy()
-            d["_kb"] = (h % np.uint64(n_buckets)).astype(np.int64)
-            return pa.Table.from_pandas(d, preserve_index=False)
-
-        return add
-
-    def best_fn(key: str, partner: str, side: int):
-        def best(g: pd.DataFrame) -> pa.Table:
-            g = g.sort_values(
+    # SHUFFLE-FREE rounds (r5: the three per-round groupby sort exchanges
+    # belonged to the iterated-shuffle stall class that wedged
+    # q_stable_matching). The per-endpoint argmax under the strict total
+    # order is a monoid, so each side folds through per-batch partials +
+    # ``tree_to_pandas``; the fold results are node-bounded — the same
+    # bound the old plan already paid by collecting `mutual` each round —
+    # and the mutuality test is one driver merge of those two frames.
+    def best_fold(key: str, partner: str):
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or key not in df.columns:
+                return pd.DataFrame(
+                    {"name_a": pd.Series([], dtype=object),
+                     "name_b": pd.Series([], dtype=object),
+                     "jw_ubin": pd.Series([], dtype=np.int64)})
+            return df.sort_values(
                 [key, "jw_ubin", partner], ascending=[True, False, True],
                 kind="mergesort",
             ).drop_duplicates(subset=[key], keep="first")
+
+        return fold
+
+    fold_a = best_fold("name_a", "name_b")
+    fold_b = best_fold("name_b", "name_a")
+
+    def arrow_partial(fold):
+        # map-side partial emits Arrow with a pinned schema: an empty
+        # pandas string block trips Ray's sampling size estimator (the
+        # distinct_column note in common.py)
+        def fn(df: pd.DataFrame) -> pa.Table:
+            out = fold(df)
             return pa.Table.from_arrays(
-                [
-                    pa.array(g["name_a"].to_numpy(object), pa.string()),
-                    pa.array(g["name_b"].to_numpy(object), pa.string()),
-                    pa.array(g["jw_ubin"].to_numpy(np.int64), pa.int64()),
-                    pa.array(np.full(len(g), side, dtype=np.int64)),
-                ],
-                schema=side_schema,
+                [pa.array(out["name_a"].to_numpy(object), pa.string()),
+                 pa.array(out["name_b"].to_numpy(object), pa.string()),
+                 pa.array(out["jw_ubin"].to_numpy(np.int64))],
+                schema=pair_schema,
             )
 
-        return best
-
-    mutual_schema = pa.schema(
-        [("name_a", pa.string()), ("name_b", pa.string()), ("jw_ubin", pa.int64())]
-    )
-
-    def mutual_bucket(df: pd.DataFrame) -> pa.Table:
-        if len(df) == 0:
-            return pa.Table.from_arrays(
-                [pa.array([], pa.string()), pa.array([], pa.string()),
-                 pa.array([], pa.int64()), pa.array([], pa.int64())],
-                names=["name_a", "name_b", "jw_ubin", "_mb"],
-            )
-        h = pd.util.hash_pandas_object(
-            df["name_a"] + "\x00" + df["name_b"], index=False
-        ).to_numpy()
-        d = df.drop(columns=["side"]).copy()
-        d["_mb"] = (h % np.uint64(n_buckets)).astype(np.int64)
-        return pa.Table.from_pandas(d, preserve_index=False)
-
-    def mutual_pairs(g: pd.DataFrame) -> pa.Table:
-        c = g.groupby(["name_a", "name_b"], as_index=False).agg(
-            n=("jw_ubin", "size"), jw_ubin=("jw_ubin", "max")
-        )
-        keep = c[c["n"] == 2]
-        return pa.Table.from_arrays(
-            [
-                pa.array(keep["name_a"].to_numpy(object), pa.string()),
-                pa.array(keep["name_b"].to_numpy(object), pa.string()),
-                pa.array(keep["jw_ubin"].to_numpy(np.int64), pa.int64()),
-            ],
-            schema=mutual_schema,
-        )
+        return fn
 
     matched_frames: list[pd.DataFrame] = []
     for _round in range(max_rounds + 1):
@@ -3439,33 +3404,24 @@ def q_greedy_assignment(
                 f"greedy assignment did not drain in {max_rounds} rounds "
                 "(every round must match >= 1 pair — logic regression)"
             )
-        best_a = (
-            remaining.map_batches(keyed("name_a"), batch_format="pandas")
-            .groupby("_kb")
-            .map_groups(best_fn("name_a", "name_b", 0), batch_format="pandas")
-        )
-        best_b = (
-            remaining.map_batches(keyed("name_b"), batch_format="pandas")
-            .groupby("_kb")
-            .map_groups(best_fn("name_b", "name_a", 1), batch_format="pandas")
-        )
-        mutual = (
-            best_a.union(best_b)
-            .map_batches(mutual_bucket, batch_format="pandas")
-            .groupby("_mb")
-            .map_groups(mutual_pairs, batch_format="pandas")
-            .to_pandas()  # bounded by matches this round (<= nodes/2)
-        )
-        # a nonempty remaining set always yields >= 1 mutual pair; the
-        # column guard covers the empty-Dataset-collects-columnless-frame
-        # trap (ADVICE r3, semi_anti_filter)
+        best_a = fold_a(tree_to_pandas(
+            remaining.map_batches(arrow_partial(fold_a),
+                                  batch_format="pandas"), fold_a
+        ))
+        best_b = fold_b(tree_to_pandas(
+            remaining.map_batches(arrow_partial(fold_b),
+                                  batch_format="pandas"), fold_b
+        ))
+        # mutual = pairs that are BOTH endpoints' best (locally dominant)
+        mutual = best_a.merge(
+            best_b[["name_a", "name_b"]], on=["name_a", "name_b"],
+            how="inner",
+        )[["name_a", "name_b", "jw_ubin"]]
+        # a nonempty remaining set always yields >= 1 mutual pair (its
+        # global-max pair is locally dominant)
         matched_frames.append(mutual)
-        ma_ref = broadcast(
-            set(mutual["name_a"]) if "name_a" in mutual.columns else set()
-        )
-        mb_ref = broadcast(
-            set(mutual["name_b"]) if "name_b" in mutual.columns else set()
-        )
+        ma_ref = broadcast(set(mutual["name_a"]))
+        mb_ref = broadcast(set(mutual["name_b"]))
 
         def drop_matched(df: pd.DataFrame) -> pd.DataFrame:
             if len(df) == 0:
@@ -3508,32 +3464,46 @@ def q_kcore(sf_dir: str, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS):
 
     Scale shape: iterated peeling over the EDGE set only (the verified
     match edges — the same boundedness every clustering op here relies
-    on): each round one grouped_sums degree pass + one broadcast-set
-    filter dropping edges incident to sub-k names; a fixpoint is reached
-    when no name falls below k (at most |nodes| rounds; ``max_rounds``
-    guards a logic regression loudly, the propagate discipline). The
-    dropped-name set per round is bounded by the nodes leaving the core —
-    the documented broadcast; the semi_anti_filter dual plan is the swap
-    at larger volumes."""
+    on): each round one SHUFFLE-FREE degree fold (per-batch partial
+    degree counts tree-combined via ``tree_to_pandas`` — r5: the
+    per-round grouped_sums exchange belonged to the iterated-shuffle
+    stall class that wedged q_stable_matching; the degree table is
+    node-bounded, the same bound the old ``to_pandas`` already paid)
+    + one broadcast-set filter dropping edges incident to sub-k names;
+    a fixpoint is reached when no name falls below k (at most |nodes|
+    rounds; ``max_rounds`` guards a logic regression loudly, the
+    propagate discipline). The dropped-name set per round is bounded by
+    the nodes leaving the core — the documented broadcast; the
+    semi_anti_filter dual plan is the swap at larger volumes."""
     edges = q_fuzzy_name_pairs(sf_dir).materialize()
 
-    def degrees(e: rd.Dataset) -> pd.DataFrame:
-        def stack(df: pd.DataFrame) -> pd.DataFrame:
+    def deg_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "p_name" not in df.columns:
             return pd.DataFrame(
-                {
-                    "p_name": pd.concat(
-                        [df["name_a"], df["name_b"]], ignore_index=True
-                    )
-                }
+                {"p_name": pd.Series([], dtype=object),
+                 "degree": pd.Series([], dtype=np.int64)})
+        return df.groupby("p_name", as_index=False).agg(
+            degree=("degree", "sum"))
+
+    deg_schema = pa.schema([("p_name", pa.string()), ("degree", pa.int64())])
+
+    def degrees(e: rd.Dataset) -> pd.DataFrame:
+        def partial(df: pd.DataFrame) -> pa.Table:
+            s = pd.concat([df["name_a"], df["name_b"]], ignore_index=True)
+            out = s.value_counts().rename_axis("p_name").reset_index(
+                name="degree")
+            # Arrow output with pinned schema (empty-string-block trap)
+            return pa.Table.from_arrays(
+                [pa.array(out["p_name"].astype(str).to_numpy(object),
+                          pa.string()),
+                 pa.array(out["degree"].to_numpy(np.int64))],
+                schema=deg_schema,
             )
 
-        d = grouped_sums(
-            e.map_batches(stack, batch_format="pandas"),
-            ["p_name"],
-            sums={},
-            count_as="degree",
+        d = tree_to_pandas(
+            e.map_batches(partial, batch_format="pandas"), deg_fold
         )
-        return d.to_pandas()  # bounded by names-with-a-match-edge
+        return deg_fold(d)  # bounded by names-with-a-match-edge
 
     for _round in range(max_rounds + 1):
         deg = degrees(edges)
