@@ -64,6 +64,8 @@ _REGATE_FROM_ROUND.update({
         # exchanges belong to the scheduler-stall class stable_matching
         # reproduced on a fresh session; all oracle-exact re-verified)
         "stable_matching", "greedy_assignment", "kcore",
+        # r5 batch_jw swap in the two-source candidate generator
+        "crosslink_best",
     )
 })
 

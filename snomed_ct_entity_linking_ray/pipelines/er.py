@@ -3191,19 +3191,20 @@ def _crosslink_candidates(
         nb = b["p_name"].to_numpy(object)
         la = a["ln"].to_numpy(np.int64)
         lb = b["ln"].to_numpy(np.int64)
-        a_out: list = []
-        b_out: list = []
-        s_out: list = []
+        a_out = np.array([], dtype=object)
+        b_out = np.array([], dtype=object)
+        s_out = np.array([], dtype=np.int64)
         if len(na) and len(nb):
             ia, ib = np.nonzero(
                 np.abs(la[:, None] - lb[None, :]) <= max_len_diff
             )
-            for i, j in zip(ia, ib):
-                s = jaro_winkler(na[i], nb[j])
-                if s >= threshold:
-                    a_out.append(na[i])
-                    b_out.append(nb[j])
-                    s_out.append(int(np.floor(s * JW_UBIN_SCALE)))
+            if len(ia):
+                # one vectorized DuckDB JW pass over the length-filter
+                # survivors (VERDICT r4 #4; property-pinned identical)
+                jw = batch_jw(na[ia], nb[ib])
+                hit = jw >= threshold
+                a_out, b_out = na[ia[hit]], nb[ib[hit]]
+                s_out = np.floor(jw[hit] * JW_UBIN_SCALE).astype(np.int64)
         return pa.Table.from_arrays(
             [
                 pa.array(a_out, pa.string()),
