@@ -3424,12 +3424,18 @@ def q_greedy_assignment(
         ma_ref = broadcast(set(mutual["name_a"]))
         mb_ref = broadcast(set(mutual["name_b"]))
 
-        def drop_matched(df: pd.DataFrame) -> pd.DataFrame:
-            if len(df) == 0:
-                return df
-            ma, mb = ray.get(ma_ref), ray.get(mb_ref)
-            keep = ~df["name_a"].isin(ma) & ~df["name_b"].isin(mb)
-            return df[keep]
+        def drop_matched(df: pd.DataFrame) -> pa.Table:
+            if len(df):
+                ma, mb = ray.get(ma_ref), ray.get(mb_ref)
+                keep = ~df["name_a"].isin(ma) & ~df["name_b"].isin(mb)
+                df = df[keep]
+            # Arrow output with pinned schema (empty-string-block trap)
+            return pa.Table.from_arrays(
+                [pa.array(df["name_a"].to_numpy(object), pa.string()),
+                 pa.array(df["name_b"].to_numpy(object), pa.string()),
+                 pa.array(df["jw_ubin"].to_numpy(np.int64))],
+                schema=pair_schema,
+            )
 
         remaining = remaining.map_batches(
             drop_matched, batch_format="pandas"
@@ -3519,12 +3525,18 @@ def q_kcore(sf_dir: str, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS):
             )
         drop_ref = broadcast(drop)
 
-        def drop_edges(df: pd.DataFrame) -> pd.DataFrame:
-            if len(df) == 0:
-                return df
-            d = ray.get(drop_ref)
-            keep = ~df["name_a"].isin(d) & ~df["name_b"].isin(d)
-            return df[keep]
+        def drop_edges(df: pd.DataFrame) -> pa.Table:
+            if len(df):
+                d = ray.get(drop_ref)
+                keep = ~df["name_a"].isin(d) & ~df["name_b"].isin(d)
+                df = df[keep]
+            # Arrow output with pinned schema (empty-string-block trap)
+            return pa.Table.from_arrays(
+                [pa.array(df["name_a"].to_numpy(object), pa.string()),
+                 pa.array(df["name_b"].to_numpy(object), pa.string())],
+                schema=pa.schema([("name_a", pa.string()),
+                                  ("name_b", pa.string())]),
+            )
 
         edges = edges.map_batches(drop_edges, batch_format="pandas").materialize()
 
