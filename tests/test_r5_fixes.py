@@ -198,6 +198,48 @@ def test_batch_jw_matches_python_kernel():
     np.testing.assert_array_equal(got, want)
 
 
+def test_edges_from_pairs_join_path_matches_broadcast(ray_session):
+    """The dual-plan id attach (VERDICT r4 #3): the hash-join path that
+    activates above IDMAP_BROADCAST_MAX names must produce exactly the
+    broadcast path's edge set."""
+    import snomed_ct_entity_linking_ray.pipelines.er as er
+
+    sf = "/root/testdata/sf0.001"
+    ids, n = er._ranked_name_ids(sf)
+    pairs = er.q_fuzzy_name_pairs(sf, threshold=0.8, block_cap=1 << 62)
+    e1 = er._edges_from_pairs(pairs, ids, n).to_pandas()
+    old = er.IDMAP_BROADCAST_MAX
+    er.IDMAP_BROADCAST_MAX = 0
+    try:
+        e2 = er._edges_from_pairs(pairs, ids, n).to_pandas()
+    finally:
+        er.IDMAP_BROADCAST_MAX = old
+    k1 = sorted(map(tuple, e1[["u", "v"]].to_numpy()))
+    k2 = sorted(map(tuple, e2[["u", "v"]].to_numpy()))
+    assert len(k1) > 0
+    assert k1 == k2
+
+
+def test_ranked_name_ids_are_dense_lexicographic(ray_session):
+    """Distributed rank ids == sorted-order ids (the contract every
+    fuzzy-graph consumer's determinism rests on)."""
+    import duckdb
+
+    import snomed_ct_entity_linking_ray.pipelines.er as er
+
+    sf = "/root/testdata/sf0.001"
+    ids, n = er._ranked_name_ids(sf)
+    got = ids.to_pandas().sort_values("nid").reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT DISTINCT p_name FROM read_parquet('{sf}/part.parquet') "
+        "ORDER BY p_name"
+    ).df()
+    assert n == len(want) == len(got)
+    assert got["nid"].tolist() == list(range(n))
+    assert got["p_name"].tolist() == want["p_name"].tolist()
+
+
 def test_joinsafe_ray_version_pin():
     """VERDICT r4 #7: the planner patch must assert the Ray version it was
     validated on; the running version is pinned, so the import succeeds —
